@@ -1,0 +1,395 @@
+"""HTML -> markdown main-content extraction (the north-rule pipeline core).
+
+A from-scratch boilerplate-stripping extractor in the spirit of the
+reference's production pipeline (olmocr/olmocr/pipeline.py turns page
+blobs into markdown documents; the DOM/text-density approach follows the
+published Boilerpipe/jusText line of work):
+
+  1. parse HTML into a lightweight DOM (stdlib html.parser — no bs4/lxml
+     in this container);
+  2. prune structural noise (script/style/nav/ads...) plus a
+     link-density + text-length heuristic on block candidates;
+  3. resolve reading order — document order, with absolutely-positioned
+     blocks re-ordered by (top, left), the P10 span-sort semantics
+     (OmniDocBench/utils/ocr_utils.py:7-77) transplanted to CSS coords;
+  4. serialize headings/paragraphs/lists/tables/code/formulas to
+     deterministic markdown.
+
+The whole thing is a pure function str -> str, exposed to Spark as an
+Arrow-batched pandas UDF over the pages table's ``html: binary`` column
+(input_hint shape).  Determinism is a hard invariant: the byte-identical
+"extracted text per url" check depends on it.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- tunables (frozen; changing any of these breaks byte parity) ---------
+
+NOISE_TAGS = frozenset(
+    "head title script style noscript template iframe svg canvas form button select option input textarea".split()
+)
+STRUCTURAL_NOISE_TAGS = frozenset("nav aside".split())
+NOISE_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(nav|navbar|menu|sidebar|footer|header|banner|advert|ads?|promo|breadcrumbs?|cookie|social|share|comments?)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+LINK_DENSITY_MAX = 0.5       # blocks denser than this are boilerplate...
+LINK_DENSITY_MIN_TEXT = 200  # ...unless they carry this much text
+VOID_TAGS = frozenset("br hr img meta link input area base col embed source track wbr".split())
+BLOCK_TAGS = frozenset(
+    "p div section article main h1 h2 h3 h4 h5 h6 ul ol li table thead tbody tr pre blockquote figure header footer".split()
+)
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "text")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # Node or str
+        self.text = None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack = [self.root]
+        self._skip_depth = 0  # inside a NOISE_TAGS subtree
+
+    def handle_starttag(self, tag, attrs):
+        if self._skip_depth:
+            if tag in NOISE_TAGS and tag not in VOID_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in NOISE_TAGS:
+            if tag not in VOID_TAGS:
+                self._skip_depth = 1
+            return
+        node = Node(tag, dict(attrs))
+        # implied close: a new <p>/<li>/<tr>/<td> closes an open same-tag
+        if tag in ("p", "li", "tr", "td", "th", "option"):
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag in ("table", "ul", "ol", "#root", "div", "section", "article", "body"):
+                    break
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if self._skip_depth or tag in NOISE_TAGS:
+            return
+        self.stack[-1].children.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        if self._skip_depth:
+            if tag in NOISE_TAGS:
+                self._skip_depth -= 1
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# ---- boilerplate heuristics ------------------------------------------------
+
+
+def _text_stats(node) -> tuple[int, int]:
+    """(total text chars, text chars under <a>) — whitespace-squeezed."""
+    if isinstance(node, str):
+        n = len(re.sub(r"\s+", " ", node).strip())
+        return n, 0
+    total = link = 0
+    for ch in node.children:
+        t, l = _text_stats(ch)
+        total += t
+        link += l if node.tag != "a" else 0
+    if node.tag == "a":
+        link = total
+    return total, link
+
+
+def _is_noise(node: Node, in_article: bool = False) -> bool:
+    if node.tag in STRUCTURAL_NOISE_TAGS:
+        return True
+    # page-level header/footer chrome is boilerplate; inside article/main
+    # the same tags are content structure (e.g. a table header note).
+    if node.tag in ("header", "footer") and not in_article:
+        return True
+    hint = "%s %s" % (node.attrs.get("class", ""), node.attrs.get("id", ""))
+    if hint.strip() and NOISE_CLASS_RE.search(hint):
+        return True
+    if node.tag in ("div", "section", "ul", "ol", "table", "header", "footer"):
+        total, link = _text_stats(node)
+        if total and total < LINK_DENSITY_MIN_TEXT and link / total > LINK_DENSITY_MAX:
+            return True
+    return False
+
+
+def prune(node: Node, in_article: bool = False) -> Node:
+    node.children = [
+        ch
+        for ch in node.children
+        if isinstance(ch, str) or not _is_noise(ch, in_article)
+    ]
+    for ch in node.children:
+        if isinstance(ch, Node):
+            prune(ch, in_article or ch.tag in ("article", "main"))
+    return node
+
+
+# ---- reading order ---------------------------------------------------------
+
+_POS_RE = re.compile(r"position\s*:\s*absolute", re.IGNORECASE)
+_TOP_RE = re.compile(r"top\s*:\s*(-?[\d.]+)", re.IGNORECASE)
+_LEFT_RE = re.compile(r"left\s*:\s*(-?[\d.]+)", re.IGNORECASE)
+
+
+def order_children(node: Node) -> None:
+    """Stable re-order: absolutely positioned siblings sort by (top,left).
+
+    CSS transplant of the span->line->para merge (ocr_utils.py:7-77):
+    non-positioned children keep document order; positioned ones are
+    ordered by rounded top (line grouping) then left.
+    """
+    keyed = []
+    for i, ch in enumerate(node.children):
+        key = (0, 0.0, 0.0, i)
+        if isinstance(ch, Node):
+            style = ch.attrs.get("style", "") or ""
+            if _POS_RE.search(style):
+                tm, lm = _TOP_RE.search(style), _LEFT_RE.search(style)
+                top = float(tm.group(1)) if tm else 0.0
+                left = float(lm.group(1)) if lm else 0.0
+                key = (1, round(top / 10.0), left, i)
+            order_children(ch)
+        keyed.append((key, ch))
+    if any(k[0] == 1 for k, _ in keyed):
+        # document-order blocks first, then positioned blocks by (line, left)
+        keyed.sort(key=lambda kc: kc[0])
+        node.children = [c for _, c in keyed]
+
+
+# ---- markdown serialization -------------------------------------------------
+
+
+def _inline_text(node) -> str:
+    if isinstance(node, str):
+        return re.sub(r"[ \t\r\f\v]+", " ", node.replace("\n", " "))
+    if node.tag == "br":
+        return "\n"
+    if node.tag == "img":
+        return ""
+    body = "".join(_inline_text(ch) for ch in node.children)
+    if node.tag in ("strong", "b"):
+        return "**%s**" % body.strip() if body.strip() else ""
+    if node.tag in ("em", "i"):
+        return "*%s*" % body.strip() if body.strip() else ""
+    if node.tag == "code":
+        return "`%s`" % body if body.strip() else ""
+    if node.tag in ("sub", "sup"):
+        return "<%s>%s</%s>" % (node.tag, body, node.tag)
+    return body
+
+
+def _squeeze(s: str) -> str:
+    return re.sub(r"[ \t]+", " ", s).strip()
+
+
+def _cell_text(node: Node) -> str:
+    return _squeeze(_inline_text(node).replace("\n", " "))
+
+
+def _table_grid(table: Node) -> tuple[list[list[str]], bool]:
+    """Rows of cell texts; regular=False when row/colspan appears."""
+    rows: list[list[str]] = []
+    regular = True
+
+    def walk_rows(n: Node):
+        nonlocal regular
+        for ch in n.children:
+            if not isinstance(ch, Node):
+                continue
+            if ch.tag == "tr":
+                cells = []
+                for cell in ch.children:
+                    if isinstance(cell, Node) and cell.tag in ("td", "th"):
+                        if cell.attrs.get("rowspan", "1") not in ("", "1") or cell.attrs.get("colspan", "1") not in ("", "1"):
+                            regular = False
+                        cells.append(_cell_text(cell))
+                rows.append(cells)
+            elif ch.tag in ("thead", "tbody", "tfoot"):
+                walk_rows(ch)
+
+    walk_rows(table)
+    if rows and len({len(r) for r in rows}) != 1:
+        regular = False
+    return rows, regular
+
+
+def _serialize_table(table: Node) -> str:
+    rows, regular = _table_grid(table)
+    if not rows:
+        return ""
+    if regular:
+        ncol = len(rows[0])
+        out = ["| " + " | ".join(rows[0]) + " |", "|" + " --- |" * ncol]
+        out.extend("| " + " | ".join(r) + " |" for r in rows[1:])
+        return "\n".join(out)
+    # irregular tables keep html, normalized shape
+    def ser_row(tr: Node) -> str:
+        tds = []
+        for cell in tr.children:
+            if isinstance(cell, Node) and cell.tag in ("td", "th"):
+                attrs = ""
+                for a in ("colspan", "rowspan"):
+                    v = cell.attrs.get(a)
+                    if v and v != "1":
+                        attrs += ' %s="%s"' % (a, v)
+                tds.append("<td%s>%s</td>" % (attrs, _cell_text(cell)))
+        return "<tr>" + "".join(tds) + "</tr>"
+
+    trs = []
+
+    def walk(n: Node):
+        for ch in n.children:
+            if isinstance(ch, Node):
+                if ch.tag == "tr":
+                    trs.append(ser_row(ch))
+                elif ch.tag in ("thead", "tbody", "tfoot"):
+                    walk(ch)
+
+    walk(table)
+    return "<table>" + "".join(trs) + "</table>"
+
+
+def _blocks(node: Node, out: list[str], list_depth: int = 0) -> None:
+    for ch in node.children:
+        if isinstance(ch, str):
+            txt = _squeeze(ch)
+            if txt:
+                out.append(txt)
+            continue
+        tag = ch.tag
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            txt = _squeeze(_inline_text(ch).replace("\n", " "))
+            if txt:
+                out.append("#" * int(tag[1]) + " " + txt)
+        elif tag == "p":
+            txt = "\n".join(_squeeze(x) for x in _inline_text(ch).split("\n"))
+            txt = re.sub(r"\n{2,}", "\n", txt).strip()
+            if txt:
+                out.append(txt)
+        elif tag in ("ul", "ol"):
+            items = []
+            idx = 1
+            for li in ch.children:
+                if isinstance(li, Node) and li.tag == "li":
+                    txt = _squeeze(_inline_text(li).replace("\n", " "))
+                    if not txt:
+                        continue
+                    prefix = "- " if tag == "ul" else "%d. " % idx
+                    items.append("  " * list_depth + prefix + txt)
+                    idx += 1
+            if items:
+                out.append("\n".join(items))
+        elif tag == "table":
+            t = _serialize_table(ch)
+            if t:
+                out.append(t)
+        elif tag == "pre":
+            lang = ""
+            body = None
+            for sub in ch.children:
+                if isinstance(sub, Node) and sub.tag == "code":
+                    cls = sub.attrs.get("class", "") or ""
+                    m = re.search(r"language-(\w+)", cls)
+                    lang = m.group(1) if m else ""
+                    body = "".join(c if isinstance(c, str) else _inline_text(c) for c in sub.children)
+                    break
+            if body is None:
+                body = "".join(c if isinstance(c, str) else _inline_text(c) for c in ch.children)
+            body = body.strip("\n")
+            out.append("```%s\n%s\n```" % (lang, body))
+        elif tag == "blockquote":
+            inner: list[str] = []
+            _blocks(ch, inner, list_depth)
+            if inner:
+                out.append("\n".join("> " + line for blk in inner for line in blk.split("\n")))
+        elif tag == "hr":
+            out.append("---")
+        else:
+            # container: recurse
+            _blocks(ch, out, list_depth)
+
+
+def extract_markdown(html: Optional[str]) -> Optional[str]:
+    """Pure html -> markdown main-content extraction (deterministic)."""
+    if html is None:
+        return None
+    root = parse_html(html)
+    prune(root)
+    order_children(root)
+    out: list[str] = []
+    _blocks(root, out)
+    return "\n\n".join(b for b in out if b)
+
+
+# ---- Spark surface ----------------------------------------------------------
+
+
+def _extract_batch(html_bin: pd.Series) -> pd.Series:
+    def _one(b):
+        if b is None:
+            return None
+        s = bytes(b).decode("utf-8", errors="replace")
+        return extract_markdown(s)
+
+    return html_bin.map(_one)
+
+
+def extract_markdown_udf():
+    """Arrow-batched UDF (built lazily: pandas_udf needs a live session)."""
+    return F.pandas_udf(_extract_batch, "string")
+
+
+def extract_pages(pages: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> (url, md, n_chars).
+
+    ``salt_buckets`` > 0 repartitions on xxhash64(url) % buckets before the
+    heavy UDF so giant-blob skew spreads across tasks (SURVEY.md §4 skew
+    note).  0 keeps the scan partitioning (fine at test scale).
+    """
+    df = pages
+    if salt_buckets:
+        df = df.repartition(salt_buckets, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+    return df.select(
+        "url",
+        extract_markdown_udf()(F.col("html")).alias("md"),
+    ).withColumn("n_chars", F.length("md"))

@@ -1,0 +1,142 @@
+"""Minimal deterministic PDF text extraction + layout parse (P9/P10 port).
+
+The reference renders PDF pages and queries a model
+(olmocr/olmocr/pipeline.py:381-424), with a pypdf "anchor text" layout
+parse as prompt context (olmocr/olmocr/prompts/anchor.py:129-359): text
+elements with (x, y), merged and linearized in reading order.  This
+module re-expresses the *deterministic* part for the blob shapes our
+pages table carries: it parses real (uncompressed) PDF syntax — objects,
+page content streams, BT/ET text blocks, Td/TD/Tm cursor moves, Tj/TJ
+show-text — then resolves reading order by line-grouping on y and
+sorting x ascending (the ocr_utils.py:7-77 span->line merge, SURVEY P10)
+and serializes markdown: large-font lines become headings.
+
+Compressed streams / fonts / images are out of scope (the container has
+no pypdf/pymupdf): anything non-parsable extracts as "" rather than
+erroring, and real-deployment rasterize+OCR is stubbed in multimodal.py.
+
+random.shuffle in the reference's anchor sampler (anchor.py:342) is
+replaced by this fully deterministic ordering (SURVEY §2.8 R4).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+HEADING_FONT_SIZE = 18.0
+LINE_Y_TOL = 2.0
+PARA_GAP = 20.0
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXT_SHOW_RE = re.compile(
+    r"(?:(-?[\d.]+)\s+(-?[\d.]+)\s+Td)"          # cursor move
+    r"|(?:(-?[\d.]+)\s+(-?[\d.]+)\s+TD)"
+    r"|(?:[\d.\- ]+\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm)"  # text matrix (e,f tail)
+    r"|(?:/\w+\s+([\d.]+)\s+Tf)"                  # font size
+    r"|(?:\((?P<txt>(?:[^()\\]|\\.)*)\)\s*Tj)"    # show text
+)
+_PDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f", "(": "(", ")": ")", "\\": "\\"}
+
+
+def _unescape_pdf(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in _PDF_ESC:
+                out.append(_PDF_ESC[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal
+                j = i + 1
+                while j < len(s) and j < i + 4 and s[j].isdigit():
+                    j += 1
+                out.append(chr(int(s[i + 1 : j], 8)))
+                i = j
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _parse_content_stream(stream: str) -> list[tuple[float, float, float, str]]:
+    """-> [(y, x, font_size, text)] for each Tj inside BT/ET blocks."""
+    elements = []
+    for block in re.findall(r"BT(.*?)ET", stream, re.DOTALL):
+        x = y = 0.0
+        size = 12.0
+        for m in _TEXT_SHOW_RE.finditer(block):
+            if m.group(1) is not None:  # Td — absolute within our minimal writer
+                x, y = float(m.group(1)), float(m.group(2))
+            elif m.group(3) is not None:  # TD
+                x += float(m.group(3))
+                y += float(m.group(4))
+            elif m.group(5) is not None:  # Tm
+                x, y = float(m.group(5)), float(m.group(6))
+            elif m.group(7) is not None:  # Tf
+                size = float(m.group(7))
+            elif m.group("txt") is not None:
+                txt = _unescape_pdf(m.group("txt"))
+                if txt:
+                    elements.append((y, x, size, txt))
+    return elements
+
+
+def _layout_to_markdown(elements: list[tuple[float, float, float, str]]) -> str:
+    """Line-group by y, sort lines top->bottom, spans left->right (P10)."""
+    if not elements:
+        return ""
+    elements = sorted(elements, key=lambda e: (-e[0], e[1]))
+    lines: list[list[tuple[float, float, float, str]]] = []
+    for el in elements:
+        if lines and abs(lines[-1][-1][0] - el[0]) <= LINE_Y_TOL:
+            lines[-1].append(el)
+        else:
+            lines.append([el])
+    blocks: list[str] = []
+    cur: list[str] = []
+    prev_y = None
+
+    def flush():
+        if cur:
+            blocks.append(" ".join(cur))
+            cur.clear()
+
+    for line in lines:
+        line.sort(key=lambda e: e[1])
+        text = " ".join(e[3] for e in line).strip()
+        if not text:
+            continue
+        y = line[0][0]
+        if max(e[2] for e in line) >= HEADING_FONT_SIZE:
+            flush()
+            blocks.append("# " + text)
+        else:
+            if prev_y is not None and (prev_y - y) > PARA_GAP:
+                flush()
+            cur.append(text)
+        prev_y = y
+    flush()
+    return "\n\n".join(blocks)
+
+
+def extract_pdf_markdown(data: Optional[bytes]) -> Optional[str]:
+    """PDF bytes -> markdown (page texts joined by blank lines)."""
+    if data is None:
+        return None
+    if not data.startswith(b"%PDF"):
+        return ""
+    pages = []
+    for m in _STREAM_RE.finditer(data):
+        try:
+            stream = m.group(1).decode("latin-1")
+        except Exception:
+            continue
+        els = _parse_content_stream(stream)
+        md = _layout_to_markdown(els)
+        if md:
+            pages.append(md)
+    return "\n\n".join(pages)
