@@ -1,0 +1,164 @@
+"""Text-analysis operators for training-data pipelines (task brief §extras).
+
+All hot-path functions are pure Column expressions (JVM-side, codegen'd,
+ANSI-SQL-translatable for the DuckDB oracle): language ID, quality
+scoring, token counting, SEO-spam and alpha-ratio filters.  The only
+Python is the winnowing fingerprint and trailing-repeat detector (both
+ported heuristics from the reference: olmocr/olmocr/filter/filter.py:35-62,
+91-110 and olmocr/olmocr/repeatdetect.py:8-46).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# token pattern shared with the DuckDB oracle: letter runs, digit runs,
+# single other-non-space (a BPE-ish pre-tokenization).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as", "on"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den"]
+SEO_WORDS = ["download", "pdf", "epub", "mobi", "free", "ebook", "file", "save",
+             "casino", "viagra", "cialis", "ciprofloxacin"]  # filter.py:36-50
+SPAM_THRESHOLD = 0.004  # filter.py:20
+
+
+def _word_array(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), r"[^a-zA-Z]+"), lambda w: F.length(w) > 0)
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    """Whitespace tokens + regex (BPE-ish) tokens."""
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+    return {"ws_tokens": ws, "bpe_tokens": bpe}
+
+
+def lang_id_col(text: Column) -> Column:
+    """N-gram/stopword heuristic language ID: zh via CJK density, else
+    en/de by stopword hits (the cheap stand-in for lingua, filter.py:101-105)."""
+    n = F.length(text)
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    words = _word_array(text)
+    en_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
+    de_hits = F.size(F.filter(words, lambda w: w.isin(DE_STOPWORDS)))
+    return (
+        F.when(n == 0, F.lit("unknown"))
+        .when(cjk / n > 0.05, F.lit("zh"))
+        .when(de_hits > en_hits, F.lit("de"))
+        .when(en_hits > 0, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Length/alpha/stopword/punct ratios + composite score.
+
+    alpha-ratio guard semantics from filter.py:91-99; the composite is a
+    simple monotone blend used for corpus filtering.
+    """
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    words = _word_array(text)
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n / F.lit(1000.0), F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
+    )
+    return {
+        "n_chars_calc": n, "alpha_ratio": alpha_ratio, "digit_chars": digits,
+        "punct_ratio": punct_ratio, "stopword_ratio": stop_ratio,
+        "mean_word_len": mean_word_len, "quality_score": score,
+    }
+
+
+def seo_spam_cols(text: Column) -> dict[str, Column]:
+    """SEO/download-spam ratio (filter.py:35-62): seo-word hits over words."""
+    words = _word_array(text)
+    hits = F.size(F.filter(words, lambda w: w.isin(SEO_WORDS)))
+    total = F.size(words)
+    ratio = F.when(total > 0, hits / total).otherwise(F.lit(0.0))
+    return {"seo_hits": hits, "word_total": total, "seo_ratio": ratio,
+            "is_spam": ratio > SPAM_THRESHOLD}
+
+
+# ---- winnowing fingerprint (pandas UDF; standard published algorithm) ----
+
+FP_K = 8      # k-gram length (chars)
+FP_WINDOW = 4
+
+
+def winnow_fingerprint(text: str) -> list[int]:
+    """Winnowing document fingerprint: min rolling hash per window."""
+    if not text or len(text) < FP_K:
+        return []
+    B, M = 257, (1 << 61) - 1
+    h = 0
+    power = pow(B, FP_K - 1, M)
+    hashes = []
+    for i, ch in enumerate(text):
+        h = (h * B + ord(ch)) % M
+        if i >= FP_K:
+            h = (h - ord(text[i - FP_K]) * power * B) % M
+        if i >= FP_K - 1:
+            hashes.append(h)
+    fp = []
+    last = -1
+    for i in range(len(hashes) - FP_WINDOW + 1):
+        w = hashes[i:i + FP_WINDOW]
+        j = i + min(range(FP_WINDOW), key=lambda k: (w[k], k))
+        if j != last:
+            fp.append(hashes[j - i + i])
+            last = j
+    return fp
+
+
+def fingerprint_udf():
+    def _batch(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: winnow_fingerprint(t or ""))
+
+    return F.pandas_udf(_batch, "array<long>")
+
+
+def trailing_repeats(text: str, max_ngram: int = 10) -> int:
+    """Max count of a trailing n-gram repeating at the end of text
+    (repeatdetect.py:8-46 semantics, gram sizes 1..max_ngram)."""
+    best = 0
+    n = len(text)
+    for g in range(1, max_ngram + 1):
+        if g > n:
+            break
+        gram = text[n - g:]
+        count = 0
+        pos = n
+        while pos >= g and text[pos - g:pos] == gram:
+            count += 1
+            pos -= g
+        best = max(best, count)
+    return best
+
+
+def trailing_repeats_udf(max_ngram: int = 10):
+    def _batch(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: trailing_repeats(t or "", max_ngram))
+
+    return F.pandas_udf(_batch, "int")
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> per-doc text analysis (all native columns)."""
+    t = F.col(text_col)
+    cols = {**token_count_cols(t), **quality_cols(t), **seo_spam_cols(t),
+            "lang_id": lang_id_col(t)}
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])

@@ -1,0 +1,87 @@
+"""End-to-end evaluation plan (SURVEY §3.1 re-expressed as a DataFrame DAG).
+
+config -> gt/pred scan -> cogroup match (shuffle on img_id) -> table
+arbitration -> per-sample scoring (native levenshtein + TEDS UDF) ->
+native groupBy reports.  One shuffle for the match, one per report
+aggregate; Catalyst handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.eval_harness import match_elements
+from ..operators.metrics_report import (
+    arbitrate_tables,
+    attribute_report,
+    edit_dist_report,
+    overall_score,
+    page_split_report,
+    score_samples,
+    teds_report,
+)
+from ..sources.annotations import generate_eval_fixtures
+
+GT_SCHEMA = T.StructType([
+    T.StructField("img_id", T.StringType()),
+    T.StructField("anno_id", T.IntegerType()),
+    T.StructField("category_type", T.StringType()),
+    T.StructField("order", T.DoubleType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("latex", T.StringType()),
+    T.StructField("html", T.StringType()),
+    T.StructField("ignore", T.BooleanType()),
+    T.StructField("attribute", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("truncated_pair", T.IntegerType()),
+])
+
+PAGE_ATTR_SCHEMA = T.StructType([
+    T.StructField("img_id", T.StringType()),
+    T.StructField("page_attribute", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("special_issue", T.ArrayType(T.StringType())),
+])
+
+PRED_SCHEMA = T.StructType([
+    T.StructField("img_id", T.StringType()),
+    T.StructField("md", T.StringType()),
+])
+
+
+def fixture_frames(spark: SparkSession, n_pages: int, seed: int = 42,
+                   perturb: float = 1.0):
+    gt_rows, page_rows, pred_rows = generate_eval_fixtures(n_pages, seed, perturb)
+    gt = spark.createDataFrame(gt_rows, GT_SCHEMA)
+    pages = spark.createDataFrame(page_rows, PAGE_ATTR_SCHEMA)
+    preds = spark.createDataFrame(pred_rows, PRED_SCHEMA)
+    return gt, pages, preds
+
+
+def evaluate(gt: DataFrame, preds: DataFrame, page_attrs: DataFrame,
+             method: str = "quick_match", with_teds: bool = True) -> dict:
+    """Run the full harness; returns the nested result dict (S10 shape)."""
+    matches = match_elements(gt, preds, method=method)
+    unified = arbitrate_tables(matches)
+    scored = score_samples(unified, with_teds=with_teds).cache()
+
+    edit_rows = [r.asDict() for r in edit_dist_report(scored).collect()]
+    teds_row = teds_report(scored).collect()
+    teds_row = teds_row[0].asDict() if teds_row and teds_row[0]["n_tables"] else None
+    attr_rows = [r.asDict() for r in attribute_report(scored).collect()]
+    page_rows = [r.asDict() for r in page_split_report(scored, page_attrs).collect()]
+    result = {
+        "edit_dist": {r["element_class"]: r for r in edit_rows},
+        "teds": teds_row,
+        "attributes": attr_rows,
+        "page_split": page_rows,
+        "overall": overall_score(edit_rows, teds_row),
+    }
+    scored.unpersist()
+    return result
+
+
+def evaluate_fixtures(spark: SparkSession, n_pages: int = 50, seed: int = 42,
+                      perturb: float = 1.0, method: str = "quick_match") -> dict:
+    gt, pages, preds = fixture_frames(spark, n_pages, seed, perturb)
+    return evaluate(gt, preds, pages, method=method)
