@@ -1,38 +1,467 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship: wrap the sf0.001 documents table into
+boilerplate-laden HTML, run the real main-content extractor over it, and
+score the round trip with the reference-style edit-distance aggregates
+(page-weighted / whole / sample-mean, metrics 2/cal_metric.py:159-184
+semantics re-expressed as native groupBy).
+
+``queries()`` / ``oracle_sql()`` cover the relational surface of
+SURVEY.md §2 plus the training-data operators (dedup, similarity, text
+analysis).  Every float column is rounded to a fixed precision on BOTH
+sides so the driver's value-hash compare is stable; booleans are cast to
+int for the same reason.  Queries whose kernels cannot be expressed in
+DuckDB SQL (xxhash64-based minhash/simhash, the matching/eval harness,
+the extractor itself) have no oracle entry -> rows-only check.
 """
 
 from __future__ import annotations
 
+import html as _html
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators import dedup as D
+from deepseek_ocr_omnidocbench_spark.operators import similarity as S
+from deepseek_ocr_omnidocbench_spark.operators import textstats as TS
+from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
+
+R = 6  # float rounding for oracle parity
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+_NOISE_PRE = (
+    '<html><head><title>t</title><script>var x=1;</script></head><body>'
+    '<nav><a href="/a">home</a> <a href="/b">about</a> <a href="/c">more</a>'
+    ' <a href="/d">links</a> <a href="/e">nav</a> <a href="/f">bar</a></nav>'
+    '<div class="ads banner"><p>buy now limited offer</p></div><article>'
+)
+_NOISE_POST = (
+    '</article><div id="sidebar"><ul><li><a href="/s1">one</a></li>'
+    '<li><a href="/s2">two</a></li><li><a href="/s3">three</a></li></ul></div>'
+    "<footer><p>contact us terms privacy</p></footer></body></html>"
+)
+
+
+def _wrap_batch(text: pd.Series) -> pd.Series:
+    def _one(t):
+        if t is None:
+            return None
+        body = "<p>%s</p>" % _html.escape(t)
+        return (_NOISE_PRE + body + _NOISE_POST).encode("utf-8")
+
+    return text.map(_one)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """documents.text -> boilerplate HTML -> extractor -> edit report."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    wrap_udf = F.pandas_udf(_wrap_batch, "binary")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        wrap_udf(F.col("text")).alias("html"),
+        "text", "source",
+    )
+    extracted = extract_pages(pages, salt_buckets=8)
+    scored = (
+        extracted.join(pages.select("url", "text", "source"), "url")
+        .withColumn("edit_num", F.levenshtein(F.coalesce("md", F.lit("")), "text"))
+        .withColumn("upper_len", F.greatest(
+            F.length(F.coalesce("md", F.lit(""))), F.length("text")))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("edit_num") == 0).cast("int")).alias("n_exact"),
+            F.round(F.sum("edit_num") / F.sum("upper_len"), R).alias("edit_whole"),
+            F.round(F.avg(F.col("edit_num") / F.col("upper_len")), R).alias("edit_sample_avg"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.min("doc_id").alias("canonical_doc"))
+        .orderBy("content_hash")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cols = TS.token_count_cols(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", TS.lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cols = TS.quality_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(cols["alpha_ratio"], R).alias("alpha_ratio"),
+        F.round(cols["punct_ratio"], R).alias("punct_ratio"),
+        F.round(cols["stopword_ratio"], R).alias("stopword_ratio"),
+        F.round(cols["quality_score"], R).alias("quality_score"),
+    )
+
+
+def q_seo_spam(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cols = TS.seo_spam_cols(F.col("text"))
+    return docs.select(
+        "doc_id", cols["seo_hits"].alias("seo_hits"),
+        cols["word_total"].alias("word_total"),
+        cols["is_spam"].cast("int").alias("is_spam"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    return out.select("doc_a", "doc_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def q_doc_stats_by_lang(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bpe = TS.token_count_cols(F.col("text"))["bpe_tokens"]
+    return (
+        docs.select("lang", "n_chars", bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), R).alias("avg_chars"),
+             F.sum("bpe").alias("total_bpe_tokens"))
+        .orderBy("lang")
+    )
+
+
+def q_edit_metric_by_source(spark, sf_dir):
+    """A1/A2 aggregate shape on a deterministic pred (uppercased text):
+    per-source page-weighted + whole + sample-average edit distance."""
+    docs = _docs(spark, sf_dir)
+    d = (
+        docs.withColumn("pred", F.upper(F.col("text")))
+        .withColumn("edit_num", F.levenshtein("text", "pred"))
+        .withColumn("upper_len", F.greatest(F.length("text"), F.length("pred")))
+    )
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.sum("edit_num") / F.sum("upper_len"), R).alias("edit_whole"),
+             F.round(F.avg(F.col("edit_num") / F.col("upper_len")), R).alias("edit_sample_avg"))
+        .orderBy("source")
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.knn_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", R).alias("cosine"))
+
+
+def q_label_centroids(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), R).alias("mean_v"))
+        .orderBy("label", "pos")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = S.embedding_near_dups(emb, threshold=0.3)
+    return out.select("vec_a", "vec_b", F.round("cosine", R).alias("cosine"))
+
+
+def q_events_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), R).alias("running_value"),
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), R).alias("avg_value"),
+             F.round(F.sum("value"), R).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (kernels not expressible in DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = D.lsh_candidate_pairs(docs)
+    return out.select("doc_a", "doc_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.simhash_near_pairs(docs, max_hamming=16)
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.size(TS.fingerprint_udf()(F.col("text"))).alias("n_fingerprints"))
+
+
+def q_extraction_roundtrip(spark, sf_dir):
+    """The north-rule invariant surfaced as a query: wrap text in noise
+    HTML, extract, count byte-exact matches per source (expected: all)."""
+    docs = _docs(spark, sf_dir)
+    wrap_udf = F.pandas_udf(_wrap_batch, "binary")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        wrap_udf(F.col("text")).alias("html"), "text", "source")
+    out = extract_pages(pages, salt_buckets=8)
+    joined = out.join(pages.select("url", "text", "source"), "url")
+    return (
+        joined.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum((F.coalesce("md", F.lit("")) == F.col("text")).cast("int")
+                   ).alias("n_byte_identical"))
+        .orderBy("source")
+    )
+
+
+def q_eval_fixture_report(spark, sf_dir):
+    """Full matching+metrics harness on deterministic synthetic pages."""
+    from deepseek_ocr_omnidocbench_spark.operators.eval_harness import match_elements
+    from deepseek_ocr_omnidocbench_spark.operators.metrics_report import (
+        arbitrate_tables,
+        edit_dist_report,
+        score_samples,
+    )
+    from deepseek_ocr_omnidocbench_spark.plans.evaluate import fixture_frames
+
+    gt, _pages, preds = fixture_frames(spark, n_pages=10, seed=3, perturb=1.0)
+    matches = match_elements(gt, preds)
+    scored = score_samples(arbitrate_tables(matches), with_teds=False)
+    rep = edit_dist_report(scored)
+    return rep.select(
+        "element_class", "n_samples",
+        F.round("page_avg_edit", R).alias("page_avg_edit"),
+        F.round("edit_whole", R).alias("edit_whole"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "seo_spam": q_seo_spam,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "edit_metric_by_source": q_edit_metric_by_source,
+        "knn_bruteforce": q_knn_bruteforce,
+        "label_centroids": q_label_centroids,
+        "embedding_near_dups": q_embedding_near_dups,
+        "events_running_sum": q_events_running_sum,
+        "events_rollup": q_events_rollup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprints": q_fingerprints,
+        "extraction_roundtrip": q_extraction_roundtrip,
+        "eval_fixture_report": q_eval_fixture_report,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_EXPR = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)"
+_AZ09_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+_EN_STOP = "['the','and','of','to','in','is','that','for','with','as','on']"
+_DE_STOP = "['der','die','das','und','ist','nicht','mit','ein','eine','zu','den']"
+_SEO = ("['download','pdf','epub','mobi','free','ebook','file','save',"
+        "'casino','viagra','cialis','ciprofloxacin']")
+_SHINGLES = (
+    "list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, greatest(len(w) - 1, case when len(w) > 0 then 2 else 1 end))])"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": """
+            select md5(text) as content_hash, count(*) as group_size,
+                   min(doc_id) as canonical_doc
+            from documents group by 1 order by 1
+        """,
+        "token_counts": """
+            select doc_id,
+              len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) as ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bpe_tokens
+            from documents
+        """,
+        "lang_id": f"""
+            with t as (
+              select doc_id, length(text) as n,
+                length(regexp_replace(text, '[^一-鿿]', '', 'g')) as cjk,
+                len(list_filter({_WORDS_EXPR}, w -> list_contains({_EN_STOP}, w))) as en_hits,
+                len(list_filter({_WORDS_EXPR}, w -> list_contains({_DE_STOP}, w))) as de_hits
+              from documents)
+            select doc_id,
+              case when n = 0 then 'unknown'
+                   when cjk / n > 0.05 then 'zh'
+                   when de_hits > en_hits then 'de'
+                   when en_hits > 0 then 'en'
+                   else 'unknown' end as lang_pred
+            from t
+        """,
+        "quality_scores": f"""
+            with t as (
+              select doc_id, length(text) as n,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as alpha,
+                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) as punct,
+                {_WORDS_EXPR} as words
+              from documents),
+            u as (
+              select doc_id,
+                case when n > 0 then alpha / n else 0.0 end as alpha_ratio,
+                case when n > 0 then punct / n else 0.0 end as punct_ratio,
+                case when len(words) > 0
+                  then len(list_filter(words, w -> list_contains({_EN_STOP}, w)))
+                       / len(words) else 0.0 end as stop_ratio,
+                n from t)
+            select doc_id,
+              round(alpha_ratio, 6) as alpha_ratio,
+              round(punct_ratio, 6) as punct_ratio,
+              round(stop_ratio, 6) as stopword_ratio,
+              round(least(n / 1000.0, 1.0) * 0.2 + alpha_ratio * 0.4
+                    + least(stop_ratio * 5.0, 1.0) * 0.3
+                    + (1 - least(punct_ratio * 4.0, 1.0)) * 0.1, 6) as quality_score
+            from u
+        """,
+        "seo_spam": f"""
+            with t as (select doc_id, {_WORDS_EXPR} as words from documents)
+            select doc_id,
+              len(list_filter(words, w -> list_contains({_SEO}, w))) as seo_hits,
+              len(words) as word_total,
+              (case when len(words) > 0
+                then len(list_filter(words, w -> list_contains({_SEO}, w)))::double / len(words)
+                else 0.0 end > 0.004)::int as is_spam
+            from t
+        """,
+        "ngram_jaccard": f"""
+            with d as (
+              select doc_id, lang, {_SHINGLES} as sh
+              from (select doc_id, lang, {_AZ09_WORDS} as w, text from documents))
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+              round(len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(a.sh || b.sh)), 6) as jaccard
+            from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
+            where len(list_intersect(a.sh, b.sh))::double
+                  / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "doc_stats_by_lang": """
+            select lang, count(*) as n_docs, round(avg(n_chars), 6) as avg_chars,
+              sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) as total_bpe_tokens
+            from documents group by lang order by lang
+        """,
+        "edit_metric_by_source": """
+            with t as (
+              select source, levenshtein(text, upper(text)) as edit_num,
+                greatest(length(text), length(upper(text))) as upper_len
+              from documents)
+            select source, count(*) as n_docs,
+              round(sum(edit_num)::double / sum(upper_len), 6) as edit_whole,
+              round(avg(edit_num::double / upper_len), 6) as edit_sample_avg
+            from t group by source order by source
+        """,
+        "knn_bruteforce": """
+            with e as (select vec_id, embedding::DOUBLE[] as embedding from embeddings),
+            q as (select vec_id as query_id, embedding as qvec from e where vec_id < 5),
+            s as (select query_id, e.vec_id as neighbor_id,
+                    list_cosine_similarity(qvec, e.embedding) as c
+                  from q join e on e.vec_id != query_id),
+            r as (select query_id, neighbor_id, c,
+                    row_number() over (partition by query_id order by c desc, neighbor_id) as rank
+                  from s)
+            select query_id, neighbor_id, rank, round(c, 6) as cosine
+            from r where rank <= 5
+        """,
+        "label_centroids": """
+            with x as (
+              select label, generate_subscripts(embedding, 1) - 1 as pos,
+                     unnest(embedding) as v
+              from embeddings)
+            select label, pos, round(avg(v), 6) as mean_v
+            from x group by label, pos order by label, pos
+        """,
+        "embedding_near_dups": """
+            with e as (select vec_id, label, embedding::DOUBLE[] as embedding
+                       from embeddings)
+            select a.vec_id as vec_a, b.vec_id as vec_b,
+              round(list_cosine_similarity(a.embedding, b.embedding), 6) as cosine
+            from e a join e b
+              on a.label = b.label and a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "events_running_sum": """
+            select event_id, user_id,
+              round(sum(value) over (partition by user_id order by ts, event_id
+                    rows between unbounded preceding and current row), 6) as running_value
+            from events
+        """,
+        "events_rollup": """
+            select event_type, count(*) as n_events,
+              round(avg(value), 6) as avg_value, round(sum(value), 6) as total_value
+            from events group by event_type order by event_type
+        """,
+    }

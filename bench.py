@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: end-to-end HTML->markdown extraction throughput (docs/sec) on
+the deterministic synthetic pages table sized to the scale factor, plus
+wall times of the engine's other headline operators on the driver's
+$SPARK_GRAFT_SF_DIR tables.
+
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+  python bench.py --scaling          # same extraction job at N and 4N cores
+                                     # -> prints both throughputs + efficiency
+                                     # (the BASELINE.json two-cluster protocol)
+
+Scaling evidence note: no real cluster exists in this sandbox, so the
+two-cluster-size criterion is evidenced by running the identical job at
+two local parallelism levels (local[N] vs local[4N]) on the same input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def run_extraction(spark, sf: float, salt_buckets: int) -> tuple[float, int]:
+    """Returns (seconds, n_docs).  Forces the UDF via sum(n_chars)."""
+    from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
+    from deepseek_ocr_omnidocbench_spark.sources.pages import pages_path_for_sf
+
+    path = pages_path_for_sf(sf)
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    out = extract_pages(pages, salt_buckets=salt_buckets)
+    row = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("n_chars").alias("chars")).collect()[0]
+    return time.time() - t0, int(row["n"])
+
+
+def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    times: dict[str, float] = {}
+
+    t, n = run_extraction(spark, sf, salt_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    times["extraction_e2e"] = round(t, 3)
+    times["_extraction_docs"] = n
+
+    from deepseek_ocr_omnidocbench_spark.plans.evaluate import evaluate_fixtures
+    n_eval = max(20, int(sf * 1000))
+    t0 = time.time()
+    evaluate_fixtures(spark, n_pages=n_eval, seed=42, perturb=1.0)
+    times["eval_harness"] = round(time.time() - t0, 3)
+    times["_eval_pages"] = n_eval
+
+    for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
+                 "ngram_jaccard", "knn_bruteforce", "label_centroids",
+                 "quality_scores", "lang_id", "events_running_sum"]:
+        fn = entry.queries()[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.agg(F.count(F.lit(1))).collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    from deepseek_ocr_omnidocbench_spark.session import get_spark
+
+    if "--scaling" in sys.argv:
+        lo = max(2, cpus // 4)
+        results = {}
+        for n in (lo, cpus):
+            spark = get_spark(app_name="bench-scaling", cores=n,
+                              shuffle_partitions=n)
+            run_extraction(spark, sf, salt_buckets=n)  # warm (JIT + page gen)
+            secs, docs = run_extraction(spark, sf, salt_buckets=n)
+            results[n] = {"sec": secs, "docs": docs,
+                          "docs_per_sec": docs / secs}
+            spark.stop()
+        eff = (results[cpus]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (cpus / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
+            "cores_lo": lo, "cores_hi": cpus,
+            "docs_per_sec_lo": round(results[lo]["docs_per_sec"], 2),
+            "docs_per_sec_hi": round(results[cpus]["docs_per_sec"], 2),
+            "sf": sf,
+        }))
+        return
+
+    spark = get_spark(app_name="bench", cores=cpus)
+    t_all = time.time()
+    times = bench_queries(spark, sf_dir, sf)
+    total = round(time.time() - t_all, 3)
+    docs = times.pop("_extraction_docs")
+    eval_pages = times.pop("_eval_pages")
+    print(json.dumps({
+        "metric": "e2e_wall_sec", "value": total, "unit": "sec",
+        "queries": times, "sf": sf,
+        "extraction_docs": docs,
+        "docs_per_sec_extraction": round(docs / times["extraction_e2e"], 2),
+        "eval_pages": eval_pages,
+    }))
+
+
+if __name__ == "__main__":
+    main()

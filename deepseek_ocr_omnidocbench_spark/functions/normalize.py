@@ -39,7 +39,8 @@ def clean_string(s: str) -> str:
 def clean_string_col(c: Column) -> Column:
     for lit in ("\\\\t", "\\\\n", "\t", "\n", "/t", "/n"):
         c = F.regexp_replace(c, F.lit(lit), F.lit(""))
-    return F.regexp_replace(c, F.lit(r"[^\w\u4e00-\u9fff]"), F.lit(""))
+    # (?U): Java \w is ASCII-only by default; Python's is unicode-aware
+    return F.regexp_replace(c, F.lit(r"(?U)[^\w\u4e00-\u9fff]"), F.lit(""))
 
 
 # --------------------------------------------------------------------------

@@ -56,13 +56,15 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 def _minhash_sig(shingles: Column, k: int, seed: int = 7) -> Column:
     """array<bigint> of k minhash values — aggregate(min) per permutation,
     permutation i = xxhash64(shingle, seed+i), all JVM-side."""
+
+    def _perm(i: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so the merge fn must take exactly (acc, s)
+        return lambda acc, s: F.least(
+            acc, F.pmod(F.xxhash64(s, F.lit(seed + i)), F.lit(MERSENNE)))
+
     return F.array(*[
-        F.aggregate(
-            shingles,
-            F.lit(2 ** 62).cast("long"),
-            lambda acc, s, i=i: F.least(acc, F.pmod(F.xxhash64(s, F.lit(seed + i)),
-                                                    F.lit(MERSENNE))),
-        )
+        F.aggregate(shingles, F.lit(2 ** 62).cast("long"), _perm(i))
         for i in range(k)
     ])
 
@@ -141,30 +143,54 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over words — bit-majority of xxhash64(word), as a
-    native expression: per bit, sum(+1/-1) via aggregate, then pack."""
+def simhash_votes(text: Column, bits: int = 64) -> Column:
+    """Per-bit majority votes for SimHash, one pass over the words.
+
+    aggregate(words) with an array<long> accumulator: each word's hash
+    contributes +1/-1 per bit (bit positions are Python literals, so
+    every shift amount is a constant — shiftright requires that)."""
     words = normalized_words(text)
+
+    def _sign_bits(h: Column) -> Column:
+        return F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+            for b in range(bits)
+        ])
+
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + F.when(
-            F.aggregate(
-                words, F.lit(0).cast("long"),
-                lambda s, w: s + F.when(
-                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1)).otherwise(F.lit(-1)),
-            ) > 0,
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0)),
+        F.transform(words, lambda w: F.xxhash64(w)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, _sign_bits(h), lambda a, v: a + v),
     )
+
+
+def pack_simhash(votes: Column, bits: int = 64) -> Column:
+    """votes array<long> -> packed 64-bit SimHash (sign bit via shiftleft
+    wrap, staying in long range)."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(votes[b] > 0,
+                           F.shiftleft(F.lit(1).cast("long"), b)
+                           ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """Convenience single-expression SimHash.  Prefer the two-step
+    (simhash_votes as a named column, then pack_simhash) in real plans —
+    it keeps the vote aggregate from being duplicated per bit."""
+    return pack_simhash(simhash_votes(text, bits), bits)
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit prefix bands, verify by
     popcount of xor (bit_count native)."""
-    sh = docs.select(id_col, simhash_col(F.col(text_col)).alias("simhash"))
+    sh = (
+        docs.select(id_col, simhash_votes(F.col(text_col)).alias("_votes"))
+        .select(id_col, pack_simhash(F.col("_votes")).alias("simhash"))
+    )
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -1,0 +1,93 @@
+"""Dedup operators on the driver-provided documents table (sf0.001)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_exact_dedup_matches_duckdb(docs):
+    got = exact_dedup(docs)
+    n_canonical = got.where("is_canonical").count()
+    want = duckdb.sql(
+        f"select count(distinct md5(text)) from read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert n_canonical == want
+    # every group has exactly one canonical row
+    per_group = got.groupBy("content_hash").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_group)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("The quick brown fox jumps",), ("ab",)], ["text"])
+    rows = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert "the quick brown" in rows[0]["sh"]
+    assert len(rows[0]["sh"]) == 3
+    assert rows[1]["sh"] == ["ab"]  # shorter than n -> whole text
+
+
+def test_selfdup_found_by_all_detectors(spark, docs):
+    """Append an exact copy of one doc; every detector must pair it."""
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999_999).cast("long"))
+    both = docs.unionByName(dup)
+    orig_id = docs.limit(1).collect()[0]["doc_id"]
+
+    ex = exact_dedup(both)
+    grp = ex.where(F.col("doc_id").isin([orig_id, 999_999])).collect()
+    assert all(r["group_size"] >= 2 for r in grp)
+
+    lsh = lsh_candidate_pairs(both).where(
+        (F.col("doc_a") == orig_id) & (F.col("doc_b") == 999_999)).collect()
+    assert len(lsh) == 1 and abs(lsh[0]["jaccard"] - 1.0) < 1e-9
+
+    sim = simhash_near_pairs(both).where(
+        (F.col("doc_a") == orig_id) & (F.col("doc_b") == 999_999)).collect()
+    assert len(sim) == 1 and sim[0]["hamming"] == 0
+
+
+def test_lsh_jaccard_agrees_with_exact(docs):
+    """Candidate pairs' jaccard must equal the exact blocked computation."""
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in lsh_candidate_pairs(docs).collect()}
+    if not lsh:
+        pytest.skip("no near-dup pairs at this sf")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, block_col="lang").collect()}
+    for pair, j in lsh.items():
+        if pair in exact:
+            assert abs(exact[pair] - j) < 1e-9
+
+
+def test_ngram_jaccard_pair_count_matches_duckdb(docs):
+    got = ngram_jaccard_pairs(docs, threshold=0.2).count()
+    want = duckdb.sql(f"""
+        with d as (
+          select doc_id, lang,
+            list_distinct([array_to_string(w[i:i+2], ' ')
+              for i in range(1, greatest(len(w) - 1, case when len(w)>0 then 2 else 1 end))]) sh
+          from (
+            select doc_id, lang,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) w
+            from read_parquet('{SF_DIR}/documents.parquet'))
+        )
+        select count(*) from d a join d b
+          on a.lang = b.lang and a.doc_id < b.doc_id
+        where len(list_intersect(a.sh, b.sh))::double
+              / len(list_distinct(a.sh || b.sh)) > 0.2
+    """).fetchone()[0]
+    assert got == want

@@ -1,0 +1,78 @@
+"""Checkpoint/lineage + kill-and-resume (SURVEY §7 step 6, north rule)."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.sources.lineage import StageCheckpoint
+from deepseek_ocr_omnidocbench_spark.sources.pages import (
+    PAGES_ARROW_SCHEMA,
+    generate_pages,
+)
+
+
+@pytest.fixture()
+def pages_df(spark):
+    rows = [r for r in generate_pages(40, seed=5)]
+    pdf = pa.Table.from_pylist(rows, schema=PAGES_ARROW_SCHEMA).to_pandas()
+    return spark.createDataFrame(pdf)
+
+
+def test_stage_runs_and_commits_lineage(spark, pages_df, tmp_path):
+    ck = StageCheckpoint(spark, str(tmp_path), n_buckets=4)
+    out = ck.run_stage("ident", pages_df, lambda df: df.select("url", "lang"))
+    assert out.count() == 40
+    lin = ck.lineage().where(F.col("stage") == "ident")
+    rows = lin.collect()
+    assert {r["partition_id"] for r in rows} == {0, 1, 2, 3}
+    assert sum(r["doc_count"] for r in rows) == 40
+
+
+def test_resume_skips_committed_buckets(spark, pages_df, tmp_path):
+    ck = StageCheckpoint(spark, str(tmp_path), n_buckets=4)
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return df.select("url", "lang")
+
+    ck.run_stage("s1", pages_df, transform)
+    first = len(calls)
+    assert first == 4
+    # "killed and restarted": a fresh checkpoint object over the same root
+    ck2 = StageCheckpoint(spark, str(tmp_path), n_buckets=4)
+    out = ck2.run_stage("s1", pages_df, transform)
+    assert len(calls) == first  # nothing recomputed
+    assert out.count() == 40
+
+
+def test_partial_failure_resume(spark, pages_df, tmp_path):
+    """Transform dies on bucket 2 -> restart completes only the rest."""
+    ck = StageCheckpoint(spark, str(tmp_path), n_buckets=4)
+    seen = []
+
+    class Boom(Exception):
+        pass
+
+    def failing(df):
+        seen.append(1)
+        if len(seen) == 3:
+            raise Boom()
+        return df.select("url", "lang")
+
+    with pytest.raises(Boom):
+        ck.run_stage("s2", pages_df, failing)
+    done_before = ck.committed_buckets("s2")
+    assert len(done_before) == 2
+
+    ck2 = StageCheckpoint(spark, str(tmp_path), n_buckets=4)
+    out = ck2.run_stage("s2", pages_df, lambda df: df.select("url", "lang"))
+    assert out.count() == 40
+    assert len(ck2.committed_buckets("s2")) == 4
+
+
+def test_bucket_assignment_is_deterministic(spark, pages_df, tmp_path):
+    ck = StageCheckpoint(spark, str(tmp_path), n_buckets=8)
+    a = ck.bucket_of(pages_df).select("url", "_bucket").collect()
+    b = ck.bucket_of(pages_df).select("url", "_bucket").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,55 @@
+"""Minimal PDF text/layout extraction (P9/P10 port)."""
+
+import random
+
+from deepseek_ocr_omnidocbench_spark.operators.pdf_extract import (
+    _layout_to_markdown,
+    _unescape_pdf,
+    extract_pdf_markdown,
+)
+from deepseek_ocr_omnidocbench_spark.sources.pages import _mini_pdf
+
+
+def test_non_pdf_bytes():
+    assert extract_pdf_markdown(b"not a pdf") == ""
+    assert extract_pdf_markdown(None) is None
+
+
+def test_mini_pdf_extracts_text():
+    rng = random.Random("t:1")
+    blob = _mini_pdf(rng)
+    md = extract_pdf_markdown(blob)
+    assert md
+    assert md.startswith("# ")  # 24pt first line becomes a heading
+
+
+def test_layout_reading_order():
+    # (y, x, size, text): top-to-bottom, left-to-right within a line
+    els = [(700.0, 300.0, 12.0, "right"), (700.5, 10.0, 12.0, "left"),
+           (690.0, 10.0, 12.0, "below")]
+    md = _layout_to_markdown(els)
+    assert md == "left right below"
+
+
+def test_paragraph_gap_splits_blocks():
+    els = [(700.0, 10.0, 12.0, "para one"), (650.0, 10.0, 12.0, "para two")]
+    md = _layout_to_markdown(els)
+    assert md == "para one\n\npara two"  # 50pt gap > PARA_GAP
+
+
+def test_heading_font_size():
+    els = [(700.0, 10.0, 20.0, "Big Title"), (680.0, 10.0, 12.0, "body")]
+    md = _layout_to_markdown(els)
+    assert md.startswith("# Big Title")
+
+
+def test_pdf_string_unescape():
+    assert _unescape_pdf(r"a\(b\)c") == "a(b)c"
+    assert _unescape_pdf(r"x\\y") == "x\\y"
+    assert _unescape_pdf(r"\101") == "A"
+    assert _unescape_pdf(r"tab\there") == "tab\there"
+
+
+def test_determinism():
+    rng1, rng2 = random.Random("s:5"), random.Random("s:5")
+    assert extract_pdf_markdown(_mini_pdf(rng1)) == extract_pdf_markdown(_mini_pdf(rng2))

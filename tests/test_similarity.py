@@ -1,0 +1,84 @@
+"""Similarity search over the embeddings table (sf0.001)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+    embedding_near_dups,
+    knn_bruteforce,
+    knn_lsh,
+    label_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_bruteforce_topk_matches_python(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    got = knn_bruteforce(emb, queries, k=5).collect()
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for qid in range(3):
+        mine = sorted(
+            ((py_cosine(rows[qid], v), -i) for i, v in rows.items() if i != qid),
+            reverse=True)[:5]
+        want_ids = [-i for _, i in mine]
+        got_ids = [r["neighbor_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got_ids == want_ids
+        top = next(r for r in got if r["query_id"] == qid and r["rank"] == 1)
+        assert abs(top["cosine"] - mine[0][0]) < 1e-5
+
+
+def test_knn_returns_k_rows_per_query(emb):
+    out = knn_bruteforce(emb, emb.limit(4), k=3)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_lsh_recall_against_bruteforce(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, queries, k=5).collect()
+    approx = knn_lsh(emb, queries, dim=64, k=5, n_planes=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    assert total > 0
+    assert hit / total > 0.3  # loose: LSH is approximate by design
+
+
+def test_label_centroids(emb):
+    out = label_centroids(emb).collect()
+    labels = {r["label"] for r in out}
+    assert labels == {r["label"] for r in emb.select("label").distinct().collect()}
+    one = out[0]
+    assert len(one["centroid"]) == 64
+    # centroid of label = mean of its vectors on dim 0
+    vecs = [list(r["embedding"]) for r in emb.where(F.col("label") == one["label"]).collect()]
+    want = sum(v[0] for v in vecs) / len(vecs)
+    assert abs(one["centroid"][0] - want) < 1e-6
+
+
+def test_embedding_near_dups_threshold(emb):
+    out = embedding_near_dups(emb, threshold=0.9)
+    for r in out.collect():
+        assert r["cosine"] >= 0.9
+        assert r["vec_a"] < r["vec_b"]

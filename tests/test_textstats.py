@@ -1,0 +1,84 @@
+"""Text-analysis operators (token counts, lang ID, quality, fingerprints)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+    analyze_documents,
+    fingerprint_udf,
+    lang_id_col,
+    token_count_cols,
+    trailing_repeats,
+    trailing_repeats_udf,
+    winnow_fingerprint,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_counts_match_duckdb(spark, docs):
+    got = docs.select("doc_id", *[v.alias(k) for k, v in
+                                  token_count_cols(F.col("text")).items()])
+    want = duckdb.sql(f"""
+        select doc_id,
+          len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) ws,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) bpe
+        from read_parquet('{SF_DIR}/documents.parquet') order by doc_id
+    """).fetchall()
+    got_rows = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in got.collect()}
+    for doc_id, ws, bpe in want:
+        assert got_rows[doc_id] == (ws, bpe), doc_id
+
+
+def test_lang_id_basics(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and that is that",),
+         ("der hund ist nicht mit der katze",),
+         ("数据处理分布式系统文档提取标题段落表格公式",),
+         ("",)],
+        ["text"])
+    rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    assert rows == ["en", "de", "zh", "unknown"]
+
+
+def test_analyze_documents_ranges(docs):
+    out = analyze_documents(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.1
+        assert r["ws_tokens"] >= 0
+
+
+def test_winnow_fingerprint_properties():
+    fp1 = winnow_fingerprint("the quick brown fox jumps over the lazy dog")
+    assert fp1
+    assert fp1 == winnow_fingerprint("the quick brown fox jumps over the lazy dog")
+    assert winnow_fingerprint("ab") == []
+    # local change only perturbs nearby hashes: most of fp shared
+    fp2 = winnow_fingerprint("the quick brown fox jumps over the lazy cat")
+    shared = len(set(fp1) & set(fp2))
+    assert shared >= len(fp1) // 2
+
+
+def test_trailing_repeats():
+    assert trailing_repeats("abcabcabc", max_ngram=3) >= 3
+    assert trailing_repeats("xyz") == 1
+    assert trailing_repeats("") == 0
+    assert trailing_repeats("aaaa") == 4
+
+
+def test_udfs_run_on_spark(spark):
+    df = spark.createDataFrame([("hello hello hello",), ("short",)], ["text"])
+    out = df.select(
+        fingerprint_udf()(F.col("text")).alias("fp"),
+        trailing_repeats_udf()(F.col("text")).alias("rep"),
+    ).collect()
+    assert out[0]["rep"] >= 1
+    assert isinstance(out[0]["fp"], list)
