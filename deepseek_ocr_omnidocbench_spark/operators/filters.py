@@ -1,0 +1,87 @@
+"""Document/page filters (SURVEY §2.2 F3-F9) — the olmocr pre-extraction
+and post-extraction guards, re-expressed as Column predicates.
+
+All predicates are native expressions except the PDF form-field sniff
+(regex over binary needs a decode; still a Column chain).  Each filter
+returns a boolean Column so pipelines compose them with plain
+``.where`` — Catalyst pushes them into the scan where possible.
+
+References: olmocr/olmocr/filter/filter.py (form fields :29-33, language
+:101-105, SEO spam :35-62, alpha ratio :91-99), pipeline.py:426-432
+(fallback rate), generate_ocr_outputs.py:552-558 (repeat skip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .textstats import SEO_WORDS, SPAM_THRESHOLD, _word_array
+
+MAX_PAGE_ERROR_RATE = 0.004
+
+
+def is_form_pdf(blob: Column) -> Column:
+    """F3: PDFs carrying interactive form fields (/AcroForm dict).
+    The reference asks pypdf for get_fields(); the dictionary name in the
+    raw bytes is the same signal."""
+    head = F.decode(F.substring(blob, 1, 4), "ISO-8859-1")
+    body = F.decode(blob, "ISO-8859-1")
+    return (head == "%PDF") & body.contains("/AcroForm")
+
+
+def language_keep(lang: Column, keep=("en", None)) -> Column:
+    """F4: keep english/undetected documents (filter.py:101-105); our
+    input carries ``lang`` so this is a plain prunable predicate."""
+    vals = [v for v in keep if v is not None]
+    c = lang.isin(vals)
+    if None in keep:
+        c = c | lang.isNull()
+    return c
+
+
+def seo_spam_flag(text: Column) -> Column:
+    """F5: seo-word hit ratio above threshold -> spam (filter.py:35-62)."""
+    words = _word_array(text)
+    hits = F.size(F.filter(words, lambda w: w.isin(SEO_WORDS)))
+    total = F.size(words)
+    return F.when(total > 0, hits / total).otherwise(F.lit(0.0)) > SPAM_THRESHOLD
+
+
+def likely_scanned(text: Column) -> Column:
+    """F6: short or low-alpha extracted text -> likely a scanned page
+    that needs the OCR path (filter.py:91-99)."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    return (n < 200) | (F.when(n > 0, alpha / n).otherwise(F.lit(0.0)) < 0.5)
+
+
+def fallback_rate_keep(n_fallback: Column, n_pages: Column,
+                       max_rate: float = MAX_PAGE_ERROR_RATE) -> Column:
+    """F8: drop documents whose fallback-page fraction exceeds the cap
+    (pipeline.py:426-432)."""
+    return (n_fallback / n_pages) <= F.lit(max_rate)
+
+
+def runaway_generation(text: Column, max_repeats: int = 30) -> Column:
+    """F9/R2: trailing n-gram repetition beyond the cap marks runaway
+    output (generate_ocr_outputs.py:552-558 drops pages missing EOS; the
+    bench BaselineTest caps trailing repeats at 30, tests.py:905-918).
+
+    Native approximation of the RepeatDetector for gram=1..3: compare the
+    tail against itself shifted by the gram size."""
+    checks = []
+    for g in (1, 2, 3):
+        span = g * max_repeats
+        tail = F.substring(text, -span, span)
+        shifted = F.substring(text, -(span + g), span)
+        checks.append((F.length(text) >= span + g) & (tail == shifted))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out | c
+    return out
+
+
+def page_quality_keep(text: Column) -> Column:
+    """Composite pre-train keep-predicate: not spam, not runaway."""
+    return ~seo_spam_flag(text) & ~runaway_generation(text)

@@ -379,17 +379,32 @@ def extract_markdown_udf():
     return F.pandas_udf(_extract_batch, "string")
 
 
-def extract_pages(pages: DataFrame, salt_buckets: int = 0) -> DataFrame:
+BIG_BLOB_BYTES = 256 * 1024
+
+
+def extract_pages(pages: DataFrame, salt_buckets: int = 0,
+                  big_blob_bytes: int = BIG_BLOB_BYTES) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> (url, md, n_chars).
 
-    ``salt_buckets`` > 0 repartitions on xxhash64(url) % buckets before the
-    heavy UDF so giant-blob skew spreads across tasks (SURVEY.md §4 skew
-    note).  0 keeps the scan partitioning (fine at test scale).
+    Skew handling (the north rule's "giant HTML/PDF blobs" case): blobs
+    over ``big_blob_bytes`` dominate per-row cost by ~1000x, so hashing
+    them into salt buckets stacks several giants into one task and the
+    stage tail collapses scaling (measured: 0.3 efficiency 8->32 cores).
+    Instead the big side is round-robin repartitioned — at most
+    ceil(n_big/partitions) giants per task, so the critical path is one
+    giant — and the small side salts on xxhash64(url).
+
+    ``salt_buckets`` = 0 keeps the scan partitioning (test scale).
     """
-    df = pages
+    sel = lambda df: df.select(  # noqa: E731
+        "url", extract_markdown_udf()(F.col("html")).alias("md"))
     if salt_buckets:
-        df = df.repartition(salt_buckets, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-    return df.select(
-        "url",
-        extract_markdown_udf()(F.col("html")).alias("md"),
-    ).withColumn("n_chars", F.length("md"))
+        is_big = F.length("html") >= big_blob_bytes
+        small = pages.where(~is_big | F.col("html").isNull()).repartition(
+            salt_buckets, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+        # round-robin: repartition(n) with no key balances rows exactly
+        big = pages.where(is_big).repartition(salt_buckets * 2)
+        out = sel(small).unionByName(sel(big))
+    else:
+        out = sel(pages)
+    return out.withColumn("n_chars", F.length("md"))

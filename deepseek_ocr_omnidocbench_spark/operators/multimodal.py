@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata,
+tiling math, and decode/rasterize stubs (SURVEY §2.3 P14, §2.1 S5).
+
+The reference tiles page images into <=MAX_CROPS 640px crops chosen by
+an aspect-ratio-closest grid plus a padded 1024px global view
+(DeepSeek-OCR-vllm/process/image_process.py:11-83,330-499, config.py:
+8-16).  The grid/box arithmetic is pure math and fully implemented +
+tested here; the pixel work (PIL decode/resize, pdf rasterize) has no
+library in this container, so it is stubbed behind
+``NotImplementedError`` with a deterministic fake used by tests — the
+Spark-side plumbing (schema, batch shape, mapInPandas signature,
+partitioning) is real.
+
+Image rows: (media_id string, kind string, data binary,
+meta map<string,string> with width/height as strings).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MIN_CROPS = 2
+MAX_CROPS = 6     # config.py:11-12 (max 9; 6 is the memory-safe setting)
+TILE_SIZE = 640
+GLOBAL_VIEW_SIZE = 1024
+
+
+def find_closest_aspect_ratio(aspect_ratio: float, target_ratios, width: int,
+                              height: int, image_size: int) -> tuple[int, int]:
+    """Grid (cols, rows) whose aspect ratio best matches the image
+    (image_process.py:11-25; area tie-break at :21-22)."""
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for ratio in target_ratios:
+        target = ratio[0] / ratio[1]
+        diff = abs(aspect_ratio - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def count_tiles(width: int, height: int, min_num: int = MIN_CROPS,
+                max_num: int = MAX_CROPS,
+                image_size: int = TILE_SIZE) -> tuple[int, int]:
+    """(cols, rows) tile grid for an image (image_process.py:28-42)."""
+    aspect = width / height
+    ratios = sorted(
+        {(i, j) for n in range(min_num, max_num + 1)
+         for i in range(1, n + 1) for j in range(1, n + 1)
+         if min_num <= i * j <= max_num},
+        key=lambda x: x[0] * x[1])
+    return find_closest_aspect_ratio(aspect, ratios, width, height, image_size)
+
+
+def tile_boxes(width: int, height: int, min_num: int = MIN_CROPS,
+               max_num: int = MAX_CROPS,
+               image_size: int = TILE_SIZE) -> list[tuple[int, int, int, int]]:
+    """Crop boxes in the resized (cols*640 x rows*640) canvas
+    (image_process.py:62-76): row-major 640px squares."""
+    cols, rows = count_tiles(width, height, min_num, max_num, image_size)
+    blocks = cols * rows
+    boxes = []
+    for i in range(blocks):
+        x = (i % cols) * image_size
+        y = (i // cols) * image_size
+        boxes.append((x, y, x + image_size, y + image_size))
+    return boxes
+
+
+def decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """STUB: real deployment decodes with PIL and returns RGB pixels.
+    No imaging library exists in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/pillow; use fake_decode_image in tests")
+
+
+def fake_decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """Deterministic stand-in: width/height derived from the blob hash,
+    'pixels' are the blob itself.  Keeps the tiling plumbing testable."""
+    h = int.from_bytes(data[:8].ljust(8, b"\0"), "little") if data else 0
+    width = 512 + (h % 1537)        # 512..2048
+    height = 512 + ((h >> 11) % 1537)
+    return width, height, data or b""
+
+
+TILES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("tile_idx", T.IntegerType()),
+    T.StructField("x0", T.IntegerType()),
+    T.StructField("y0", T.IntegerType()),
+    T.StructField("x1", T.IntegerType()),
+    T.StructField("y1", T.IntegerType()),
+    T.StructField("is_global_view", T.BooleanType()),
+    T.StructField("tile", T.BinaryType()),
+])
+
+
+def tile_media(media: DataFrame, decode=fake_decode_image,
+               min_num: int = MIN_CROPS, max_num: int = MAX_CROPS) -> DataFrame:
+    """media(media_id, data) -> one row per tile + one global view.
+
+    mapInPandas (not a scalar UDF) because the fan-out is per-row
+    variable; Arrow batches bound worker memory — at 100 TB this stage
+    follows the same big-blob round-robin routing as extract_pages."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    continue
+                try:
+                    width, height, px = decode(bytes(data))
+                except NotImplementedError:
+                    continue
+                boxes = tile_boxes(width, height, min_num, max_num)
+                for i, (x0, y0, x1, y1) in enumerate(boxes):
+                    # stub "crop": tag bytes with the tile index; real
+                    # deployment slices the pixel buffer
+                    out.append((media_id, i, x0, y0, x1, y1, False,
+                                b"tile:%d:" % i + px[:64]))
+                out.append((media_id, len(boxes), 0, 0, GLOBAL_VIEW_SIZE,
+                            GLOBAL_VIEW_SIZE, True, b"global:" + px[:64]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TILES_SCHEMA.fields])
+
+    return media.select("media_id", "data").mapInPandas(_gen, TILES_SCHEMA)

@@ -123,12 +123,17 @@ def _layout_to_markdown(elements: list[tuple[float, float, float, str]]) -> str:
     return "\n\n".join(blocks)
 
 
-def extract_pdf_markdown(data: Optional[bytes]) -> Optional[str]:
-    """PDF bytes -> markdown (page texts joined by blank lines)."""
+def extract_pdf_pages(data: Optional[bytes]) -> Optional[list[str]]:
+    """PDF bytes -> one markdown string per page (content stream).
+
+    The per-page granularity matters at scale: a 2000-page document
+    explodes to 2000 rows *before* any heavy downstream work, so one
+    giant PDF cannot pin a task (SURVEY §4 skew row; the reference's
+    per-page asyncio tasks at pipeline.py:417-424)."""
     if data is None:
         return None
     if not data.startswith(b"%PDF"):
-        return ""
+        return []
     pages = []
     for m in _STREAM_RE.finditer(data):
         try:
@@ -139,4 +144,12 @@ def extract_pdf_markdown(data: Optional[bytes]) -> Optional[str]:
         md = _layout_to_markdown(els)
         if md:
             pages.append(md)
+    return pages
+
+
+def extract_pdf_markdown(data: Optional[bytes]) -> Optional[str]:
+    """PDF bytes -> markdown (page texts joined by blank lines)."""
+    pages = extract_pdf_pages(data)
+    if pages is None:
+        return None
     return "\n\n".join(pages)

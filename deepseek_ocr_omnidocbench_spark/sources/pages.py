@@ -265,11 +265,15 @@ PAGES_ARROW_SCHEMA = pa.schema(
 )
 
 
-def write_pages(path: str, n_rows: int, seed: int = 42) -> str:
+def write_pages(path: str, n_rows: int, seed: int = 42,
+                row_group_size: int = 50) -> str:
+    """Small row groups matter: Spark parallelizes a parquet scan only at
+    row-group boundaries, so one giant row group serializes the whole
+    read (measured: a single 500 MB group capped scaling at 0.35)."""
     rows = generate_pages(n_rows, seed)
     table = pa.Table.from_pylist(rows, schema=PAGES_ARROW_SCHEMA)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path
 
 

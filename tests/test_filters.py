@@ -1,0 +1,57 @@
+"""Document/page filter predicates (F3-F9)."""
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators import filters as FL
+
+
+def col_eval(spark, col, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+def test_is_form_pdf(spark):
+    rows = [(b"%PDF-1.4 ... /AcroForm <<...>>",),
+            (b"%PDF-1.4 plain document",),
+            (b"<html>not a pdf /AcroForm</html>",)]
+    got = col_eval(spark, FL.is_form_pdf(F.col("blob")), rows, ["blob"])
+    assert got == [True, False, False]
+
+
+def test_language_keep(spark):
+    rows = [("en",), ("zh",), (None,)]
+    got = col_eval(spark, FL.language_keep(F.col("lang"), keep=("en", None)),
+                   rows, ["lang"])
+    assert got == [True, False, True]
+
+
+def test_seo_spam_flag(spark):
+    spam = " ".join(["download free ebook pdf"] * 30)
+    ham = "a thoughtful essay about distributed systems " * 30
+    got = col_eval(spark, FL.seo_spam_flag(F.col("t")), [(spam,), (ham,)], ["t"])
+    assert got == [True, False]
+
+
+def test_likely_scanned(spark):
+    short = "tiny"
+    low_alpha = ("0123456789 " * 40)
+    normal = ("this page has plenty of alphabetic words in it " * 10)
+    got = col_eval(spark, FL.likely_scanned(F.col("t")),
+                   [(short,), (low_alpha,), (normal,)], ["t"])
+    assert got == [True, True, False]
+
+
+def test_fallback_rate_keep(spark):
+    rows = [(0, 100), (1, 100), (5, 100)]
+    got = col_eval(spark, FL.fallback_rate_keep(F.col("fb"), F.col("n"),
+                                                max_rate=0.01),
+                   rows, ["fb", "n"])
+    assert got == [True, True, False]
+
+
+def test_runaway_generation(spark):
+    runaway = "intro " + "na" * 200
+    normal = "a perfectly ordinary sentence with an ordinary ending."
+    got = col_eval(spark, FL.runaway_generation(F.col("t")),
+                   [(runaway,), (normal,)], ["t"])
+    assert got == [True, False]
