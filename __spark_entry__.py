@@ -378,6 +378,26 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
+def q_recognition_report(spark, sf_dir):
+    """Recognition-task scoring (block-granularity gt/pred pairs) over
+    deterministic pairs derived from documents: pred = text minus
+    punctuation (text normalizer should equalize most of it)."""
+    from deepseek_ocr_omnidocbench_spark.plans.recognition import (
+        recognition_report,
+        score_recognition,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").cast("string").alias("img_id"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("text"))
+        .otherwise(F.lit("formula_line")).alias("category_type"),
+        F.col("text").alias("gt"),
+        F.regexp_replace("text", r"[,.!?]", "").alias("pred"),
+    )
+    return recognition_report(score_recognition(pairs))
+
+
 def q_eval_fixture_report(spark, sf_dir):
     """Full matching+metrics harness on deterministic synthetic pages."""
     from deepseek_ocr_omnidocbench_spark.operators.eval_harness import match_elements
@@ -422,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "extraction_roundtrip": q_extraction_roundtrip,
         "extract_pipeline": q_extract_pipeline,
+        "recognition_report": q_recognition_report,
         "eval_fixture_report": q_eval_fixture_report,
     }
 
