@@ -48,6 +48,79 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
     return int(prev[lb])
 
 
+def _encode(s: Sequence) -> np.ndarray:
+    if isinstance(s, str):
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return np.asarray([hash(x) for x in s], dtype=np.int64)
+
+
+def levenshtein_one_to_many(a: Sequence, bs: list) -> np.ndarray:
+    """Distances from ``a`` to every sequence in ``bs``, one DP sweep
+    vectorized across the whole batch (pad to max length, mask tails).
+
+    Same recurrence as :func:`levenshtein`; the batch dimension turns
+    m small DPs into len(a) numpy ops over an (m, Lmax) matrix — the
+    C-extension-free answer to the reference's python-Levenshtein use
+    (OmniDocBench/utils/match.py:20-29)."""
+    m = len(bs)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    a_arr = _encode(a)
+    la = len(a_arr)
+    lens = np.asarray([len(b) for b in bs], dtype=np.int64)
+    lmax = int(lens.max()) if m else 0
+    if la == 0:
+        return lens.copy()
+    if lmax == 0:
+        return np.full(m, la, dtype=np.int64)
+    B = np.zeros((m, lmax), dtype=np.int64)
+    for j, b in enumerate(bs):
+        e = _encode(b)
+        # pad with distinct sentinels so padded cells never match
+        B[j, :len(e)] = e
+        B[j, len(e):] = -1 - np.arange(lmax - len(e))
+    idx = np.arange(lmax + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (m, lmax + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, la + 1):
+        ai = a_arr[i - 1]
+        cur[:, 0] = i
+        np.minimum(prev[:, :-1] + (B != ai), prev[:, 1:] + 1, out=cur[:, 1:])
+        cur -= idx
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return prev[np.arange(m), lens]
+
+
+def windowed_distances(text: str, pattern: str) -> np.ndarray:
+    """Levenshtein(text[i:i+len(pattern)], pattern) for every window i.
+
+    Exact fixed-length-window semantics of the reference's substring
+    fuzzy search (match_quick.py:721-758) — NOT the cheaper
+    any-substring (Sellers) variant, which would change threshold
+    behavior.  Batched across windows in one DP."""
+    lp = len(pattern)
+    n_win = len(text) - lp + 1
+    if n_win <= 0 or lp == 0:
+        return np.empty(0, dtype=np.int64)
+    t = _encode(text)
+    windows = np.lib.stride_tricks.sliding_window_view(t, lp)  # (n_win, lp)
+    p = _encode(pattern)
+    idx = np.arange(lp + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (n_win, lp + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, lp + 1):
+        pi = p[i - 1]
+        cur[:, 0] = i
+        np.minimum(prev[:, :-1] + (windows != pi), prev[:, 1:] + 1, out=cur[:, 1:])
+        cur -= idx
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return prev[:, lp]
+
+
 def norm_edit(a: Sequence, b: Sequence) -> float:
     """Levenshtein / max(len) — the reference's normalized distance.
 
@@ -60,9 +133,17 @@ def norm_edit(a: Sequence, b: Sequence) -> float:
 
 
 def edit_matrix(gt_lines: list, pred_lines: list) -> np.ndarray:
-    """len(gt) x len(pred) normalized distance matrix (match.py:20-29 parity)."""
-    mat = np.zeros((len(gt_lines), len(pred_lines)), dtype=np.float64)
+    """len(gt) x len(pred) normalized distance matrix (match.py:20-29
+    parity); each row is one batched one-to-many sweep."""
+    n, m = len(gt_lines), len(pred_lines)
+    mat = np.zeros((n, m), dtype=np.float64)
+    if n == 0 or m == 0:
+        return mat
+    pred_lens = np.asarray([len(p) for p in pred_lines], dtype=np.int64)
     for i, g in enumerate(gt_lines):
-        for j, p in enumerate(pred_lines):
-            mat[i, j] = norm_edit(g, p)
+        dists = levenshtein_one_to_many(g, pred_lines)
+        denom = np.maximum(np.maximum(pred_lens, len(g)), 1)
+        row = dists / denom
+        row[(pred_lens == 0) & (len(g) == 0)] = 0.0
+        mat[i] = row
     return mat

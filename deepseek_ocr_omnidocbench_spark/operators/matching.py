@@ -333,19 +333,22 @@ def sort_preds_inline_last(items: list[dict]) -> list[dict]:
 
 
 def _sub_pred_fuzzy(gt: str, pred: str):
-    """Min windowed distance of pred inside gt (match_quick.py:722-739)."""
+    """Min windowed distance of pred inside gt (match_quick.py:722-739);
+    all windows in one batched DP (editdist.windowed_distances)."""
     if len(gt) < len(pred) or not pred:
         return None
-    best = min(levenshtein(gt[i:i + len(pred)], pred) for i in range(len(gt) - len(pred) + 1))
-    return best / len(pred)
+    from ..functions.editdist import windowed_distances
+
+    return int(windowed_distances(gt, pred).min()) / len(pred)
 
 
 def _sub_gt_fuzzy(pred: str, gt: str) -> float:
     """Min windowed distance of gt inside pred (match_quick.py:743-758)."""
     if len(pred) < len(gt) or not gt:
         return 1.0
-    best = min(levenshtein(pred[i:i + len(gt)], gt) for i in range(len(pred) - len(gt) + 1))
-    return best / len(gt)
+    from ..functions.editdist import windowed_distances
+
+    return int(windowed_distances(pred, gt).min()) / len(gt)
 
 
 def _judge_merge(gt_line: str, pred_list: list[str]) -> tuple[bool, bool]:

@@ -1,0 +1,81 @@
+"""Integration regression on the reference's real demo data: 18
+annotated OmniDocBench pages + real model markdown predictions, run
+through the full harness (load -> resolve -> match -> arbitrate ->
+score -> report).
+
+The committed reference result JSONs come from a *different* model run
+than the demo markdown files (verified: pred table strings differ), so
+exact golden-number parity with the reference is not checkable here;
+instead this freezes our own deterministic scores on the real inputs as
+a regression snapshot, plus structural invariants the reference's
+pipeline also guarantees.
+"""
+
+import os
+
+import pytest
+
+DEMO_JSON = "/root/reference/OmniDocBench/demo_data/omnidocbench_demo/OmniDocBench_demo.json"
+DEMO_MDS = "/root/reference/OmniDocBench/demo_data/end2end"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DEMO_JSON), reason="reference demo data not present")
+
+
+@pytest.fixture(scope="module")
+def demo_result(spark):
+    from deepseek_ocr_omnidocbench_spark.plans.evaluate import evaluate
+    from deepseek_ocr_omnidocbench_spark.sources.md_folder import (
+        resolve_predictions,
+        scan_md_folder,
+    )
+    from deepseek_ocr_omnidocbench_spark.sources.omnidoc_json import (
+        load_omnidoc_json,
+    )
+
+    gt, pattrs = load_omnidoc_json(spark, DEMO_JSON)
+    preds = resolve_predictions(pattrs, scan_md_folder(spark, DEMO_MDS))
+    assert preds.count() == 18  # every page resolves a prediction
+    return evaluate(gt, preds, pattrs, method="quick_match", with_teds=True)
+
+
+def test_all_streams_present(demo_result):
+    assert set(demo_result["edit_dist"]) == {
+        "text_block", "display_formula", "table", "reading_order"}
+
+
+def test_scores_in_range(demo_result):
+    for cls, row in demo_result["edit_dist"].items():
+        assert 0.0 <= row["page_avg_edit"] <= 1.0, cls
+        assert 0.0 <= row["edit_whole"] <= 1.0, cls
+    teds = demo_result["teds"]
+    assert 0.0 < teds["teds"] <= 1.0
+    assert teds["teds"] <= teds["teds_structure_only"]
+
+
+def test_regression_snapshot(demo_result):
+    """Deterministic snapshot of the real-data run (rel tol for float
+    summation order across partitions)."""
+    ed = demo_result["edit_dist"]
+    assert ed["text_block"]["n_samples"] == 237
+    assert ed["display_formula"]["n_samples"] == 17
+    assert ed["table"]["n_samples"] == 10
+    assert ed["reading_order"]["n_samples"] == 18
+    assert ed["text_block"]["page_avg_edit"] == pytest.approx(0.341476, rel=1e-3)
+    assert ed["display_formula"]["page_avg_edit"] == pytest.approx(0.319150, rel=1e-3)
+    assert ed["table"]["page_avg_edit"] == pytest.approx(0.218270, rel=1e-3)
+    assert ed["reading_order"]["page_avg_edit"] == pytest.approx(0.169274, rel=1e-3)
+    assert demo_result["teds"]["teds"] == pytest.approx(0.791183, rel=1e-3)
+    assert demo_result["teds"]["teds_structure_only"] == pytest.approx(0.914208, rel=1e-3)
+    assert demo_result["overall"] == pytest.approx(71.0185, rel=1e-3)
+
+
+def test_attribute_report_has_real_labels(demo_result):
+    labels = {r["attribute"] for r in demo_result["attributes"]}
+    assert any("text_language" in label for label in labels)
+
+
+def test_page_split_covers_demo_attributes(demo_result):
+    attrs = {r["attribute"] for r in demo_result["page_split"]}
+    assert "ALL" in attrs
+    assert any(a.startswith("data_source:") for a in attrs)
