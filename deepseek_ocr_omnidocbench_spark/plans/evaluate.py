@@ -61,7 +61,10 @@ def fixture_frames(spark: SparkSession, n_pages: int, seed: int = 42,
 def evaluate(gt: DataFrame, preds: DataFrame, page_attrs: DataFrame,
              method: str = "quick_match", with_teds: bool = True) -> dict:
     """Run the full harness; returns the nested result dict (S10 shape)."""
-    matches = match_elements(gt, preds, method=method)
+    # cache the cogroup output: arbitrate_tables collects stream counts
+    # (its one global decision) before scoring, which would otherwise
+    # re-run the whole per-page match a second time
+    matches = match_elements(gt, preds, method=method).cache()
     unified = arbitrate_tables(matches)
     scored = score_samples(unified, with_teds=with_teds).cache()
 
@@ -78,6 +81,7 @@ def evaluate(gt: DataFrame, preds: DataFrame, page_attrs: DataFrame,
         "overall": overall_score(edit_rows, teds_row),
     }
     scored.unpersist()
+    matches.unpersist()
     return result
 
 
