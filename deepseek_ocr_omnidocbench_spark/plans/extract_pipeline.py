@@ -39,15 +39,22 @@ PAGE_MD_TYPE = T.ArrayType(T.StructType([
 
 
 def _extract_any(blob: Optional[bytes]) -> Optional[list]:
-    """Dispatch on magic bytes: PDF -> one entry per page, HTML -> one."""
+    """Dispatch on magic bytes: PDF -> one entry per page, HTML -> one.
+
+    A failing row yields ``[(0, None)]`` (NULL md) rather than raising:
+    one poisoned blob must not kill a task at 10^12 rows; the NULL is
+    counted into the lineage failure metrics (run_stage failure_col)."""
     if blob is None:
         return None
-    b = bytes(blob)
-    if b.startswith(b"%PDF"):
-        pages = extract_pdf_pages(b) or []
-        return [(i, md) for i, md in enumerate(pages)]
-    md = extract_markdown(b.decode("utf-8", errors="replace"))
-    return [(0, md if md is not None else "")]
+    try:
+        b = bytes(blob)
+        if b.startswith(b"%PDF"):
+            pages = extract_pdf_pages(b) or []
+            return [(i, md) for i, md in enumerate(pages)]
+        md = extract_markdown(b.decode("utf-8", errors="replace"))
+        return [(0, md if md is not None else "")]
+    except Exception:
+        return [(0, None)]
 
 
 def extract_any_udf():
@@ -102,7 +109,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, checkpoint_root: str,
     filtered = ck.run_stage("filtered", pages, stage_filter)
     page_md = ck.run_stage(
         "page_md", filtered,
-        lambda df: stage_page_md(df, salt_buckets=salt_buckets))
+        lambda df: stage_page_md(df, salt_buckets=salt_buckets),
+        failure_col="md")
     docs = ck.run_stage("documents", page_md, stage_documents)
     return docs
 

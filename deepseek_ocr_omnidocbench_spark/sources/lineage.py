@@ -76,38 +76,77 @@ class StageCheckpoint:
     def stage_output_path(self, stage: str, bucket: int) -> str:
         return os.path.join(self.root, stage, "bucket=%05d" % bucket)
 
-    def run_stage(self, stage: str, inp: DataFrame, transform) -> DataFrame:
+    def run_stage(self, stage: str, inp: DataFrame, transform,
+                  failure_col: str | None = None,
+                  max_failure_urls: int = 20) -> DataFrame:
         """Apply ``transform(df) -> df`` per uncommitted bucket; commit each
         bucket's parquet + lineage row; return the stage's full output.
 
         Restart-safe: committed buckets are skipped via lineage anti-join
         semantics (here: set difference on bucket ids, since buckets are
         the work granularity — the exact analog of done-flag hashes).
+
+        Per-partition metrics (north rule "lineage + metrics"): each row
+        carries doc_count, bytes, elapsed wall seconds, docs/sec, and —
+        when ``failure_col`` names a column whose NULLs mean a failed
+        row — the failure count plus up to ``max_failure_urls`` failing
+        urls (the reference's per-doc error tracking,
+        olmocr/olmocr/pipeline.py:430-434).
         """
         done = self.committed_buckets(stage)
         bucketed = self.bucket_of(inp)
         todo = sorted(set(range(self.n_buckets)) - done)
         for b in todo:
+            t0 = time.monotonic()
             part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
             out = transform(part)
             path = self.stage_output_path(stage, b)
             tmp = path + "__tmp"
             out.write.mode("overwrite").parquet(tmp)
-            agg = self.spark.read.parquet(tmp).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("bytes")
-                if "n_chars" in out.columns else F.lit(0).alias("bytes"),
-            ).collect()[0]
+            written = self.spark.read.parquet(tmp)
+            aggs = [F.count(F.lit(1)).alias("n"),
+                    (F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+                     if "n_chars" in out.columns else F.lit(0)).alias("bytes")]
+            if failure_col and failure_col in out.columns:
+                aggs.append(F.sum(F.col(failure_col).isNull().cast("long"))
+                            .alias("n_failed"))
+            agg = written.agg(*aggs).collect()[0]
+            failure_urls: list[str] = []
+            n_failed = int(agg["n_failed"]) if failure_col and "n_failed" in agg.asDict() else 0
+            if n_failed and self.key_col in out.columns:
+                failure_urls = [
+                    r[self.key_col]
+                    for r in written.where(F.col(failure_col).isNull())
+                    .select(self.key_col).limit(max_failure_urls).collect()
+                ]
             if os.path.isdir(path):
                 import shutil
                 shutil.rmtree(path)
             os.rename(tmp, path)
+            elapsed = time.monotonic() - t0
             self._append_lineage([{
                 "stage": stage, "partition_id": b,
                 "doc_count": int(agg["n"]), "bytes": int(agg["bytes"] or 0),
-                "failure_urls": [], "committed_at": time.time(),
+                "n_failed": n_failed, "failure_urls": failure_urls,
+                "elapsed_sec": round(elapsed, 3),
+                "docs_per_sec": round(int(agg["n"]) / elapsed, 2) if elapsed > 0 else 0.0,
+                "committed_at": time.time(),
             }])
         return self.read_stage(stage)
+
+    def throughput_report(self) -> DataFrame:
+        """Per-stage docs/sec + failure totals from lineage rows — the
+        MetricsKeeper analog (olmocr/olmocr/metrics.py:7-100, A12)."""
+        lin = self.lineage()
+        return (
+            lin.groupBy("stage")
+            .agg(F.sum("doc_count").alias("docs"),
+                 F.sum("bytes").alias("bytes"),
+                 F.sum("n_failed").alias("n_failed"),
+                 F.sum("elapsed_sec").alias("cpu_stage_sec"),
+                 F.round(F.sum("doc_count") / F.sum("elapsed_sec"), 2)
+                 .alias("docs_per_sec_serial"))
+        )
 
     def read_stage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, stage))

@@ -71,6 +71,30 @@ def test_partial_failure_resume(spark, pages_df, tmp_path):
     assert len(ck2.committed_buckets("s2")) == 4
 
 
+def test_failure_metrics_in_lineage(spark, pages_df, tmp_path):
+    """NULLs in failure_col surface as n_failed + failing urls + docs/sec
+    in the lineage rows (north rule: per-partition lineage + metrics)."""
+    ck = StageCheckpoint(spark, str(tmp_path), n_buckets=2)
+
+    def flaky(df):
+        return df.select(
+            "url",
+            F.when(F.col("category") == "boiler", F.lit(None).cast("string"))
+            .otherwise(F.col("text")).alias("md"))
+
+    ck.run_stage("ex", pages_df, flaky, failure_col="md")
+    lin = ck.lineage().where(F.col("stage") == "ex").collect()
+    n_boiler = pages_df.where(F.col("category") == "boiler").count()
+    assert sum(r["n_failed"] for r in lin) == n_boiler
+    failing = {u for r in lin for u in r["failure_urls"]}
+    assert all("/boiler/" in u for u in failing)
+    assert all(r["elapsed_sec"] > 0 for r in lin)
+    rep = ck.throughput_report().collect()[0]
+    assert rep["stage"] == "ex"
+    assert rep["n_failed"] == n_boiler
+    assert rep["docs_per_sec_serial"] > 0
+
+
 def test_bucket_assignment_is_deterministic(spark, pages_df, tmp_path):
     ck = StageCheckpoint(spark, str(tmp_path), n_buckets=8)
     a = ck.bucket_of(pages_df).select("url", "_bucket").collect()
