@@ -178,6 +178,17 @@ def order_children(node: Node) -> None:
     non-positioned children keep document order; positioned ones are
     ordered by rounded top (line grouping) then left.
     """
+    any_positioned = False
+    for ch in node.children:
+        if isinstance(ch, Node):
+            if not any_positioned:
+                style = ch.attrs.get("style")
+                if style and _POS_RE.search(style):
+                    any_positioned = True
+            order_children(ch)
+    if not any_positioned:
+        # common case: no keyed-list allocation, no sort
+        return
     keyed = []
     for i, ch in enumerate(node.children):
         key = (0, 0.0, 0.0, i)
@@ -188,20 +199,28 @@ def order_children(node: Node) -> None:
                 top = float(tm.group(1)) if tm else 0.0
                 left = float(lm.group(1)) if lm else 0.0
                 key = (1, round(top / 10.0), left, i)
-            order_children(ch)
         keyed.append((key, ch))
-    if any(k[0] == 1 for k, _ in keyed):
-        # document-order blocks first, then positioned blocks by (line, left)
-        keyed.sort(key=lambda kc: kc[0])
-        node.children = [c for _, c in keyed]
+    # document-order blocks first, then positioned blocks by (line, left)
+    keyed.sort(key=lambda kc: kc[0])
+    node.children = [c for _, c in keyed]
 
 
 # ---- markdown serialization -------------------------------------------------
 
 
+_WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
+_WS_OTHER = ("\t", "\r", "\f", "\v", "  ")
+
+
 def _inline_text(node) -> str:
     if isinstance(node, str):
-        return re.sub(r"[ \t\r\f\v]+", " ", node.replace("\n", " "))
+        s = node.replace("\n", " ") if "\n" in node else node
+        # fast path: already single-spaced (the overwhelmingly common
+        # case; the regexp pass on every text node was ~40% of giant-page
+        # extraction time)
+        if "  " not in s and not any(c in s for c in "\t\r\f\v"):
+            return s
+        return _WS_RUN_RE.sub(" ", s)
     if node.tag == "br":
         return "\n"
     if node.tag == "img":
@@ -218,8 +237,13 @@ def _inline_text(node) -> str:
     return body
 
 
+_SQUEEZE_RE = re.compile(r"[ \t]+")
+
+
 def _squeeze(s: str) -> str:
-    return re.sub(r"[ \t]+", " ", s).strip()
+    if "  " not in s and "\t" not in s:
+        return s.strip()
+    return _SQUEEZE_RE.sub(" ", s).strip()
 
 
 def _cell_text(node: Node) -> str:
