@@ -378,6 +378,23 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate knn: mini-kmeans coarse centroids (deterministic
+    init), probe 2 cells per query, exact rerank inside the probed
+    cells.  Rows-only: the iterative training isn't SQL-expressible."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        knn_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, k=4, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = knn_ivf(emb, queries, cents, k=5, n_probe=2)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", R).alias("cosine"))
+
+
 def q_recognition_report(spark, sf_dir):
     """Recognition-task scoring (block-granularity gt/pred pairs) over
     deterministic pairs derived from documents: pred = text minus
@@ -442,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "extraction_roundtrip": q_extraction_roundtrip,
         "extract_pipeline": q_extract_pipeline,
+        "knn_ivf": q_knn_ivf,
         "recognition_report": q_recognition_report,
         "eval_fixture_report": q_eval_fixture_report,
     }

@@ -97,6 +97,85 @@ def knn_lsh(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (IVF cell).
+
+    Centroids are a small driver-side list (k tens-hundreds) baked into
+    the expression as literals — no join, no shuffle; the argmax over k
+    dot products happens inside codegen per row."""
+    best_id = F.lit(0)
+    best_sim = F.lit(-2.0)
+    for cid, c in enumerate(centroids):
+        sim = cosine_sim(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return embeddings.withColumn("cell", best_id).withColumn(
+        "cell_sim", F.round(best_sim, 6))
+
+
+def train_ivf_centroids(embeddings: DataFrame, k: int = 8, iters: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Mini k-means for IVF coarse centroids, fully distributed:
+    deterministic init (first k vectors by id), then ``iters`` rounds of
+    assign (ivf_assign) + per-cell mean (posexplode groupBy — the
+    label_centroids pattern).  k and iters are tiny; each round is two
+    narrow shuffles over the corpus."""
+    init = (embeddings.orderBy(id_col).limit(k)
+            .select(vec_col).collect())
+    centroids = [list(r[vec_col]) for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .select("cell", F.transform("ps", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        new = dict((r["cell"], list(r["c"])) for r in rows)
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def knn_ivf(embeddings: DataFrame, queries: DataFrame, centroids: list[list[float]],
+            k: int = 5, n_probe: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid;
+    each query probes its ``n_probe`` closest cells only.
+
+    At 10^12 scale the corpus is *stored* partitioned/bucketed by cell,
+    so a probe prunes partitions at the scan (partition filter), and the
+    exact rerank touches corpus/k_cells * n_probe rows."""
+    corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # per-query probe list: rank all centroids, keep n_probe
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cents = F.array(*[
+        F.struct(F.lit(cid).alias("cell"),
+                 cosine_sim(F.col("qvec"),
+                            F.array(*[F.lit(x) for x in c])).alias("sim"))
+        for cid, c in enumerate(centroids)
+    ])
+    probes = q.select(
+        "query_id", "qvec",
+        F.explode(F.slice(F.reverse(F.array_sort(
+            cents, lambda a, b: F.when(a["sim"] < b["sim"], -1)
+            .when(a["sim"] > b["sim"], 1).otherwise(0))), 1, n_probe)
+        ).alias("p"),
+    ).select("query_id", "qvec", F.col("p.cell").alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                cosine_sim(F.col("qvec"), F.col(vec_col)).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def label_centroids(embeddings: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Mean embedding per label via posexplode + two-level groupBy —

@@ -1,0 +1,81 @@
+"""Adversarial inputs through the REAL Spark path (not plain Python):
+garbage bytes, truncated markup, deep nesting, pathological repeats.
+One poisoned row must never kill a task (the 10^12-row rule)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def nasty_pages(spark):
+    rows = [
+        ("garbage", b"\x00\xff\xfe\x89PNG not html at all \x9c"),
+        ("empty", b""),
+        ("null", None),
+        ("unclosed", b"<html><body><div><p>unclosed <b>bold <table><tr><td>x"),
+        ("deep", ("<div>" * 400 + "core" + "</div>" * 400).encode()),
+        ("bad_utf8", b"<p>caf\xe9 \xc3\x28</p>"),
+        ("pdf_garbage", b"%PDF-1.4 then nothing sensible"),
+        ("pdf_trunc", b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\nBT (hi"),
+        ("huge_line", b"<p>" + b"a" * 2_000_000 + b"</p>"),
+        ("entities", b"<p>&amp;&lt;&gt;&#x1F600;&bogus; &#99999999999;</p>"),
+        ("only_noise", b"<nav><a href='/'>x</a></nav><script>hi</script>"),
+        ("cdata_comment", b"<p>a</p><!-- <p>ghost</p> --><![CDATA[raw]]><p>b</p>"),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_pages_survives_all(spark, nasty_pages):
+    from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
+
+    out = {r["url"]: r["md"] for r in
+           extract_pages(nasty_pages, salt_buckets=2).collect()}
+    assert len(out) == nasty_pages.count()
+    assert out["null"] is None
+    assert out["deep"] is not None and "core" in out["deep"]
+    assert out["only_noise"] == ""
+    assert "ghost" not in (out["cdata_comment"] or "")
+    assert "a" * 100 in out["huge_line"]
+
+
+def test_pipeline_survives_all(spark, nasty_pages):
+    from deepseek_ocr_omnidocbench_spark.plans.extract_pipeline import (
+        run_pipeline_inline,
+    )
+
+    df = nasty_pages.select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit(None).cast("string").alias("text"), F.lit("en").alias("lang"),
+        F.lit("x").alias("category"))
+    docs = run_pipeline_inline(df, salt_buckets=2)
+    got = docs.collect()  # must not raise
+    assert all(r["doc_id"] is not None for r in got)
+
+
+def test_span_parser_survives_nasty_markdown(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.extract_spans import parse_spans
+
+    rows = [
+        ("a", "$" * 5001),
+        ("b", "\\begin{tabular}" * 50),
+        ("c", "| " * 4000),
+        ("d", "$$" + "x" * 100000),
+        ("e", "\\[" * 100 + "\\]" * 100),
+        ("f", ""),
+        ("g", None),
+    ]
+    df = spark.createDataFrame(rows, "img_id string, md string")
+    parse_spans(df).collect()  # must not raise
+
+
+def test_matchers_survive_pathological_pages(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.eval_harness import match_page
+
+    # one GT, 60 identical preds: assignment + dedup paths under stress
+    gt = [{"img_id": "p", "anno_id": 1, "category_type": "text_block",
+           "order": 1.0, "text": "word " * 50, "latex": None, "html": None,
+           "ignore": False, "attribute": {}, "truncated_pair": None}]
+    md = "\n\n".join(["word " * 50] * 60)
+    recs = match_page(gt, md, "p")
+    assert recs
+    assert all(0.0 <= r["edit"] <= 1.0 for r in recs)

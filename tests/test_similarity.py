@@ -77,6 +77,47 @@ def test_label_centroids(emb):
     assert abs(one["centroid"][0] - want) < 1e-6
 
 
+def test_ivf_assign_and_train(spark, emb):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, k=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    assigned = ivf_assign(emb, cents)
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {0, 1, 2, 3}
+    assert len(cells) >= 2  # corpus spreads over multiple cells
+    # assignment is the argmax: cell_sim >= sim to every other centroid
+    row = assigned.limit(1).collect()[0]
+    vec = list(row["embedding"])
+    sims = [py_cosine(vec, c) for c in cents]
+    assert abs(max(sims) - row["cell_sim"]) < 1e-5
+
+
+def test_knn_ivf_recall(spark, emb):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        knn_ivf,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    cents = train_ivf_centroids(emb, k=4, iters=2)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, queries, k=5).collect()
+    approx = knn_ivf(emb, queries, cents, k=5, n_probe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        hit += r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+    assert total > 0
+    assert hit / total > 0.4  # probing half the cells
+
+
 def test_embedding_near_dups_threshold(emb):
     out = embedding_near_dups(emb, threshold=0.9)
     for r in out.collect():
