@@ -93,6 +93,45 @@ def levenshtein_one_to_many(a: Sequence, bs: list) -> np.ndarray:
     return prev[np.arange(m), lens]
 
 
+def levenshtein_many_to_many(a_list: list, b_list: list) -> np.ndarray:
+    """Full |a| x |b| distance matrix; the padded/encoded b batch is
+    built ONCE (per-call rebuilding dominated the cost-matrix path)."""
+    n, m = len(a_list), len(b_list)
+    out = np.zeros((n, m), dtype=np.int64)
+    if n == 0 or m == 0:
+        return out
+    lens = np.asarray([len(b) for b in b_list], dtype=np.int64)
+    lmax = int(lens.max())
+    B = np.zeros((m, max(lmax, 1)), dtype=np.int64)
+    for j, b in enumerate(b_list):
+        e = _encode(b)
+        B[j, :len(e)] = e
+        B[j, len(e):] = -1 - np.arange(B.shape[1] - len(e))
+    idx = np.arange(B.shape[1] + 1, dtype=np.int64)
+    sel = np.arange(m)
+    for i, a in enumerate(a_list):
+        a_arr = _encode(a)
+        la = len(a_arr)
+        if la == 0:
+            out[i] = lens
+            continue
+        if lmax == 0:
+            out[i] = la
+            continue
+        prev = np.broadcast_to(idx, (m, B.shape[1] + 1)).copy()
+        cur = np.empty_like(prev)
+        for t in range(1, la + 1):
+            at = a_arr[t - 1]
+            cur[:, 0] = t
+            np.minimum(prev[:, :-1] + (B != at), prev[:, 1:] + 1, out=cur[:, 1:])
+            cur -= idx
+            np.minimum.accumulate(cur, axis=1, out=cur)
+            cur += idx
+            prev, cur = cur, prev
+        out[i] = prev[sel, lens]
+    return out
+
+
 def windowed_distances(text: str, pattern: str) -> np.ndarray:
     """Levenshtein(text[i:i+len(pattern)], pattern) for every window i.
 
