@@ -395,6 +395,32 @@ def q_knn_ivf(spark, sf_dir):
                       F.round("cosine", R).alias("cosine"))
 
 
+def q_detection_map(spark, sf_dir):
+    """COCO-style layout-detection mAP (A11) on deterministic synthetic
+    detections derived from events: view events are ground truth, click
+    events are predictions (score from value).  Rows-only: the greedy
+    COCO matching + interpolated AP isn't SQL-expressible."""
+    from deepseek_ocr_omnidocbench_spark.operators.detection import detection_map
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "event_type",
+        F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("img_id"),
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.lit("text"))
+        .otherwise(F.lit("figure")).alias("category"),
+        F.array(F.col("value"),
+                F.pmod(F.col("event_id"), F.lit(50)).cast("double"),
+                F.col("value") + 40.0,
+                F.pmod(F.col("event_id"), F.lit(50)).cast("double") + 40.0
+                ).alias("bbox"),
+        (F.pmod(F.col("event_id"), F.lit(100)) / 100.0).alias("score"),
+    )
+    gt = base.where(F.col("event_type") == "view").select("img_id", "category", "bbox")
+    preds = base.where(F.col("event_type") == "click").select(
+        "img_id", "category", "bbox", "score")
+    return spark.createDataFrame(detection_map(gt, preds))
+
+
 def q_recognition_report(spark, sf_dir):
     """Recognition-task scoring (block-granularity gt/pred pairs) over
     deterministic pairs derived from documents: pred = text minus
@@ -460,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_roundtrip": q_extraction_roundtrip,
         "extract_pipeline": q_extract_pipeline,
         "knn_ivf": q_knn_ivf,
+        "detection_map": q_detection_map,
         "recognition_report": q_recognition_report,
         "eval_fixture_report": q_eval_fixture_report,
     }
