@@ -1,0 +1,231 @@
+"""DIRECT behavioral parity with the reference matchers.
+
+Imports the reference's own `utils/match.py` / `utils/match_quick.py`
+from /root/reference (read-only) with its C-extension dependencies
+shimmed by this repo's kernels (Levenshtein -> functions/editdist,
+scipy linear_sum_assignment -> functions/hungarian, pylatexenc ->
+functions/normalize.latex_to_text), then runs the SAME random pages
+through the reference matcher and ours and compares the match
+structure and edit distances.
+
+Because both sides share the kernels, any disagreement is a logic
+divergence in the matcher port itself — exactly what this guards.
+No reference code is copied; it is imported from the read-only mount at
+test time only.
+"""
+
+import sys
+import types
+
+import pytest
+
+REF_DIR = "/root/reference/OmniDocBench"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DIR), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_matchers():
+    from deepseek_ocr_omnidocbench_spark.functions.editdist import levenshtein
+    from deepseek_ocr_omnidocbench_spark.functions.hungarian import (
+        linear_sum_assignment,
+    )
+    from deepseek_ocr_omnidocbench_spark.functions.normalize import latex_to_text
+
+    # ---- dependency shims (registered before importing reference code) ----
+    lev = types.ModuleType("Levenshtein")
+    lev.distance = levenshtein
+    sci = types.ModuleType("scipy")
+    sci_opt = types.ModuleType("scipy.optimize")
+    sci_opt.linear_sum_assignment = linear_sum_assignment
+    sci.optimize = sci_opt
+    ev = types.ModuleType("evaluate")
+    ev.load = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("unused"))
+    bs4 = types.ModuleType("bs4")
+
+    class _Soup:  # only reached on table paths, which this test avoids
+        def __init__(self, *a, **k):
+            raise RuntimeError("bs4 shim: table path not under test")
+
+    bs4.BeautifulSoup = _Soup
+    ple = types.ModuleType("pylatexenc")
+    ple_l2t = types.ModuleType("pylatexenc.latex2text")
+
+    class _L2T:
+        def latex_to_text(self, s):
+            return latex_to_text(s)
+
+    ple_l2t.LatexNodes2Text = lambda *a, **k: _L2T()
+    ple.latex2text = ple_l2t
+
+    saved = {}
+    mods = {"Levenshtein": lev, "scipy": sci, "scipy.optimize": sci_opt,
+            "evaluate": ev, "bs4": bs4, "pylatexenc": ple,
+            "pylatexenc.latex2text": ple_l2t}
+    for name, mod in mods.items():
+        saved[name] = sys.modules.get(name)
+        sys.modules[name] = mod
+    sys.path.insert(0, REF_DIR)
+    # the repo ships its metrics package as "metrics 2"; matchers don't need it
+    try:
+        import importlib
+
+        ref_match = importlib.import_module("utils.match")
+        ref_quick = importlib.import_module("utils.match_quick")
+    finally:
+        pass
+    yield ref_match, ref_quick
+    sys.path.remove(REF_DIR)
+    for name, mod in saved.items():
+        if mod is None:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = mod
+    for name in list(sys.modules):
+        if name.startswith("utils"):
+            del sys.modules[name]
+
+
+def make_page(rng, derived=False):
+    """Random page; with ``derived=True`` predictions come from the GT
+    via typo/merge/split/drop perturbations — driving the truncation
+    merge (J4c), fuzzy rescue (J4f) and rejection (J4e) paths."""
+    words = ["alpha", "beta", "gamma", "delta", "data", "spark", "table",
+             "value", "metric", "result", "pipeline", "cluster"]
+    n_gt = rng.randint(1, 6)
+    gts = []
+    for i in range(n_gt):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(2, 9)))
+        cat = rng.choice(["text_block", "title", "figure_caption"])
+        gts.append({"anno_id": i + 1, "category_type": cat,
+                    "order": float(i + 1), "text": text,
+                    "attribute": {"k": "v"}})
+
+    def typo(s):
+        cs = list(s)
+        for k in range(len(cs)):
+            if cs[k].isalpha() and rng.random() < 0.04:
+                cs[k] = rng.choice("abcdefghij")
+        return "".join(cs)
+
+    contents = []
+    if derived:
+        for g in gts:
+            roll = rng.random()
+            if roll < 0.15:
+                continue  # dropped block
+            text = typo(g["text"])
+            if roll < 0.35 and len(text) > 12:
+                cut = text.find(" ", len(text) // 2)
+                if cut > 0:  # split one GT into two preds (rescue fodder)
+                    contents.extend([text[:cut], text[cut + 1:]])
+                    continue
+            contents.append(text)
+        if len(contents) >= 2 and rng.random() < 0.4:
+            k = rng.randrange(len(contents) - 1)  # merge two preds (J4c)
+            contents[k:k + 2] = [contents[k] + " " + contents[k + 1]]
+        if rng.random() < 0.3:
+            contents.append(" ".join(rng.choice(words) for _ in range(5)))
+    else:
+        for _ in range(rng.randint(0, 6)):
+            contents.append(" ".join(rng.choice(words)
+                                     for _ in range(rng.randint(2, 9))))
+    preds = []
+    pos = 0
+    for content in contents:
+        preds.append({"category_type": "text_all",
+                      "position": [pos, pos + len(content)],
+                      "content": content, "fine_category_type": "text_block"})
+        pos += len(content) + 2
+    return gts, preds
+
+
+def canon(records):
+    """Comparable view: (gt_idx tuple, pred_idx tuple, rounded edit).
+    The reference uses "" for the unmatched side; we use None."""
+    out = []
+    for r in records:
+        gt_idx = r.get("gt_idx")
+        pred_idx = r.get("pred_idx")
+
+        def norm_idx(v):
+            if v in (None, "", [""]):
+                return ()
+            if isinstance(v, list):
+                return tuple(x for x in v if x != "")
+            return (v,)
+
+        g, p = norm_idx(gt_idx), norm_idx(pred_idx)
+        if not g:
+            # unmatched-pred residual rows: the reference keeps its
+            # internal post-merge list order for the indices, we sort —
+            # the semantic content (which preds are unmatched, edit=1)
+            # is a set, so compare order-insensitively
+            p = tuple(sorted(p))
+        out.append((g, p, round(float(r["edit"]), 6)))
+    return sorted(out)
+
+
+def test_simple_matcher_parity(ref_matchers):
+    import random
+
+    ref_match, _ = ref_matchers
+    from deepseek_ocr_omnidocbench_spark.operators.matching import match_simple
+
+    agree = 0
+    for seed in range(40):
+        rng = random.Random("parity:%d" % seed)
+        gts, preds = make_page(rng)
+        ref, _ref_resid = ref_match.match_gt2pred_simple(gts, preds, "text", "img")
+        mine, _resid = match_simple(gts, preds, "text_all", "img")
+        assert canon(ref) == canon(mine), (seed, canon(ref), canon(mine))
+        agree += 1
+    assert agree == 40
+
+
+def test_quick_matcher_parity(ref_matchers):
+    import random
+
+    _, ref_quick = ref_matchers
+    from deepseek_ocr_omnidocbench_spark.operators.matching import match_quick
+
+    agree = 0
+    for seed in range(40):
+        rng = random.Random("quickparity:%d" % seed)
+        gts, preds = make_page(rng)
+        ref = ref_quick.match_gt2pred_quick(gts, preds, "text", "img")
+        mine = match_quick(gts, preds, None, "img")
+        assert canon(ref) == canon(mine), (seed, canon(ref), canon(mine))
+        agree += 1
+    assert agree == 40
+
+
+def test_quick_matcher_parity_derived_preds(ref_matchers):
+    """Perturbation-derived predictions hit the merge/rescue/reject
+    sub-ops; structure must still match the reference exactly."""
+    import random
+
+    _, ref_quick = ref_matchers
+    from deepseek_ocr_omnidocbench_spark.operators.matching import match_quick
+
+    for seed in range(150):
+        rng = random.Random("derived:%d" % seed)
+        gts, preds = make_page(rng, derived=True)
+        ref = ref_quick.match_gt2pred_quick(gts, preds, "text", "img")
+        mine = match_quick(gts, preds, None, "img")
+        assert canon(ref) == canon(mine), (seed, canon(ref), canon(mine))
+
+
+def test_simple_matcher_parity_derived_preds(ref_matchers):
+    import random
+
+    ref_match, _ = ref_matchers
+    from deepseek_ocr_omnidocbench_spark.operators.matching import match_simple
+
+    for seed in range(150):
+        rng = random.Random("sderived:%d" % seed)
+        gts, preds = make_page(rng, derived=True)
+        ref, _r = ref_match.match_gt2pred_simple(gts, preds, "text", "img")
+        mine, _m = match_simple(gts, preds, "text_all", "img")
+        assert canon(ref) == canon(mine), (seed, canon(ref), canon(mine))
