@@ -92,49 +92,93 @@ def extract_html_tables(content: str) -> tuple[list[str], list[tuple[int, int]]]
     return _balanced_scan(content, r"<table(?:[^>]*)>", r"</table>")
 
 
-def _md_row_to_tds(row: str) -> list[str]:
-    return [c.strip() for c in row.strip().split("|")[1:-1]]
-
-
-def _is_md_separator(row: str) -> bool:
-    body = row.strip().strip("|")
-    return bool(body) and bool(re.fullmatch(r"[\s:\-|]+", body)) and "-" in body
-
-
 def markdown_table_to_html(block: str) -> str:
-    """Pipe table -> normalized html (table_utils.py:76-239 net behavior).
+    """One pipe-table block -> thead/tbody html, 2/4/6-space indents
+    (table_utils.py:76-95 markdown_to_html — whitespace is part of the
+    downstream byte contract)."""
+    rows = [r.strip() for r in block.strip().split("\n")]
+    out = "<table>\n  <thead>\n    <tr>\n"
+    for cell in (c.strip() for c in rows[0].split("|")[1:-1]):
+        out += f"      <th>{cell}</th>\n"
+    out += "    </tr>\n  </thead>\n  <tbody>\n"
+    for row in rows[2:]:
+        out += "    <tr>\n"
+        for cell in (c.strip() for c in row.split("|")[1:-1]):
+            out += f"      <td>{cell}</td>\n"
+        out += "    </tr>\n"
+    out += "  </tbody>\n</table>\n"
+    return out
 
-    Header and body cells all become td (th->td is applied downstream in
-    the reference; we emit td directly), cells carry the reference's
-    colspan/rowspan="1" annotation, table gets border="1".
-    """
-    rows = [r for r in block.strip().split("\n") if r.strip()]
-    cells_rows = [_md_row_to_tds(r) for r in rows if not _is_md_separator(r)]
-    parts = ['<table border="1" >']
-    for cr in cells_rows:
-        parts.append("<tr>" + "".join('<td colspan="1" rowspan="1">%s</td>' % c for c in cr) + "</tr>")
-    parts.append("</table>")
-    return "\n".join(parts)
+
+_MD_TABLE_MODE_RE = re.compile(r"-*?:|---|:-*?")
+
+
+def _is_md_separator_line(line: str) -> bool:
+    """find_md_table_mode (table_utils.py:129-132): separator-ish lines
+    (converted '---' header cells included) drop during the merge."""
+    return bool(_MD_TABLE_MODE_RE.search(line))
+
+
+def _merge_table_block(block: str) -> str:
+    """merge_tables (table_utils.py:139-166): strip comments, collapse
+    every inner <table> block to its rows (th->td, no table/thead/tbody
+    tags), rewrap once, pad with blank lines."""
+    block = re.sub(r"<!--[\s\S]*?-->", "", block)
+    out_lines: list[str] = []
+    for tbl in re.findall(r"<table>[\s\S]*?</table>", block):
+        lines = tbl.split("\n")
+        lines = [ln.replace("<th>", "<td>").replace("</th>", "</td>")
+                 if "<th>" in ln else ln for ln in lines]
+        kept = [ln for ln in lines if not re.search(r"</?t(able|head|body)>", ln)]
+        if len(kept) > 2:
+            out_lines.extend(kept)
+    return "\n\n<table>\n%s\n</table>\n\n" % "\n".join(out_lines)
+
+
+def _merge_adjacent_tables(content: str) -> str:
+    """replace_table_with_placeholder (table_utils.py:168-222): a
+    line-lookbehind state machine that fuses runs of adjacent mini
+    tables (one per original pipe row) into one table block, dropping
+    separator rows and </thead> remnants."""
+    lines = content.split("\n")
+    out: list[str] = []
+    in_block = False
+    block = ""
+    last = ""
+    for line in lines:
+        if "<table>" in line:
+            in_block = True
+            block += last
+        elif in_block:
+            if not _is_md_separator_line(last) and "</thead>" not in last:
+                block += "\n" + last
+            if "</table>" in last and "<table>" not in line:
+                in_block = False
+                out.append(_merge_table_block(block))
+                block = ""
+        else:
+            out.append(last)
+        last = line
+    if last:
+        if in_block or "</table>" in last:
+            block += "\n" + last
+            out.append(_merge_table_block(block))
+        else:
+            out.append(last)
+    return "\n".join(out)
 
 
 def convert_md_tables_in_content(content: str) -> str:
-    """Replace every run of consecutive pipe-rows with its html table."""
-    out = []
-    lines = content.split("\n")
-    i = 0
-    while i < len(lines):
-        line = lines[i]
-        if re.match(r"^\s*\|.*\|\s*$", line):
-            j = i
-            while j < len(lines) and re.match(r"^\s*\|.*\|\s*$", lines[j]):
-                j += 1
-            block = "\n".join(lines[i:j]) + "\n"
-            out.append(markdown_table_to_html(block))
-            i = j
-        else:
-            out.append(line)
-            i += 1
-    return "\n".join(out)
+    """Full pipe-table -> html pass (table_utils.py:224-239
+    convert_markdown_to_html): every pipe ROW becomes a mini html table
+    via str.replace (first occurrence), adjacent minis merge, then
+    border/colspan/rowspan attributes are stamped on."""
+    content = content.replace("\r", "") + "\n"
+    for match in MD_TABLE_ROW_RE.findall(content):
+        content = content.replace(match, markdown_table_to_html(match), 1)
+    content = _merge_adjacent_tables(content)
+    content = content.replace("<table>", '<table border="1" >')
+    return content.replace("<td>", '<td colspan="1" rowspan="1">')
 
 
 def _blank(content: str, start: int, end: int) -> str:

