@@ -398,3 +398,38 @@ def test_page_orchestration_parity(ref_matchers):
         n_rows_compared += len(ref_txt) + len(ref_formula) + len(ref_html)
         n_pages += 1
     assert n_pages == 25 and n_rows_compared > 100
+
+
+def test_normalizer_parity(ref_matchers):
+    """N1/N3/F10/F11 normalizers vs the reference's data_preprocess
+    (pylatexenc-dependent paths excluded — the shim would make them
+    tautological; those are frozen by golden tests instead)."""
+    import importlib
+
+    ref_pre = importlib.import_module("utils.data_preprocess")
+    from deepseek_ocr_omnidocbench_spark.functions import normalize as N
+
+    strings = [
+        "Hello, world!", "a\tb\nc", r"x\t y\n z", "/tfoo/nbar",
+        "数据 processing_123!", "ＡＢＣ１２３！", "",
+        "a_______b  and  a        b", "under_score-dash.dot",
+        "mixed 数据 and english WORDS 42",
+    ]
+    for s in strings:
+        assert N.clean_string(s) == ref_pre.clean_string(s), s
+        assert N.replace_repeated_chars(s) == ref_pre.replace_repeated_chars(s), s
+        assert N.fullwidth_to_halfwidth(s) == ref_pre.fullwidth_to_halfwidth(s), s
+
+    fences = ["```markdown\nbody\n```", "```html\nx\n```", "plain\n```\ntail",
+              "```latex\ny\n```\nz", "a\n```\nb\n```\n"]
+    for s in fences:
+        assert N.remove_markdown_fences(s) == ref_pre.remove_markdown_fences(s), s
+
+    formulas = [
+        r"$$\mathbf{E} = mc^2$$", r"\[ x\quad y \]", r"a \tag{1} b",
+        r"\left( x \right)", r"\begin{array}{l} a \\ b \end{array}",
+        r"x \hspace{1em} y", r"E=mc^2.", r"  $$ \alpha $$  ",
+        r"\displaystyle \sum_{i=1}^n x_i", "",
+    ]
+    for s in formulas:
+        assert N.normalized_formula(s) == ref_pre.normalized_formula(s), s
