@@ -441,6 +441,33 @@ def q_recognition_report(spark, sf_dir):
     return recognition_report(score_recognition(pairs))
 
 
+def q_md2md_report(spark, sf_dir):
+    """md2md task end-to-end: both sides are markdown folders
+    (deterministic, derived from documents.text), span-parsed and
+    stream-matched.  Rows-only."""
+    import os
+    import tempfile
+
+    from deepseek_ocr_omnidocbench_spark.plans.md2md import md2md_evaluate
+
+    docs = _docs(spark, sf_dir).orderBy("doc_id").limit(12).collect()
+    base = tempfile.mkdtemp(prefix="md2md_")
+    gt_dir, pred_dir = os.path.join(base, "gt"), os.path.join(base, "pred")
+    os.makedirs(gt_dir), os.makedirs(pred_dir)
+    for r in docs:
+        body = "# Doc %d\n\n%s\n" % (r["doc_id"], r["text"])
+        with open(os.path.join(gt_dir, "d%04d.md" % r["doc_id"]), "w") as f:
+            f.write(body)
+        pred = body if r["doc_id"] % 2 == 0 else body.replace("a", "e", 3)
+        with open(os.path.join(pred_dir, "d%04d.md" % r["doc_id"]), "w") as f:
+            f.write(pred)
+    res = md2md_evaluate(spark, gt_dir, pred_dir)
+    rows = [{"element_class": k, "n_samples": int(v["n_samples"]),
+             "page_avg_edit": round(float(v["page_avg_edit"]), 6)}
+            for k, v in sorted(res["edit_dist"].items())]
+    return spark.createDataFrame(rows)
+
+
 def q_eval_fixture_report(spark, sf_dir):
     """Full matching+metrics harness on deterministic synthetic pages."""
     from deepseek_ocr_omnidocbench_spark.operators.eval_harness import match_elements
@@ -488,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "detection_map": q_detection_map,
         "recognition_report": q_recognition_report,
+        "md2md_report": q_md2md_report,
         "eval_fixture_report": q_eval_fixture_report,
     }
 
