@@ -192,6 +192,49 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
     )
 
 
+def embedding_near_dups_srp(embeddings: DataFrame, dim: int,
+                            threshold: float = 0.95, n_planes: int = 8,
+                            n_bands: int = 4, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs WITHOUT a blocking label — the unlabeled
+    10^12-corpus path: multiple independent SRP sketches band the
+    vectors (high-cosine pairs collide in >=1 band w.h.p.), candidates
+    dedupe on ids, then exact cosine verifies.  One shuffle per band
+    explode + the candidate join; no quadratic term."""
+    banded = embeddings.select(
+        id_col, vec_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                srp_signature(F.col(vec_col),
+                              deterministic_planes(dim, n_planes, seed=13 + b)
+                              ).alias("bucket"))
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select(id_col, vec_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.%s" % id_col) < F.col("b.%s" % id_col))
+        .select(F.col("a.%s" % id_col).alias("vec_a"),
+                F.col("b.%s" % id_col).alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    v = embeddings.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        cand.join(v.withColumnRenamed(id_col, "vec_a")
+                  .withColumnRenamed(vec_col, "va"), "vec_a")
+        .join(v.withColumnRenamed(id_col, "vec_b")
+              .withColumnRenamed(vec_col, "vb"), "vec_b")
+    )
+    return (
+        pairs.select("vec_a", "vec_b",
+                     cosine_sim(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         label_col: str = "label") -> DataFrame:

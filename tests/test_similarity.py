@@ -118,6 +118,23 @@ def test_knn_ivf_recall(spark, emb):
     assert hit / total > 0.4  # probing half the cells
 
 
+def test_embedding_near_dups_srp_finds_planted_dup(spark, emb):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        embedding_near_dups_srp,
+    )
+    from pyspark.sql import functions as F
+
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999_999).cast("long"))
+    both = emb.unionByName(dup)
+    orig_id = emb.limit(1).collect()[0]["vec_id"]
+    out = embedding_near_dups_srp(both, dim=64, threshold=0.99)
+    hits = out.where((F.col("vec_a") == orig_id)
+                     & (F.col("vec_b") == 999_999)).collect()
+    assert len(hits) == 1 and hits[0]["cosine"] > 0.999
+    # every returned pair satisfies the threshold (verification is exact)
+    assert out.where(F.col("cosine") < 0.99).count() == 0
+
+
 def test_embedding_near_dups_threshold(emb):
     out = embedding_near_dups(emb, threshold=0.9)
     for r in out.collect():
