@@ -368,6 +368,24 @@ def _blocks(node: Node, out: list[str], list_depth: int = 0) -> None:
                 out.append("\n".join("> " + line for blk in inner for line in blk.split("\n")))
         elif tag == "hr":
             out.append("---")
+        elif tag == "dl":
+            items = []
+            for sub in ch.children:
+                if not isinstance(sub, Node):
+                    continue
+                txt = _squeeze(_inline_text(sub).replace("\n", " "))
+                if not txt:
+                    continue
+                if sub.tag == "dt":
+                    items.append("**%s**" % txt)
+                elif sub.tag == "dd":
+                    items.append(": " + txt)
+            if items:
+                out.append("\n".join(items))
+        elif tag in ("figcaption", "caption"):
+            txt = _squeeze(_inline_text(ch).replace("\n", " "))
+            if txt:
+                out.append("*%s*" % txt)
         else:
             # container: recurse
             _blocks(ch, out, list_depth)

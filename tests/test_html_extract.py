@@ -91,6 +91,18 @@ def test_same_line_sorts_left_to_right():
     assert extract_markdown(html) == "left\n\nright"
 
 
+def test_definition_list():
+    md = extract_markdown("<dl><dt>Term</dt><dd>meaning one</dd>"
+                          "<dt>Other</dt><dd>meaning two</dd></dl>")
+    assert md == "**Term**\n: meaning one\n**Other**\n: meaning two"
+
+
+def test_figcaption():
+    md = extract_markdown("<figure><img src='x.png'>"
+                          "<figcaption>A chart of results</figcaption></figure>")
+    assert md == "*A chart of results*"
+
+
 def test_malformed_html_no_crash():
     assert extract_markdown("<p>unclosed <div><b>x") is not None
     assert extract_markdown("") == ""
