@@ -100,3 +100,17 @@ def test_bucket_assignment_is_deterministic(spark, pages_df, tmp_path):
     a = ck.bucket_of(pages_df).select("url", "_bucket").collect()
     b = ck.bucket_of(pages_df).select("url", "_bucket").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_iceberg_path_gates_cleanly(spark):
+    """No Iceberg jar in this container: the capability check must say
+    so and the Iceberg checkpoint must refuse with a pointer to the
+    parquet protocol rather than failing mid-pipeline."""
+    from deepseek_ocr_omnidocbench_spark.sources.iceberg import (
+        IcebergStageCheckpoint,
+        iceberg_available,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="StageCheckpoint"):
+        IcebergStageCheckpoint(spark, "cat.db")
