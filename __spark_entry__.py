@@ -348,6 +348,31 @@ def q_bleu_by_source(spark, sf_dir):
     return d.groupBy("source").applyInPandas(_group, schema).orderBy("source")
 
 
+def q_meteor_by_source(spark, sf_dir):
+    """A4 mean METEOR per source group (pred = text minus first word),
+    computed in applyInPandas workers — grouping is the Spark part."""
+    from pyspark.sql import types as T
+
+    from deepseek_ocr_omnidocbench_spark.functions.meteor import corpus_meteor
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("source", "text",
+                    F.regexp_replace("text", r"^\S+\s*", "").alias("pred"))
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("meteor", T.DoubleType()),
+        T.StructField("n_docs", T.LongType()),
+    ])
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        score = corpus_meteor(list(pdf["text"]), list(pdf["pred"]))
+        return pd.DataFrame([{"source": pdf["source"].iloc[0],
+                              "meteor": round(score, 6), "n_docs": len(pdf)}])
+
+    return d.groupBy("source").applyInPandas(_group, schema).orderBy("source")
+
+
 def q_extract_pipeline(spark, sf_dir):
     """North-star pipeline end-to-end on deterministic synthetic pages:
     filter -> sniff/extract/explode -> assemble with page spans.  Returns
@@ -507,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
         "bleu_by_source": q_bleu_by_source,
+        "meteor_by_source": q_meteor_by_source,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -611,7 +637,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_stats_by_lang": """
             select lang, count(*) as n_docs, round(avg(n_chars), 6) as avg_chars,
-              sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) as total_bpe_tokens
+              sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::bigint as total_bpe_tokens
             from documents group by lang order by lang
         """,
         "edit_metric_by_source": """

@@ -90,7 +90,13 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
     -> (doc_a, doc_b, jaccard).  Pairs are emitted once (a < b)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, text_col, id_col, k).cache()
+    # localCheckpoint instead of cache(): the signature scan is reused by
+    # the band explode and both verify joins, but an explicit cache here
+    # would outlive the call (nobody unpersists it) and accumulate
+    # shingle arrays in executor storage across a long session.  An
+    # eager localCheckpoint materializes once and its blocks are released
+    # by the ContextCleaner when the returned plan is garbage-collected.
+    sigs = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(eager=True)
     # candidate generation carries ONLY (id, band, bucket): the shingle
     # arrays would otherwise ride through the band explode, the pair
     # join, and the dedup shuffle (measured 3x slower at sf0.1)
@@ -135,27 +141,60 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         block_col: str = "lang",
-                        threshold: float = 0.0) -> DataFrame:
-    """Blocked all-pairs n-gram Jaccard (the exact verifier; SQL-parity
+                        threshold: float = 0.0,
+                        df_cap: int | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Blocked n-gram Jaccard verification (the exact verifier; SQL-parity
     with the DuckDB oracle).  Blocking on ``block_col`` bounds the
     quadratic term per block.
 
-    Result-preserving optimizations over the naive form: shingles are
-    hashed to sorted longs (intersect on longs ~10x cheaper than on
-    strings; collision odds ~|shingles|^2/2^64), union size is
-    |A|+|B|-|A∩B| (arrays are distinct — no union array built), and
-    pairs violating the exact bound J<=min/max sizes are pruned before
-    any intersect."""
+    Candidate generation is an inverted-index self-join on exploded
+    shingles, which is O(sum_s c_s^2) over posting-list sizes — a stock
+    phrase shared by 10^6 docs in one block would emit 10^12 join rows.
+    Two scale escapes, either of which bounds it:
+
+    - ``candidates``: a (doc_a, doc_b) DataFrame (e.g. from
+      ``lsh_candidate_pairs`` band buckets) — verification joins the
+      full shingle arrays onto exactly those pairs; no self-join at all.
+    - ``df_cap``: shingles whose document frequency within a block
+      exceeds the cap are dropped from candidate *generation* only;
+      surviving pairs are verified against the FULL arrays, so every
+      reported jaccard is exact.  Only pairs whose shared shingles are
+      ALL ultra-frequent (each df > cap) can be missed — for near-dup
+      thresholds that requires >cap near-copies of the same document,
+      at which point exact dedup catches them first.
+
+    With neither set the result is exactly the all-pairs form (J > t > 0
+    requires a shared shingle).  Result-preserving optimizations:
+    shingles hashed to longs (collision odds ~|shingles|^2/2^64), union
+    via |A|+|B|-|A∩B| (arrays are distinct)."""
     sh = word_shingles(F.col(text_col), n)
     base = docs.select(
         id_col, F.col(block_col).alias("block"),
         F.transform(sh, lambda s: F.xxhash64(s)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    # inverted-index co-count: only pairs sharing >=1 shingle ever
-    # materialize (J > threshold >= 0 requires a shared shingle, so the
-    # result set is identical to the all-pairs form) — O(sum_s c_s^2)
-    # instead of O(n^2 * |sh|) array intersects
+
+    if candidates is not None:
+        return _verify_pairs(candidates.select("doc_a", "doc_b"),
+                             base, id_col, threshold)
+
     ex = base.select(id_col, "block", "n_sh", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        dfreq = ex.groupBy("block", "s").agg(F.count(F.lit(1)).alias("_df"))
+        ex = (ex.join(dfreq.where(F.col("_df") <= df_cap).drop("_df"),
+                      ["block", "s"]))
+        a, b = ex.alias("a"), ex.alias("b")
+        cand = (
+            a.join(b, ["block", "s"])
+            .where(F.col("a.%s" % id_col) < F.col("b.%s" % id_col))
+            .select(F.col("a.%s" % id_col).alias("doc_a"),
+                    F.col("b.%s" % id_col).alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # capped postings under-count intersections, so re-verify
+        # survivors on the full arrays — exact jaccard for every pair
+        return _verify_pairs(cand, base, id_col, threshold)
+
     a, b = ex.alias("a"), ex.alias("b")
     co = (
         a.join(b, ["block", "s"])
@@ -170,6 +209,26 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             "doc_a", "doc_b",
             (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
              ).alias("jaccard"))
+        .where(F.col("jaccard") > threshold)
+    )
+
+
+def _verify_pairs(cand: DataFrame, base: DataFrame, id_col: str,
+                  threshold: float) -> DataFrame:
+    """Exact Jaccard on (doc_a, doc_b) candidates from full hashed-shingle
+    arrays; touches only the candidate set, never all pairs."""
+    sh = base.select(F.col(id_col), F.col("sh"))
+    pairs = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a")
+                  .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select("doc_a", "doc_b",
+                     (inter / union).alias("jaccard"))
         .where(F.col("jaccard") > threshold)
     )
 

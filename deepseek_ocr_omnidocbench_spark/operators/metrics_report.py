@@ -160,6 +160,41 @@ def teds_report(scored: DataFrame) -> DataFrame:
     )
 
 
+def text_metric_report(matches: DataFrame,
+                       group_col: str = "element_class") -> DataFrame:
+    """Corpus BLEU + mean METEOR per group (cal_metric.py:99-137 —
+    call_BLEU / call_METEOR evaluate per group over norm-effective
+    gt/pred).  Grouping and shuffle are Spark's; the scoring loop runs
+    in applyInPandas workers like the reference's per-group HF calls.
+    Note the reference passes predictions=gt, references=pred (its
+    argument swap) — scores are computed gt-as-hypothesis to match."""
+    from ..functions.bleu import corpus_bleu
+    from ..functions.meteor import corpus_meteor
+
+    d = (matches.withColumn("_gt_eff", _eff("norm_gt", "gt"))
+         .withColumn("_pred_eff", _eff("norm_pred", "pred"))
+         .select(F.col(group_col).alias("group"), "_gt_eff", "_pred_eff"))
+
+    schema = T.StructType([
+        T.StructField("group", T.StringType()),
+        T.StructField("bleu", T.DoubleType()),
+        T.StructField("meteor", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ])
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        gts = [g or "" for g in pdf["_gt_eff"]]
+        preds = [p or "" for p in pdf["_pred_eff"]]
+        return pd.DataFrame([{
+            "group": pdf["group"].iloc[0],
+            "bleu": corpus_bleu(gts, preds),
+            "meteor": corpus_meteor(gts, preds),
+            "n_samples": len(pdf),
+        }])
+
+    return d.groupBy("group").applyInPandas(_score, schema).orderBy("group")
+
+
 def attribute_report(scored: DataFrame, metric_col: str = "edit_dist") -> DataFrame:
     """Mean score + count per gt_attribute 'k: v' label (A7)."""
     exploded = (

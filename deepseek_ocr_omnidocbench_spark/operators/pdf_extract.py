@@ -11,8 +11,11 @@ show-text — then resolves reading order by line-grouping on y and
 sorting x ascending (the ocr_utils.py:7-77 span->line merge, SURVEY P10)
 and serializes markdown: large-font lines become headings.
 
-Compressed streams / fonts / images are out of scope (the container has
-no pypdf/pymupdf): anything non-parsable extracts as "" rather than
+/FlateDecode content streams are inflated with stdlib zlib before
+parsing (virtually every real-world PDF compresses its content streams
+— the reference gets this via pypdf, anchor.py:129-159).  Other filters
+(DCT/LZW/ASCII85), fonts and images remain out of scope (the container
+has no pypdf/pymupdf): anything non-parsable extracts as "" rather than
 erroring, and real-deployment rasterize+OCR is stubbed in multimodal.py.
 
 random.shuffle in the reference's anchor sampler (anchor.py:342) is
@@ -22,13 +25,16 @@ replaced by this fully deterministic ordering (SURVEY §2.8 R4).
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Optional
 
 HEADING_FONT_SIZE = 18.0
 LINE_Y_TOL = 2.0
 PARA_GAP = 20.0
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# trailing EOL before endstream is recommended but not mandatory for
+# binary (compressed) payloads — capture it and strip per-filter below
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _TEXT_SHOW_RE = re.compile(
     r"(?:(-?[\d.]+)\s+(-?[\d.]+)\s+Td)"          # cursor move
     r"|(?:(-?[\d.]+)\s+(-?[\d.]+)\s+TD)"
@@ -123,6 +129,26 @@ def _layout_to_markdown(elements: list[tuple[float, float, float, str]]) -> str:
     return "\n\n".join(blocks)
 
 
+def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
+    """Stream bytes for a ``_STREAM_RE`` match, inflated when the owning
+    object dict declares /FlateDecode.  The dict is the window between
+    the previous ``endstream`` (or buffer start) and this ``stream``
+    keyword — nested dicts (/DecodeParms) stay inside that window, so a
+    plain substring probe is exact enough here."""
+    raw = m.group(1)
+    head = data[max(0, m.start() - 512):m.start()]
+    prev_end = head.rfind(b"endstream")
+    if prev_end != -1:
+        head = head[prev_end:]
+    if b"/FlateDecode" in head:
+        # decompressobj tolerates the trailing EOL the regex captured
+        try:
+            return zlib.decompressobj().decompress(raw)
+        except zlib.error:
+            return None
+    return raw.rstrip(b"\r\n")
+
+
 def extract_pdf_pages(data: Optional[bytes]) -> Optional[list[str]]:
     """PDF bytes -> one markdown string per page (content stream).
 
@@ -136,8 +162,11 @@ def extract_pdf_pages(data: Optional[bytes]) -> Optional[list[str]]:
         return []
     pages = []
     for m in _STREAM_RE.finditer(data):
+        raw = _stream_payload(data, m)
+        if raw is None:
+            continue
         try:
-            stream = m.group(1).decode("latin-1")
+            stream = raw.decode("latin-1")
         except Exception:
             continue
         els = _parse_content_stream(stream)

@@ -21,6 +21,7 @@ from ..operators.metrics_report import (
     page_split_report,
     score_samples,
     teds_report,
+    text_metric_report,
 )
 from ..sources.annotations import generate_eval_fixtures
 
@@ -73,11 +74,13 @@ def evaluate(gt: DataFrame, preds: DataFrame, page_attrs: DataFrame,
     teds_row = teds_row[0].asDict() if teds_row and teds_row[0]["n_tables"] else None
     attr_rows = [r.asDict() for r in attribute_report(scored).collect()]
     page_rows = [r.asDict() for r in page_split_report(scored, page_attrs).collect()]
+    text_rows = [r.asDict() for r in text_metric_report(scored).collect()]
     result = {
         "edit_dist": {r["element_class"]: r for r in edit_rows},
         "teds": teds_row,
         "attributes": attr_rows,
         "page_split": page_rows,
+        "text_metrics": {r["group"]: r for r in text_rows},
         "overall": overall_score(edit_rows, teds_row),
     }
     scored.unpersist()

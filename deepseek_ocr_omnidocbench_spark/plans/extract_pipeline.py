@@ -66,9 +66,14 @@ def extract_any_udf():
 
 def stage_filter(pages: DataFrame) -> DataFrame:
     """F3 form-PDF drop + F4 language keep — pure predicates, pushed to
-    the scan by Catalyst (PushedFilters for ``lang`` on parquet)."""
+    the scan by Catalyst (PushedFilters for ``lang`` on parquet).
+
+    NULL html must flow through: ``~is_form_pdf(NULL)`` is SQL NULL and
+    where() would silently drop the row before stage_page_md's isNull()
+    routing and the lineage failure counters ever see it — coalesce to
+    keep NULL-blob rows."""
     return pages.where(language_keep(F.col("lang"), keep=("en", "zh", "de", None))
-                       & ~is_form_pdf(F.col("html")))
+                       & ~F.coalesce(is_form_pdf(F.col("html")), F.lit(False)))
 
 
 def stage_page_md(pages: DataFrame, salt_buckets: int = 0,

@@ -73,8 +73,17 @@ class IcebergStageCheckpoint:
         return {r["partition_id"] for r in rows}
 
     def run_stage(self, stage: str, inp: DataFrame, transform) -> DataFrame:
-        """Same per-bucket loop as the parquet protocol; each bucket is
-        one `append()` snapshot + one lineage row — both atomic."""
+        """Same per-bucket loop as the parquet protocol.
+
+        Idempotency: lineage is appended *after* the data commit, so a
+        crash between them re-runs the bucket on restart.  The data
+        write must therefore be a replace, not an append — the stage
+        table is partitioned by ``_bucket`` and each bucket commits via
+        ``overwritePartitions()``, which atomically swaps exactly that
+        bucket's partition.  Re-running a half-committed bucket replaces
+        its rows instead of duplicating them (the parquet protocol gets
+        the same property from tmp-write + atomic rename).
+        """
         import time
 
         table = f"{self.namespace}.{stage}"
@@ -84,9 +93,12 @@ class IcebergStageCheckpoint:
             t0 = time.monotonic()
             part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
             out = transform(part).withColumn("_bucket", F.lit(b))
-            out.writeTo(table).partitionedBy("_bucket").createOrReplace() \
-                if b == 0 and stage not in self._existing_tables() else \
-                out.writeTo(table).append()
+            # Create whenever absent (a retried bucket b != 0 may be the
+            # first writer if the table was dropped between runs).
+            if stage not in self._existing_tables():
+                out.writeTo(table).partitionedBy("_bucket").create()
+            else:
+                out.writeTo(table).overwritePartitions()
             n = self.spark.table(table).where(F.col("_bucket") == b).count()
             elapsed = time.monotonic() - t0
             self.spark.createDataFrame(

@@ -161,9 +161,11 @@ def _boilerplate_wrap(rng: random.Random, content: str) -> str:
     )
 
 
-def _mini_pdf(rng: random.Random) -> bytes:
-    """1-3 page uncompressed PDF with Td/Tf/Tj text — parseable by
-    pdf_extract.extract_pdf_markdown."""
+def _mini_pdf(rng: random.Random, compress: bool = False) -> bytes:
+    """1-3 page PDF with Td/Tf/Tj text — parseable by
+    pdf_extract.extract_pdf_markdown.  ``compress=True`` Flate-compresses
+    the content streams (the real-world CC shape); extraction output must
+    be byte-identical to the uncompressed twin."""
     n_pages = rng.randint(1, 3)
     pages_content = []
     for _ in range(n_pages):
@@ -178,14 +180,21 @@ def _mini_pdf(rng: random.Random) -> bytes:
 
     objs: list[bytes] = []
 
-    def add(body: str) -> int:
-        objs.append(body.encode("latin-1"))
+    def add(body) -> int:
+        objs.append(body if isinstance(body, bytes) else body.encode("latin-1"))
         return len(objs)
 
     kids = []
     content_ids = []
     for pc in pages_content:
-        cid = add("<< /Length %d >>\nstream\n%s\nendstream" % (len(pc), pc))
+        if compress:
+            import zlib
+
+            payload = zlib.compress(pc.encode("latin-1"))
+            cid = add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                      % (len(payload), payload))
+        else:
+            cid = add("<< /Length %d >>\nstream\n%s\nendstream" % (len(pc), pc))
         content_ids.append(cid)
     font_id = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_ids = []
@@ -237,7 +246,9 @@ def generate_pages(n_rows: int, seed: int = 42) -> list[dict]:
         ts = _EPOCH + dt.timedelta(seconds=seq * 137)
         lang = "zh" if category == "cjk" else ("de" if seq % 17 == 0 else "en")
         if category == "pdfish":
-            blob = _mini_pdf(rng)
+            # alternate compressed/uncompressed so the pipeline's pdfish
+            # path exercises FlateDecode (the real-world CC shape)
+            blob = _mini_pdf(rng, compress=(seq % 2 == 0))
             text = extract_pdf_markdown(blob) or ""
         elif category == "empty":
             blob = _boilerplate_wrap(rng, "").encode("utf-8")

@@ -48,9 +48,16 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     stream = read_pages_stream(spark, input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch replays a batch whose offsets weren't committed, so
+        # the write must be idempotent to keep the exactly-once claim:
+        # partition the sink by batch_id and dynamically overwrite only
+        # the replayed batch's partition instead of appending twice.
         docs = run_pipeline_inline(batch_df, salt_buckets=salt_buckets)
         (docs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(output_dir))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(output_dir))
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -65,13 +72,18 @@ def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str, watermark: str = "1 hour",
                  available_now: bool = True):
     """Streaming exact dedup: keep the first arrival per content hash
-    within the watermark horizon (state is bounded by the watermark —
-    the streaming analog of exact_dedup's groupBy)."""
+    within the watermark horizon (the streaming analog of exact_dedup's
+    groupBy).  Uses ``dropDuplicatesWithinWatermark`` — plain
+    ``dropDuplicates(["content_hash"])`` would ignore the watermark for
+    state eviction (the event-time column isn't in the subset) and keep
+    every hash forever, unbounded on a continuous crawl; the
+    within-watermark variant evicts each hash once it ages past the
+    watermark horizon, so state is truly bounded."""
     stream = read_pages_stream(spark, input_dir)
     deduped = (
         stream.withColumn("content_hash", F.md5(F.col("html")))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
     writer = (
         deduped.writeStream.format("parquet")

@@ -73,6 +73,48 @@ def test_lsh_jaccard_agrees_with_exact(docs):
             assert abs(exact[pair] - j) < 1e-9
 
 
+def test_ngram_jaccard_df_cap_adversarial(spark):
+    """10^3 docs share one stock sentence (a df=1000 posting list).  The
+    uncapped inverted index would emit ~5*10^5 join rows per stock
+    shingle; df_cap drops those shingles from candidate generation, and
+    full-array verification keeps every reported jaccard exact."""
+    stock = "all rights reserved contact us for details today"
+    rows = [(i, "en", f"unique page {i} body text number {i * 7} " * 3 + stock)
+            for i in range(1000)]
+    # plant one true near-dup pair that does NOT rely on stock shingles
+    rows.append((2000, "en", rows[0][2] + " tiny tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.collect()}
+    assert (0, 2000) in got
+    assert got == want  # result-identical: near-dups share non-stock shingles
+
+    # the capped plan's self-join input is bounded: no posting > df_cap
+    n_join_rows = 1000 * 999 // 2  # what the stock shingle alone would emit
+    assert capped.count() < n_join_rows
+
+
+def test_ngram_jaccard_candidates_param(docs):
+    """Verification restricted to LSH candidates equals the exact values
+    for those pairs (the 100 TB path: no all-pairs self-join)."""
+    cand = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    if cand.count() == 0:
+        pytest.skip("no near-dup pairs at this sf")
+    via_cand = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=0.0, candidates=cand).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, block_col="lang").collect()}
+    # exact blocks on lang; candidates may span langs — compare the overlap
+    shared = set(via_cand) & set(exact)
+    assert shared
+    for pair in shared:
+        assert abs(exact[pair] - via_cand[pair]) < 1e-9
+
+
 def test_ngram_jaccard_pair_count_matches_duckdb(docs):
     got = ngram_jaccard_pairs(docs, threshold=0.2).count()
     want = duckdb.sql(f"""

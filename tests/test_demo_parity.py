@@ -72,6 +72,23 @@ def test_regression_snapshot(demo_result):
     assert demo_result["overall"] == pytest.approx(71.0158, rel=1e-3)
 
 
+def test_text_metrics_on_demo(demo_result):
+    """BLEU + METEOR per element_class on the real demo pages (golden
+    snapshot).  text_block is CJK-heavy: 13a tokenization keeps each
+    Chinese run as one token (matching the reference's HF default), so
+    corpus BLEU rides the Latin samples while mean-sentence METEOR sits
+    low — both shapes mirror the reference's metric definitions."""
+    tm = demo_result["text_metrics"]
+    assert set(tm) >= {"text_block", "display_formula", "table"}
+    assert tm["text_block"]["n_samples"] == 237
+    assert tm["text_block"]["bleu"] == pytest.approx(0.471405, rel=1e-3)
+    assert tm["text_block"]["meteor"] == pytest.approx(0.119036, rel=1e-3)
+    assert tm["display_formula"]["bleu"] == pytest.approx(0.386014, rel=1e-3)
+    assert tm["display_formula"]["meteor"] == pytest.approx(0.726187, rel=1e-3)
+    assert tm["table"]["bleu"] == pytest.approx(0.842479, rel=1e-3)
+    assert tm["table"]["meteor"] == pytest.approx(0.866260, rel=1e-3)
+
+
 def test_attribute_report_has_real_labels(demo_result):
     labels = {r["attribute"] for r in demo_result["attributes"]}
     assert any("text_language" in label for label in labels)

@@ -50,6 +50,20 @@ def test_pdf_string_unescape():
     assert _unescape_pdf(r"tab\there") == "tab\there"
 
 
+def test_flate_compressed_twin_extracts_identically():
+    """A Flate-compressed content stream must extract byte-identically to
+    its uncompressed twin (real-world CC PDFs are all compressed)."""
+    plain = extract_pdf_markdown(_mini_pdf(random.Random("f:9")))
+    flate = extract_pdf_markdown(_mini_pdf(random.Random("f:9"), compress=True))
+    assert plain and flate == plain
+
+
+def test_flate_garbage_stream_is_skipped():
+    blob = (b"%PDF-1.4\n1 0 obj\n<< /Length 9 /Filter /FlateDecode >>\n"
+            b"stream\nnot-flate\nendstream\nendobj\n%%EOF")
+    assert extract_pdf_markdown(blob) == ""
+
+
 def test_determinism():
     rng1, rng2 = random.Random("s:5"), random.Random("s:5")
     assert extract_pdf_markdown(_mini_pdf(rng1)) == extract_pdf_markdown(_mini_pdf(rng2))
