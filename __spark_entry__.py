@@ -373,6 +373,78 @@ def q_meteor_by_source(spark, sf_dir):
     return d.groupBy("source").applyInPandas(_group, schema).orderBy("source")
 
 
+def _rule_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("url"), "text",
+                    F.regexp_extract("text", "[a-z]{4,}", 0).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+def q_rule_presence(spark, sf_dir):
+    """Rule-check operator (olmocr bench/tests.py port) on derived
+    presence/absence rules with exact-substring semantics, so DuckDB can
+    oracle the verdicts: present(first word) on even doc ids (passes),
+    present(reversed word) on odd ids (mostly fails), absent(word+'qz')
+    always holds — mixed verdicts, exact parity."""
+    from deepseek_ocr_omnidocbench_spark.operators.rule_checks import rule_checks
+
+    d = _rule_docs(spark, sf_dir)
+    pres_q = F.when(F.col("url").cast("long") % 2 == 0, F.col("w")) \
+        .otherwise(F.reverse("w"))
+    rules = (
+        d.select("url",
+                 F.concat(F.lit("p-"), F.col("url")).alias("rule_id"),
+                 F.lit("present").alias("rule_type"),
+                 F.to_json(F.struct(pres_q.alias("text"))).alias("params"))
+        .unionByName(
+            d.select("url",
+                     F.concat(F.lit("a-"), F.col("url")).alias("rule_id"),
+                     F.lit("absent").alias("rule_type"),
+                     F.to_json(F.struct(F.concat(F.col("w"), F.lit("qz"))
+                                        .alias("text"))).alias("params")))
+    )
+    out = rule_checks(d, rules, text_col="text", url_col="url")
+    return out.select("url", "rule_id", "rule_type",
+                      F.col("passed").cast("int").alias("passed")) \
+        .orderBy("rule_id")
+
+
+def q_rule_checks(spark, sf_dir):
+    """Full rule suite (present/absent/order/table/baseline) over the
+    documents table — per-type pass tallies.  Table rules run against a
+    synthesized pipe table per doc; baseline flags CJK docs (disallowed
+    charset) and short/empty docs, mirroring the reference's QA run."""
+    from deepseek_ocr_omnidocbench_spark.operators.rule_checks import rule_checks
+
+    d = _rule_docs(spark, sf_dir)
+    md = F.concat(F.lit("| h1 | h2 |\n| --- | --- |\n| "), F.col("w"),
+                  F.lit(" | x |\n\n"), F.col("text"))
+    d = d.withColumn("content", md)
+    last_w = F.regexp_extract("text", "([a-z]{4,})$", 1)
+    rules = None
+    for rid, rtype, params in [
+        ("order", "order", F.to_json(F.struct(
+            F.col("w").alias("before"),
+            F.coalesce(F.nullif(last_w, F.lit("")), F.col("w")).alias("after")))),
+        ("table", "table", F.to_json(F.struct(
+            F.col("w").alias("cell"), F.lit("h1").alias("top_heading")))),
+        ("baseline", "baseline", F.to_json(F.struct(F.lit(30).alias("max_repeats")))),
+        ("present", "present", F.to_json(F.struct(F.col("w").alias("text")))),
+    ]:
+        r = d.select("url", F.concat(F.lit(rid + "-"), F.col("url")).alias("rule_id"),
+                     F.lit(rtype).alias("rule_type"), params.alias("params"))
+        rules = r if rules is None else rules.unionByName(r)
+    out = rule_checks(d, rules, text_col="content", url_col="url")
+    return (
+        out.groupBy("rule_type")
+        .agg(F.count(F.lit(1)).alias("n_rules"),
+             F.sum(F.col("passed").cast("int")).alias("n_passed"))
+        .orderBy("rule_type")
+    )
+
+
 def q_extract_pipeline(spark, sf_dir):
     """North-star pipeline end-to-end on deterministic synthetic pages:
     filter -> sniff/extract/explode -> assemble with page spans.  Returns
@@ -533,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontmatter_parse": q_frontmatter_parse,
         "bleu_by_source": q_bleu_by_source,
         "meteor_by_source": q_meteor_by_source,
+        "rule_presence": q_rule_presence,
+        "rule_checks": q_rule_checks,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -634,6 +708,24 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "rule_presence": """
+            with d as (
+              select cast(doc_id as varchar) as url, text,
+                     regexp_extract(text, '[a-z]{4,}') as w
+              from documents
+              where regexp_extract(text, '[a-z]{4,}') <> ''
+            ),
+            r as (
+              select url, 'p-' || url as rule_id, 'present' as rule_type,
+                     (strpos(text, case when cast(url as bigint) % 2 = 0
+                                        then w else reverse(w) end) > 0)::int
+                       as passed from d
+              union all
+              select url, 'a-' || url as rule_id, 'absent' as rule_type,
+                     (strpos(text, w || 'qz') = 0)::int as passed from d
+            )
+            select url, rule_id, rule_type, passed from r order by rule_id
         """,
         "doc_stats_by_lang": """
             select lang, count(*) as n_docs, round(avg(n_chars), 6) as avg_chars,

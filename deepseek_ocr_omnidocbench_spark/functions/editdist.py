@@ -160,6 +160,36 @@ def windowed_distances(text: str, pattern: str) -> np.ndarray:
     return prev[:, lp]
 
 
+def windowed_indel_distances(text: str, pattern: str) -> np.ndarray:
+    """Indel distance (no substitutions; sub = delete+insert = cost 2)
+    of ``pattern`` vs every fixed-length window of ``text``.
+
+    rapidfuzz's fuzz.partial_ratio scores each candidate window with the
+    indel ratio (|a|+|b|-d)/(|a|+|b|); this supplies d for all windows
+    in one batched DP (same prefix-min trick as windowed_distances,
+    still valid because insertions cost 1)."""
+    lp = len(pattern)
+    n_win = len(text) - lp + 1
+    if n_win <= 0 or lp == 0:
+        return np.empty(0, dtype=np.int64)
+    t = _encode(text)
+    windows = np.lib.stride_tricks.sliding_window_view(t, lp)
+    p = _encode(pattern)
+    idx = np.arange(lp + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (n_win, lp + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, lp + 1):
+        pi = p[i - 1]
+        cur[:, 0] = i
+        np.minimum(prev[:, :-1] + 2 * (windows != pi), prev[:, 1:] + 1,
+                   out=cur[:, 1:])
+        cur -= idx
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return prev[:, lp]
+
+
 def norm_edit(a: Sequence, b: Sequence) -> float:
     """Levenshtein / max(len) — the reference's normalized distance.
 
