@@ -253,9 +253,24 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint cardinality per doc — oracle-checked: the
+    rolling polynomial hash + window-argmin selection is replicated in
+    DuckDB list comprehensions (consecutive-dedupe == distinct because
+    the selected argmin index is non-decreasing as the window slides)."""
     docs = _docs(spark, sf_dir)
     return docs.select(
-        "doc_id", F.size(TS.fingerprint_udf()(F.col("text"))).alias("n_fingerprints"))
+        "doc_id",
+        F.size(TS.fingerprint_udf()(F.col("text"))).alias("n_fingerprints")
+    ).orderBy("doc_id")
+
+
+def q_simhash_oracle(spark, sf_dir):
+    """SimHash kernel with the md5-derived word hash DuckDB replicates
+    exactly (16 bits keeps the oracle SQL readable; production
+    simhash_near_pairs keeps xxhash64/64-bit)."""
+    docs = _docs(spark, sf_dir)
+    sim = D.simhash_col(F.col("text"), bits=16, hash_fn=D.md5_hash64)
+    return docs.select("doc_id", sim.alias("simhash16")).orderBy("doc_id")
 
 
 def q_extraction_roundtrip(spark, sf_dir):
@@ -607,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meteor_by_source": q_meteor_by_source,
         "rule_presence": q_rule_presence,
         "rule_checks": q_rule_checks,
+        "simhash_oracle": q_simhash_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -708,6 +724,49 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "fingerprints": """
+            with t as (select doc_id, text, length(text) as n from documents),
+            hs as (
+              select doc_id,
+                [list_reduce(
+                   [ord(substring(text, i + p + 1, 1))::hugeint
+                    for p in range(0, 8)],
+                   (a, c) -> (a * 257 + c) % 2305843009213693951)
+                 for i in range(0, greatest(n - 7, 0))] as hl
+              from t
+            ),
+            sel as (
+              select doc_id,
+                case when len(hl) >= 4 then
+                  list_distinct(
+                    [i + list_position(hl[i+1 : i+4], list_min(hl[i+1 : i+4]))
+                     for i in range(0, len(hl) - 3)])
+                else [] end as js
+              from hs
+            )
+            select doc_id, len(js)::int as n_fingerprints
+            from sel order by doc_id
+        """,
+        "simhash_oracle": f"""
+            with w as (
+              select doc_id, unnest({_AZ09_WORDS}) as word from documents
+            ),
+            h as (select doc_id,
+                         ('0x' || substr(md5(word), 1, 15))::bigint as hv
+                  from w),
+            v as (
+              select doc_id, bit,
+                     sum(case when (hv >> bit) & 1 = 1 then 1 else -1 end) as vote
+              from h cross join (select unnest(range(16)) as bit) b
+              group by doc_id, bit
+            ),
+            s as (select doc_id,
+                         sum(case when vote > 0 then (1::bigint << bit)
+                             else 0 end)::bigint as simhash16
+                  from v group by doc_id)
+            select d.doc_id, coalesce(s.simhash16, 0)::bigint as simhash16
+            from documents d left join s using (doc_id) order by d.doc_id
         """,
         "rule_presence": """
             with d as (

@@ -233,13 +233,24 @@ def _verify_pairs(cand: DataFrame, base: DataFrame, id_col: str,
     )
 
 
-def simhash_votes(text: Column, bits: int = 64) -> Column:
+def md5_hash64(col: Column, bits: int = 60) -> Column:
+    """Word hash DuckDB can replicate exactly: first 15 hex chars of md5
+    parsed as a 60-bit long.  Production paths use xxhash64 (faster,
+    JVM-native); this variant exists so oracle-facing queries keep full
+    value parity — DuckDB: ('0x' || substr(md5(w),1,15))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast("long")
+
+
+def simhash_votes(text: Column, bits: int = 64, hash_fn=None) -> Column:
     """Per-bit majority votes for SimHash, one pass over the words.
 
     aggregate(words) with an array<long> accumulator: each word's hash
     contributes +1/-1 per bit (bit positions are Python literals, so
-    every shift amount is a constant — shiftright requires that)."""
+    every shift amount is a constant — shiftright requires that).
+    ``hash_fn`` swaps the word hash (default xxhash64; md5_hash64 for
+    oracle parity)."""
     words = normalized_words(text)
+    hash_fn = hash_fn or F.xxhash64
 
     def _sign_bits(h: Column) -> Column:
         return F.array(*[
@@ -249,7 +260,7 @@ def simhash_votes(text: Column, bits: int = 64) -> Column:
         ])
 
     return F.aggregate(
-        F.transform(words, lambda w: F.xxhash64(w)),
+        F.transform(words, lambda w: hash_fn(w)),
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, h: F.zip_with(acc, _sign_bits(h), lambda a, v: a + v),
     )
@@ -266,11 +277,11 @@ def pack_simhash(votes: Column, bits: int = 64) -> Column:
     return out
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
+def simhash_col(text: Column, bits: int = 64, hash_fn=None) -> Column:
     """Convenience single-expression SimHash.  Prefer the two-step
     (simhash_votes as a named column, then pack_simhash) in real plans —
     it keeps the vote aggregate from being duplicated per bit."""
-    return pack_simhash(simhash_votes(text, bits), bits)
+    return pack_simhash(simhash_votes(text, bits, hash_fn), bits)
 
 
 def simhash_table(docs: DataFrame, text_col: str = "text",

@@ -31,10 +31,15 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    -> (query_id, neighbor_id, cosine, rank).  ``queries`` is broadcast;
-    the corpus side never shuffles until the final per-query top-k
-    (k rows per query survive the map side thanks to the window over a
-    broadcast-joined, partition-local sort at AQE's discretion)."""
+    -> (query_id, neighbor_id, cosine, rank).  Two-stage top-k:
+    ``queries`` is broadcast and scoring is partition-local; a
+    mapInPandas stage truncates each partition to its local top-k per
+    query BEFORE any shuffle (global top-k ⊆ union of local top-k's, so
+    this is exact), and the final window ranks only P*k rows per query.
+    A single window over the raw scores would drag every corpus score
+    for one query into one task — the 100 TB killer this avoids."""
+    import pandas as pd
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     scored = (
         embeddings.alias("c")
@@ -45,8 +50,20 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             cosine_sim(F.col("qvec"), F.col(vec_col)).alias("cosine"),
         )
     )
+
+    def _local_topk(it):
+        best = None
+        for pdf in it:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            best = (cur.sort_values(["query_id", "cosine", "neighbor_id"],
+                                    ascending=[True, False, True])
+                    .groupby("query_id", sort=False).head(k))
+        if best is not None and len(best):
+            yield best
+
+    local = scored.mapInPandas(_local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
