@@ -438,15 +438,19 @@ def q_rule_checks(spark, sf_dir):
                   F.lit(" | x |\n\n"), F.col("text"))
     d = d.withColumn("content", md)
     last_w = F.regexp_extract("text", "([a-z]{4,})$", 1)
+    odd = F.col("url").cast("long") % 2 == 1
     rules = None
     for rid, rtype, params in [
+        # odd ids get rules designed to fail -> mixed verdicts per type
         ("order", "order", F.to_json(F.struct(
-            F.col("w").alias("before"),
+            F.when(odd, F.reverse("w")).otherwise(F.col("w")).alias("before"),
             F.coalesce(F.nullif(last_w, F.lit("")), F.col("w")).alias("after")))),
         ("table", "table", F.to_json(F.struct(
-            F.col("w").alias("cell"), F.lit("h1").alias("top_heading")))),
-        ("baseline", "baseline", F.to_json(F.struct(F.lit(30).alias("max_repeats")))),
-        ("present", "present", F.to_json(F.struct(F.col("w").alias("text")))),
+            F.col("w").alias("cell"),
+            F.when(odd, F.lit("h2")).otherwise(F.lit("h1")).alias("top_heading")))),
+        ("baseline", "baseline", F.to_json(F.struct(F.lit(2).alias("max_repeats")))),
+        ("present", "present", F.to_json(F.struct(
+            F.when(odd, F.reverse("w")).otherwise(F.col("w")).alias("text")))),
     ]:
         r = d.select("url", F.concat(F.lit(rid + "-"), F.col("url")).alias("rule_id"),
                      F.lit(rtype).alias("rule_type"), params.alias("params"))
@@ -644,6 +648,8 @@ _WORDS_EXPR = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(
 _AZ09_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 _EN_STOP = "['the','and','of','to','in','is','that','for','with','as','on']"
 _DE_STOP = "['der','die','das','und','ist','nicht','mit','ein','eine','zu','den']"
+_ES_STOP = "['el','los','las','una','es','por','con','para','del','como','su']"
+_FR_STOP = "['le','les','des','et','est','pour','avec','dans','du','sur','au']"
 _SEO = ("['download','pdf','epub','mobi','free','ebook','file','save',"
         "'casino','viagra','cialis','ciprofloxacin']")
 _SHINGLES = (
@@ -670,11 +676,15 @@ def oracle_sql() -> dict[str, str]:
               select doc_id, length(text) as n,
                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) as cjk,
                 len(list_filter({_WORDS_EXPR}, w -> list_contains({_EN_STOP}, w))) as en_hits,
-                len(list_filter({_WORDS_EXPR}, w -> list_contains({_DE_STOP}, w))) as de_hits
+                len(list_filter({_WORDS_EXPR}, w -> list_contains({_DE_STOP}, w))) as de_hits,
+                len(list_filter({_WORDS_EXPR}, w -> list_contains({_ES_STOP}, w))) as es_hits,
+                len(list_filter({_WORDS_EXPR}, w -> list_contains({_FR_STOP}, w))) as fr_hits
               from documents)
             select doc_id,
               case when n = 0 then 'unknown'
                    when cjk / n > 0.05 then 'zh'
+                   when fr_hits > greatest(en_hits, de_hits, es_hits) then 'fr'
+                   when es_hits > greatest(en_hits, de_hits) then 'es'
                    when de_hits > en_hits then 'de'
                    when en_hits > 0 then 'en'
                    else 'unknown' end as lang_pred

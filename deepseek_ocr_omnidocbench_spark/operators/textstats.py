@@ -20,6 +20,10 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as", "on"]
 DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den"]
+# distinctive-only lists (no overlap with each other or en/de) so the
+# argmax cascade stays deterministic
+ES_STOPWORDS = ["el", "los", "las", "una", "es", "por", "con", "para", "del", "como", "su"]
+FR_STOPWORDS = ["le", "les", "des", "et", "est", "pour", "avec", "dans", "du", "sur", "au"]
 SEO_WORDS = ["download", "pdf", "epub", "mobi", "free", "ebook", "file", "save",
              "casino", "viagra", "cialis", "ciprofloxacin"]  # filter.py:36-50
 SPAM_THRESHOLD = 0.004  # filter.py:20
@@ -37,16 +41,23 @@ def token_count_cols(text: Column) -> dict[str, Column]:
 
 
 def lang_id_col(text: Column) -> Column:
-    """N-gram/stopword heuristic language ID: zh via CJK density, else
-    en/de by stopword hits (the cheap stand-in for lingua, filter.py:101-105)."""
+    """Stopword-profile heuristic language ID: zh via CJK density, then
+    a deterministic hit-count cascade over en/de/es/fr profiles (the
+    cheap stand-in for the reference's lingua detector,
+    olmocr/filter/filter.py:101-105 — detection quality is profile-
+    table-limited; the reference's detector covers ~75 languages)."""
     n = F.length(text)
     cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
     words = _word_array(text)
     en_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
     de_hits = F.size(F.filter(words, lambda w: w.isin(DE_STOPWORDS)))
+    es_hits = F.size(F.filter(words, lambda w: w.isin(ES_STOPWORDS)))
+    fr_hits = F.size(F.filter(words, lambda w: w.isin(FR_STOPWORDS)))
     return (
         F.when(n == 0, F.lit("unknown"))
         .when(cjk / n > 0.05, F.lit("zh"))
+        .when(fr_hits > F.greatest(en_hits, de_hits, es_hits), F.lit("fr"))
+        .when(es_hits > F.greatest(en_hits, de_hits), F.lit("es"))
         .when(de_hits > en_hits, F.lit("de"))
         .when(en_hits > 0, F.lit("en"))
         .otherwise(F.lit("unknown"))

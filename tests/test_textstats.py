@@ -41,10 +41,12 @@ def test_lang_id_basics(spark):
         [("the cat is on the mat and that is that",),
          ("der hund ist nicht mit der katze",),
          ("数据处理分布式系统文档提取标题段落表格公式",),
+         ("el gato corre por el parque con su dueño y los perros",),
+         ("le chat est dans la maison et les chiens courent avec leur maître",),
          ("",)],
         ["text"])
     rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
-    assert rows == ["en", "de", "zh", "unknown"]
+    assert rows == ["en", "de", "zh", "es", "fr", "unknown"]
 
 
 def test_analyze_documents_ranges(docs):
