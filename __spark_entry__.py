@@ -264,6 +264,18 @@ def q_fingerprints(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_minhash_lsh_oracle(spark, sf_dir):
+    """Full MinHash-LSH pipeline (signatures -> band buckets -> candidate
+    join -> exact-jaccard verify) with the md5-derived hash DuckDB
+    replicates — the whole banded dedup dataflow under the value-parity
+    gate (k=8, bands=4; production keeps xxhash64/k=16)."""
+    docs = _docs(spark, sf_dir)
+    out = D.lsh_candidate_pairs(docs, k=8, bands=4, hash_fn=D.md5_hash64)
+    return out.select("doc_a", "doc_b",
+                      F.round("jaccard", R).alias("jaccard")) \
+        .orderBy("doc_a", "doc_b")
+
+
 def q_simhash_oracle(spark, sf_dir):
     """SimHash kernel with the md5-derived word hash DuckDB replicates
     exactly (16 bits keeps the oracle SQL readable; production
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_presence": q_rule_presence,
         "rule_checks": q_rule_checks,
         "simhash_oracle": q_simhash_oracle,
+        "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -757,6 +770,44 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, len(js)::int as n_fingerprints
             from sel order by doc_id
+        """,
+        "minhash_lsh_oracle": f"""
+            with base as (
+              select doc_id, {_SHINGLES} as sh
+              from (select doc_id, {_AZ09_WORDS} as w, text from documents)
+            ),
+            sig as (
+              select doc_id, sh,
+                [coalesce(
+                   list_min([('0x' || substr(md5(cast(7 + i as varchar)
+                                                 || ',' || s), 1, 15))::bigint
+                             for s in sh]),
+                   4611686018427387904) for i in range(8)] as sig
+              from base
+            ),
+            banded as (
+              select doc_id, b.band,
+                ('0x' || substr(md5(cast(sig[2*b.band + 1] as varchar) || ','
+                                   || cast(sig[2*b.band + 2] as varchar)),
+                                1, 15))::bigint as bucket
+              from sig cross join (select unnest(range(4)) as band) b
+            ),
+            cand as (
+              select distinct a.doc_id as doc_a, b2.doc_id as doc_b
+              from banded a
+              join banded b2 on a.band = b2.band and a.bucket = b2.bucket
+              where a.doc_id < b2.doc_id
+            ),
+            j as (
+              select doc_a, doc_b,
+                round(len(list_intersect(sa.sh, sb.sh))::double /
+                      (len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh))), 6) as jaccard
+              from cand
+              join base sa on sa.doc_id = cand.doc_a
+              join base sb on sb.doc_id = cand.doc_b
+            )
+            select doc_a, doc_b, jaccard from j order by doc_a, doc_b
         """,
         "simhash_oracle": f"""
             with w as (

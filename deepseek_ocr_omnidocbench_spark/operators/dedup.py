@@ -59,19 +59,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 16,
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7, hash_fn=None) -> DataFrame:
     """(id, shingles, sig array<long>).
 
     Computed via explode -> groupBy with k flat ``min`` aggregates
     rather than k nested ``aggregate`` lambdas over the array: identical
     values, but flat aggregates stay in vectorized hash-agg codegen
     (the lambda-tree version spent its time in codegen + interpreted
-    array traversal — ~4x slower at sf0.1)."""
+    array traversal — ~4x slower at sf0.1).
+
+    ``hash_fn`` swaps the seeded shingle hash: default is
+    xxhash64(s, seed+i) (production); pass md5_hash64 for the
+    DuckDB-replicable variant, which hashes '<seed+i>,<shingle>'."""
     base = docs.select(id_col, word_shingles(F.col(text_col)).alias("shingles"))
     ex = base.select(id_col, F.explode("shingles").alias("s"))
     empty_sig = F.lit(2 ** 62).cast("long")
+    if hash_fn is None:
+        def _h(i):
+            return F.xxhash64("s", F.lit(seed + i))
+    else:
+        def _h(i):
+            return hash_fn(F.concat(F.lit("%d," % (seed + i)), F.col("s")))
     aggs = [
-        F.min(F.pmod(F.xxhash64("s", F.lit(seed + i)), F.lit(MERSENNE))).alias("h%d" % i)
+        F.min(F.pmod(_h(i), F.lit(MERSENNE))).alias("h%d" % i)
         for i in range(k)
     ]
     sigs = ex.groupBy(id_col).agg(*aggs).select(
@@ -85,18 +95,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 16,
-                        bands: int = 4) -> DataFrame:
+                        bands: int = 4, hash_fn=None) -> DataFrame:
     """MinHash-LSH near-dup candidates -> verified n-gram Jaccard.
 
-    -> (doc_a, doc_b, jaccard).  Pairs are emitted once (a < b)."""
+    -> (doc_a, doc_b, jaccard).  Pairs are emitted once (a < b).
+    ``hash_fn`` swaps both the shingle hash and the band-bucket hash
+    (md5_hash64 gives the DuckDB-replicable variant)."""
     rows_per_band = k // bands
+    bucket_hash = hash_fn or F.xxhash64
     # localCheckpoint instead of cache(): the signature scan is reused by
     # the band explode and both verify joins, but an explicit cache here
     # would outlive the call (nobody unpersists it) and accumulate
     # shingle arrays in executor storage across a long session.  An
     # eager localCheckpoint materializes once and its blocks are released
     # by the ContextCleaner when the returned plan is garbage-collected.
-    sigs = minhash_signatures(docs, text_col, id_col, k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs, text_col, id_col, k,
+                              hash_fn=hash_fn).localCheckpoint(eager=True)
     # candidate generation carries ONLY (id, band, bucket): the shingle
     # arrays would otherwise ride through the band explode, the pair
     # join, and the dedup shuffle (measured 3x slower at sf0.1)
@@ -107,7 +121,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.concat_ws(
+                    bucket_hash(F.concat_ws(
                         ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band),
                                          lambda v: v.cast("string"))
                     )).alias("bucket"),
