@@ -276,6 +276,66 @@ def q_minhash_lsh_oracle(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
+def q_embedding_srp_oracle(spark, sf_dir):
+    """SRP-banded embedding near-dups (the unlabeled 100 TB path) under
+    the value-parity gate: hyperplanes are deterministic literals, so
+    DuckDB reproduces bucket bits and cosines bit-exactly (left-fold
+    sums on both sides)."""
+    emb = _emb(spark, sf_dir)
+    out = S.embedding_near_dups_srp(emb, dim=64, threshold=0.3,
+                                    n_planes=8, n_bands=4)
+    return out.select("vec_a", "vec_b",
+                      F.round("cosine", R).alias("cosine")) \
+        .orderBy("vec_a", "vec_b")
+
+
+def _srp_oracle_sql(dim: int = 64, n_planes: int = 8, n_bands: int = 4,
+                    threshold: float = 0.3) -> str:
+    """DuckDB mirror of embedding_near_dups_srp: every dot product is an
+    explicit left-associated 64-term sum, the same fold order Spark's
+    aggregate() uses, so signs and cosines match bit-for-bit."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
+    def dot_lit(vec_expr: str, plane: list) -> str:
+        return " + ".join("%s[%d] * %s" % (vec_expr, i + 1, repr(x))
+                          for i, x in enumerate(plane))
+
+    band_exprs = []
+    for b in range(n_bands):
+        planes = deterministic_planes(dim, n_planes, seed=13 + b)
+        bits = ["(case when (%s) >= 0 then 1 else 0 end)" % dot_lit("e", p)
+                for p in planes]
+        bucket = " + ".join("%s * %d" % (bit, 1 << (n_planes - 1 - i))
+                            for i, bit in enumerate(bits))
+        band_exprs.append(
+            "select vec_id, %d as band, (%s)::bigint as bucket from v" % (b, bucket))
+
+    dot_vv = " + ".join("va[%d] * vb[%d]" % (i, i) for i in range(1, dim + 1))
+    norm = lambda e: "sqrt(%s)" % " + ".join(  # noqa: E731
+        "%s[%d] * %s[%d]" % (e, i, e, i) for i in range(1, dim + 1))
+    return f"""
+        with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+        banded as ({" union all ".join(band_exprs)}),
+        cand as (
+          select distinct a.vec_id as vec_a, b.vec_id as vec_b
+          from banded a join banded b on a.band = b.band and a.bucket = b.bucket
+          where a.vec_id < b.vec_id
+        ),
+        p as (
+          select vec_a, vec_b, va.e as va, vb.e as vb
+          from cand join v va on va.vec_id = cand.vec_a
+                    join v vb on vb.vec_id = cand.vec_b
+        ),
+        c as (select vec_a, vec_b,
+                     ({dot_vv}) / ({norm("va")} * {norm("vb")}) as cosine
+              from p)
+        select vec_a, vec_b, round(cosine, 6) as cosine
+        from c where cosine >= {threshold} order by vec_a, vec_b
+    """
+
+
 def q_simhash_oracle(spark, sf_dir):
     """SimHash kernel with the md5-derived word hash DuckDB replicates
     exactly (16 bits keeps the oracle SQL readable; production
@@ -640,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_checks": q_rule_checks,
         "simhash_oracle": q_simhash_oracle,
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
+        "embedding_srp_oracle": q_embedding_srp_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -771,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, len(js)::int as n_fingerprints
             from sel order by doc_id
         """,
+        "embedding_srp_oracle": _srp_oracle_sql(),
         "minhash_lsh_oracle": f"""
             with base as (
               select doc_id, {_SHINGLES} as sh
