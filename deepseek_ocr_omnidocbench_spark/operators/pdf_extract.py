@@ -13,10 +13,12 @@ and serializes markdown: large-font lines become headings.
 
 /FlateDecode content streams are inflated with stdlib zlib before
 parsing (virtually every real-world PDF compresses its content streams
-— the reference gets this via pypdf, anchor.py:129-159).  Other filters
-(DCT/LZW/ASCII85), fonts and images remain out of scope (the container
-has no pypdf/pymupdf): anything non-parsable extracts as "" rather than
-erroring, and real-deployment rasterize+OCR is stubbed in multimodal.py.
+— the reference gets this via pypdf, anchor.py:129-159); /LZWDecode is
+a from-scratch PDF-variant LZW (early-change codes, 9-12 bit), and
+/ASCIIHexDecode is binascii.  Remaining filters (DCT/ASCII85/RunLength),
+fonts and images are out of scope (the container has no pypdf/pymupdf):
+anything non-parsable extracts as "" rather than erroring, and
+real-deployment rasterize+OCR is stubbed in multimodal.py.
 
 random.shuffle in the reference's anchor sampler (anchor.py:342) is
 replaced by this fully deterministic ordering (SURVEY §2.8 R4).
@@ -129,23 +131,79 @@ def _layout_to_markdown(elements: list[tuple[float, float, float, str]]) -> str:
     return "\n\n".join(blocks)
 
 
+def _lzw_decode(data: bytes) -> Optional[bytes]:
+    """PDF-variant LZW (ISO 32000 §7.4.4): 9->12-bit codes with
+    early-change, code 256 = clear table, 257 = EOD."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (acc >> bits) & ((1 << width) - 1)
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # early-change: width grows one code before the table fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
-    """Stream bytes for a ``_STREAM_RE`` match, inflated when the owning
-    object dict declares /FlateDecode.  The dict is the window between
-    the previous ``endstream`` (or buffer start) and this ``stream``
-    keyword — nested dicts (/DecodeParms) stay inside that window, so a
-    plain substring probe is exact enough here."""
+    """Stream bytes for a ``_STREAM_RE`` match, decoded per the owning
+    object dict's /Filter (Flate, LZW, ASCIIHex supported).  The dict is
+    the window between the previous ``endstream`` (or buffer start) and
+    this ``stream`` keyword — nested dicts (/DecodeParms) stay inside
+    that window, so a plain substring probe is exact enough here."""
     raw = m.group(1)
     head = data[max(0, m.start() - 512):m.start()]
     prev_end = head.rfind(b"endstream")
     if prev_end != -1:
         head = head[prev_end:]
+    if b"/ASCIIHexDecode" in head:
+        import binascii
+
+        hexpart = raw.split(b">")[0]
+        hexpart = re.sub(rb"\s+", b"", hexpart)
+        if len(hexpart) % 2:
+            hexpart += b"0"
+        try:
+            raw = binascii.unhexlify(hexpart)
+        except (binascii.Error, ValueError):
+            return None
     if b"/FlateDecode" in head:
         # decompressobj tolerates the trailing EOL the regex captured
         try:
             return zlib.decompressobj().decompress(raw)
         except zlib.error:
             return None
+    if b"/LZWDecode" in head:
+        return _lzw_decode(raw)
+    if b"/ASCIIHexDecode" in head:
+        return raw
     return raw.rstrip(b"\r\n")
 
 

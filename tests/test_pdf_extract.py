@@ -58,6 +58,73 @@ def test_flate_compressed_twin_extracts_identically():
     assert plain and flate == plain
 
 
+def _pdf_lzw_encode(data: bytes) -> bytes:
+    """PDF-variant LZW encoder (test-side twin of _lzw_decode): clear
+    code first, early-change width bumps, EOD terminator."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    chunks = [(256, 9)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        chunks.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        chunks.append((table[w], width))
+    chunks.append((257, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, cw in chunks:
+        acc = (acc << cw) | code
+        bits += cw
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _one_stream_pdf(payload: bytes, filt: str) -> bytes:
+    return (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(payload)).encode()
+            + (" /Filter /%s >>\n" % filt).encode()
+            + b"stream\n" + payload + b"\nendstream\nendobj\n%%EOF")
+
+
+CONTENT = b"BT\n/F1 12 Tf\n72 700 Td\n(lzw works here) Tj\nET"
+
+
+def test_lzw_stream_extracts():
+    blob = _one_stream_pdf(_pdf_lzw_encode(CONTENT), "LZWDecode")
+    assert extract_pdf_markdown(blob) == "lzw works here"
+
+
+def test_lzw_roundtrips_across_width_bumps():
+    import random as _r
+
+    from deepseek_ocr_omnidocbench_spark.operators.pdf_extract import _lzw_decode
+
+    rng = _r.Random(5)
+    for n in (0, 1, 300, 2500, 6000):
+        data = bytes(rng.choice(b"abcdef ()BT") for _ in range(n))
+        assert _lzw_decode(_pdf_lzw_encode(data)) == data
+
+
+def test_asciihex_stream_extracts():
+    import binascii
+
+    payload = binascii.hexlify(CONTENT) + b">"
+    blob = _one_stream_pdf(payload, "ASCIIHexDecode")
+    assert extract_pdf_markdown(blob) == "lzw works here"
+
+
 def test_flate_garbage_stream_is_skipped():
     blob = (b"%PDF-1.4\n1 0 obj\n<< /Length 9 /Filter /FlateDecode >>\n"
             b"stream\nnot-flate\nendstream\nendobj\n%%EOF")
