@@ -6,10 +6,11 @@ for scale:
 
 * Exact dedup: one shuffle on the content hash; survivor = min doc_id
   via window — no collect, no skew (hash keys are uniform).
-* MinHash signatures are pure Column expressions (xxhash64 + aggregate
-  over the shingle array — stays in codegen).  LSH bands explode to
-  (band_idx, band_hash) and group: candidate generation is one shuffle
-  whose key cardinality grows with corpus size, not pairs².
+* MinHash signatures are pure Column/window expressions (posexplode +
+  window leads -> flat min-aggregates — stays in codegen; one exchange
+  shared by the window and the aggregation).  LSH bands unroll to flat
+  (band_idx, band_hash) expressions: candidate generation is one
+  shuffle whose key cardinality grows with corpus size, not pairs².
 * Verification joins candidates back to shingle sets and computes exact
   Jaccard with array_intersect/array_union — native.
 """
@@ -63,11 +64,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        seed: int = 7, hash_fn=None) -> DataFrame:
     """(id, shingles, sig array<long>).
 
-    Computed via explode -> groupBy with k flat ``min`` aggregates
-    rather than k nested ``aggregate`` lambdas over the array: identical
+    Signatures come from a groupBy with k flat ``min`` aggregates
+    rather than k nested ``aggregate`` lambdas over an array: identical
     values, but flat aggregates stay in vectorized hash-agg codegen
-    (the lambda-tree version spent its time in codegen + interpreted
-    array traversal — ~4x slower at sf0.1).
+    (the lambda-tree version measured ~4x slower at sf0.1).
 
     ``hash_fn`` swaps the seeded shingle hash: default is
     xxhash64(s, seed+i) (production); pass md5_hash64 for the
