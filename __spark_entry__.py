@@ -155,6 +155,22 @@ def q_seo_spam(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style webtext quality gate (Rae et al. 2021 §A1.1): each
+    rule as its own int column + the conjunction, value-parity oracled."""
+    docs = _docs(spark, sf_dir)
+    cols = TS.gopher_rules_cols(F.col("text"))
+    rules = ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_bullet_ratio", "r_alpha_words", "r_stopwords", "gopher_pass")
+    return docs.select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        F.round(cols["mean_word_len"], R).alias("mean_word_len"),
+        F.round(cols["alpha_word_ratio"], R).alias("alpha_word_ratio"),
+        *[cols[r].cast("int").alias(r) for r in rules],
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = D.ngram_jaccard_pairs(docs, threshold=0.2)
@@ -687,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "seo_spam": q_seo_spam,
+        "gopher_rules": q_gopher_rules,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
@@ -811,6 +828,57 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "gopher_rules": f"""
+            with t as (
+              select doc_id, text,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) as words,
+                list_filter(string_split_regex(text, '\\n'),
+                            l -> len(trim(l)) > 0) as lines
+              from documents),
+            u as (
+              select doc_id,
+                len(words) as n_words,
+                case when len(words) > 0
+                  then len(array_to_string(words, ''))::double / len(words)
+                  else 0.0 end as mean_word_len,
+                case when len(words) > 0
+                  then ((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3)
+                       / len(words)
+                  else 0.0 end as symbol_word_ratio,
+                case when len(lines) > 0
+                  then len(list_filter(lines,
+                           l -> regexp_matches(trim(l), '^[-*•]')))::double
+                       / len(lines)
+                  else 0.0 end as bullet_line_ratio,
+                case when len(words) > 0
+                  then len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]')))::double
+                       / len(words)
+                  else 0.0 end as alpha_word_ratio,
+                len(list_filter(words,
+                                w -> list_contains({_EN_STOP}, lower(w))))
+                  as stop_hits
+              from t)
+            select doc_id, n_words,
+              round(mean_word_len, 6) as mean_word_len,
+              round(alpha_word_ratio, 6) as alpha_word_ratio,
+              (n_words >= 50 and n_words <= 100000)::int as r_word_count,
+              (mean_word_len >= 3.0 and mean_word_len <= 10.0)::int
+                as r_mean_word_len,
+              (symbol_word_ratio <= 0.1)::int as r_symbol_ratio,
+              (bullet_line_ratio <= 0.9)::int as r_bullet_ratio,
+              (alpha_word_ratio >= 0.8)::int as r_alpha_words,
+              (stop_hits >= 2)::int as r_stopwords,
+              ((n_words >= 50 and n_words <= 100000)
+               and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+               and (symbol_word_ratio <= 0.1)
+               and (bullet_line_ratio <= 0.9)
+               and (alpha_word_ratio >= 0.8)
+               and (stop_hits >= 2))::int as gopher_pass
+            from u order by doc_id
         """,
         "fingerprints": """
             with t as (select doc_id, text, length(text) as n from documents),

@@ -94,6 +94,66 @@ def quality_cols(text: Column) -> dict[str, Column]:
     }
 
 
+def gopher_rules_cols(text: Column,
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_word_ratio: float = 0.1,
+                      max_bullet_line_ratio: float = 0.9,
+                      min_alpha_word_ratio: float = 0.8,
+                      min_stop_hits: int = 2) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    pure Columns — the standard repetition-free webtext gate applied by
+    most public corpus pipelines.  Each rule is its own boolean column
+    so a corpus report can explain WHY a document failed;
+    ``gopher_pass`` is the conjunction.
+
+    Words are WHITESPACE tokens (numerals and symbols count as words),
+    as in the paper — a letters-only tokenizer would make the
+    alpha-word rule vacuous.  Mean word length is sum(len(word))/n via
+    length(concat_ws('', words)) — flat expressions, no per-word lambda
+    arithmetic."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    sum_word_len = F.length(F.concat_ws("", words))
+    mean_wl = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipses = (F.length(text)
+                - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.when(n_words > 0,
+                          (hashes + ellipses) / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(text, r"\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    bullet_ratio = F.when(n_lines > 0,
+                          bullet_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.when(n_words > 0,
+                              alpha_words / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(words,
+                                lambda w: F.lower(w).isin(EN_STOPWORDS)))
+
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "r_bullet_ratio": bullet_ratio <= max_bullet_line_ratio,
+        "r_alpha_words": alpha_word_ratio >= min_alpha_word_ratio,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    gopher_pass = None
+    for c in rules.values():
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return {"n_words": n_words, "mean_word_len": mean_wl,
+            "symbol_word_ratio": symbol_ratio,
+            "bullet_line_ratio": bullet_ratio,
+            "alpha_word_ratio": alpha_word_ratio,
+            "stop_hits": stop_hits, **rules, "gopher_pass": gopher_pass}
+
+
 def seo_spam_cols(text: Column) -> dict[str, Column]:
     """SEO/download-spam ratio (filter.py:35-62): seo-word hits over words."""
     words = _word_array(text)

@@ -84,3 +84,35 @@ def test_udfs_run_on_spark(spark):
     ).collect()
     assert out[0]["rep"] >= 1
     assert isinstance(out[0]["fp"], list)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule trips on a document crafted to violate only it
+    (Rae et al. 2021 A1.1 bounds)."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        gopher_rules_cols,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far away "
+            * 10)
+    rows = [
+        ("good", good),
+        ("short", "the cat sat on the mat"),                    # < 50 words
+        ("longwords", " ".join(["the", "and"] + ["extraordinarily"] * 60)),
+        ("symbols", "the " + "# " * 40 + " ".join(["word"] * 60)),
+        ("bullets", "\n".join("- the item %d here" % i for i in range(60))),
+        ("numeric", "the and " + " ".join(str(i) for i in range(80))),
+        ("nostops", " ".join("wordy%d alpha beta gamma" % i
+                             for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "name string, text string")
+    cols = gopher_rules_cols(F.col("text"))
+    out = {r["name"]: r for r in df.select(
+        "name", *[v.alias(k) for k, v in cols.items()]).collect()}
+    assert out["good"]["gopher_pass"]
+    assert not out["short"]["r_word_count"]
+    assert not out["longwords"]["r_mean_word_len"]
+    assert not out["symbols"]["r_symbol_ratio"]
+    assert not out["bullets"]["r_bullet_ratio"]
+    assert not out["numeric"]["r_alpha_words"]
+    assert not out["nostops"]["r_stopwords"]
