@@ -171,6 +171,21 @@ def q_gopher_rules(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition gate (dup-line fractions + top n-gram coverage)
+    as distributed aggregations, value-parity oracled."""
+    docs = _docs(spark, sf_dir)
+    out = TS.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", R).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", R).alias("dup_line_char_frac"),
+        F.round("top2gram_char_frac", R).alias("top2gram_char_frac"),
+        F.round("top3gram_char_frac", R).alias("top3gram_char_frac"),
+        F.round("top4gram_char_frac", R).alias("top4gram_char_frac"),
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = D.ngram_jaccard_pairs(docs, threshold=0.2)
@@ -704,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "seo_spam": q_seo_spam,
         "gopher_rules": q_gopher_rules,
+        "repetition_stats": q_repetition_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
@@ -828,6 +844,58 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "repetition_stats": """
+            with t as (
+              select doc_id,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) as words,
+                list_filter(string_split_regex(text, '\\n'),
+                            l -> len(trim(l)) > 0) as lines
+              from documents),
+            pl as (
+              select doc_id, line, count(*) as cnt, length(line) as chars
+              from (select doc_id, unnest(lines) as line from t)
+              group by doc_id, line),
+            ls as (
+              select doc_id,
+                1.0 - count(*)::double / sum(cnt) as dup_line_frac,
+                sum(case when cnt > 1 then cnt * chars else 0 end)::double
+                  / sum(cnt * chars) as dup_line_char_frac
+              from pl group by doc_id),
+            tc as (select doc_id,
+                          length(array_to_string(words, '')) as tcv from t),
+            g2 as (select doc_id, max((length(gram) - 1) * cnt) as topc from (
+                     select doc_id, gram, count(*) as cnt from (
+                       select doc_id, unnest([array_to_string(words[i:i+1], ' ')
+                         for i in range(1, greatest(len(words) - 1, 0) + 1)]) as gram
+                       from t) group by doc_id, gram) group by doc_id),
+            g3 as (select doc_id, max((length(gram) - 2) * cnt) as topc from (
+                     select doc_id, gram, count(*) as cnt from (
+                       select doc_id, unnest([array_to_string(words[i:i+2], ' ')
+                         for i in range(1, greatest(len(words) - 2, 0) + 1)]) as gram
+                       from t) group by doc_id, gram) group by doc_id),
+            g4 as (select doc_id, max((length(gram) - 3) * cnt) as topc from (
+                     select doc_id, gram, count(*) as cnt from (
+                       select doc_id, unnest([array_to_string(words[i:i+3], ' ')
+                         for i in range(1, greatest(len(words) - 3, 0) + 1)]) as gram
+                       from t) group by doc_id, gram) group by doc_id)
+            select t.doc_id,
+              round(coalesce(ls.dup_line_frac, 0.0), 6) as dup_line_frac,
+              round(coalesce(ls.dup_line_char_frac, 0.0), 6) as dup_line_char_frac,
+              round(case when tc.tcv > 0 and g2.topc is not null
+                    then g2.topc::double / tc.tcv else 0.0 end, 6) as top2gram_char_frac,
+              round(case when tc.tcv > 0 and g3.topc is not null
+                    then g3.topc::double / tc.tcv else 0.0 end, 6) as top3gram_char_frac,
+              round(case when tc.tcv > 0 and g4.topc is not null
+                    then g4.topc::double / tc.tcv else 0.0 end, 6) as top4gram_char_frac
+            from t
+            left join ls on ls.doc_id = t.doc_id
+            left join tc on tc.doc_id = t.doc_id
+            left join g2 on g2.doc_id = t.doc_id
+            left join g3 on g3.doc_id = t.doc_id
+            left join g4 on g4.doc_id = t.doc_id
+            order by t.doc_id
         """,
         "gopher_rules": f"""
             with t as (

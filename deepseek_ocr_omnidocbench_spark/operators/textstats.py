@@ -233,3 +233,79 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cols = {**token_count_cols(t), **quality_cols(t), **seo_spam_cols(t),
             "lang_id": lang_id_col(t)}
     return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     ngrams: tuple = (2, 3, 4)) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, the MassiveText
+    repetition gate) as distributed aggregations:
+
+    - ``dup_line_frac``      = 1 - distinct_lines / n_lines
+    - ``dup_line_char_frac`` = chars on lines whose text occurs more
+      than once (counting every occurrence) / chars on all lines
+    - ``top{n}gram_char_frac`` = chars covered by the heaviest word
+      n-gram (count * word-chars, max over grams) / total word chars —
+      tie-insensitive because only the coverage number is reported
+
+    Lines explode once and aggregate by (doc, line); n-grams reuse the
+    posexplode + window-lead pipeline (one shuffle on ``id_col``, shared
+    with every per-doc aggregate).  Returns one row per input doc; docs
+    with no lines/words report 0.0 everywhere.
+    """
+    text = F.col(text_col)
+    words_arr = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+
+    lines = docs.select(
+        id_col,
+        F.explode(F.filter(F.split(text, r"\n"),
+                           lambda ln: F.length(F.trim(ln)) > 0)).alias("line"))
+    per_line = (lines.groupBy(id_col, "line")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.length("line").alias("chars")))
+    line_stats = (
+        per_line.groupBy(id_col)
+        .agg(
+            (F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt")).alias("dup_line_frac"),
+            (F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars"))
+                   .otherwise(F.lit(0)))
+             / F.sum(F.col("cnt") * F.col("chars"))).alias("dup_line_char_frac"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    base = docs.select(id_col, F.posexplode(words_arr).alias("pos", "w1"))
+    total_chars = (docs.select(id_col,
+                               F.length(F.concat_ws("", words_arr)).alias("tc")))
+    gram_stats = None
+    for n in ngrams:
+        g = base
+        for j in range(1, n):
+            g = g.withColumn("w%d" % (j + 1), F.lead("w1", j).over(win))
+        g = (g.where(F.col("w%d" % n).isNotNull())
+             .select(id_col, F.concat_ws(" ", *["w%d" % (j + 1)
+                                                for j in range(n)]).alias("gram")))
+        top = (
+            g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("gchars",
+                        (F.length("gram") - (n - 1)) * F.col("cnt"))
+            .groupBy(id_col)
+            .agg(F.max("gchars").alias("top%d" % n))
+        )
+        gram_stats = top if gram_stats is None else gram_stats.join(top, id_col, "outer")
+
+    out = docs.select(id_col).join(line_stats, id_col, "left") \
+        .join(total_chars, id_col, "left")
+    if gram_stats is not None:
+        out = out.join(gram_stats, id_col, "left")
+    sel = [F.col(id_col),
+           F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+           F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac")]
+    for n in ngrams:
+        sel.append(
+            F.when((F.col("tc") > 0) & F.col("top%d" % n).isNotNull(),
+                   F.col("top%d" % n) / F.col("tc"))
+            .otherwise(F.lit(0.0)).alias("top%dgram_char_frac" % n))
+    return out.select(*sel)

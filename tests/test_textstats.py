@@ -116,3 +116,29 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out["bullets"]["r_bullet_ratio"]
     assert not out["numeric"]["r_alpha_words"]
     assert not out["nostops"]["r_stopwords"]
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition gate: planted duplicate lines and a dominating
+    2-gram produce the hand-computed fractions."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rows = [
+        # 4 lines, "same line" twice: dup_line_frac = 1 - 3/4
+        (1, "same line\nsame line\nother one\nlast bit"),
+        # one line, "ab cd" 2-gram appears 3x among 6 words
+        (2, "ab cd ab cd ab cd"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(0.25)
+    # chars on duplicated lines: 2*9 over 2*9+9+8
+    assert out[1]["dup_line_char_frac"] == pytest.approx(18 / 35)
+    # "ab cd" covers 3 occurrences * 4 word-chars over 12 total word chars
+    assert out[2]["top2gram_char_frac"] == pytest.approx(1.0)
+    assert out[2]["top3gram_char_frac"] == pytest.approx(2 * 6 / 12)
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top2gram_char_frac"] == 0.0
