@@ -370,6 +370,71 @@ def _srp_oracle_sql(dim: int = 64, n_planes: int = 8, n_bands: int = 4,
     """
 
 
+def q_knn_ivf_oracle(spark, sf_dir):
+    """IVF ANN dataflow (assign -> probe 2 cells -> exact rerank) under
+    the value gate: coarse centroids are the first 8 corpus vectors
+    (fixed, no k-means iteration — that part stays rows-only in
+    knn_ivf), so DuckDB replays assignment, probing and rerank with
+    left-fold dot products bit-for-bit."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import knn_ivf
+
+    emb = _emb(spark, sf_dir)
+    cents = [list(r["embedding"]) for r in
+             emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+             .select("embedding").collect()]
+    queries = emb.where(F.col("vec_id") < 5)
+    out = knn_ivf(emb, queries, cents, k=5, n_probe=2)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", R).alias("cosine")) \
+        .orderBy("query_id", "rank")
+
+
+def _ivf_oracle_sql(dim: int = 64) -> str:
+    def dot(a: str, b: str) -> str:
+        return " + ".join("%s[%d] * %s[%d]" % (a, i, b, i)
+                          for i in range(1, dim + 1))
+
+    def norm(a: str) -> str:
+        return "sqrt(%s)" % dot(a, a)
+
+    return f"""
+        with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+        c as (select vec_id as cell, e as ce from v where vec_id < 8),
+        sims as (
+          select v.vec_id, c.cell,
+                 ({dot("v.e", "c.ce")}) / ({norm("v.e")} * {norm("c.ce")}) as sim
+          from v cross join c),
+        assign as (
+          select vec_id, cell from (
+            select vec_id, cell,
+                   row_number() over (partition by vec_id
+                                      order by sim desc, cell asc) as rn
+            from sims) where rn = 1),
+        probes as (
+          select vec_id as query_id, cell from (
+            select vec_id, cell,
+                   row_number() over (partition by vec_id
+                                      order by sim desc, cell desc) as rn
+            from sims where vec_id < 5) where rn <= 2),
+        scored as (
+          select p.query_id, a.vec_id as neighbor_id,
+                 ({dot("qv.e", "nv.e")}) / ({norm("qv.e")} * {norm("nv.e")})
+                   as cosine
+          from probes p
+          join assign a on a.cell = p.cell and a.vec_id != p.query_id
+          join v nv on nv.vec_id = a.vec_id
+          join v qv on qv.vec_id = p.query_id),
+        r as (
+          select query_id, neighbor_id, cosine,
+                 row_number() over (partition by query_id
+                                    order by cosine desc, neighbor_id asc)
+                   as rank
+          from scored)
+        select query_id, neighbor_id, rank, round(cosine, 6) as cosine
+        from r where rank <= 5 order by query_id, rank
+    """
+
+
 def q_simhash_oracle(spark, sf_dir):
     """SimHash kernel with the md5-derived word hash DuckDB replicates
     exactly (16 bits keeps the oracle SQL readable; production
@@ -737,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_oracle": q_simhash_oracle,
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "embedding_srp_oracle": q_embedding_srp_oracle,
+        "knn_ivf_oracle": q_knn_ivf_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -972,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             from sel order by doc_id
         """,
         "embedding_srp_oracle": _srp_oracle_sql(),
+        "knn_ivf_oracle": _ivf_oracle_sql(),
         "minhash_lsh_oracle": f"""
             with base as (
               select doc_id, {_SHINGLES} as sh
