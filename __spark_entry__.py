@@ -171,6 +171,13 @@ def q_gopher_rules(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing: deterministic fixed-token-budget bin layout per
+    lang group (training-batch assembly), value-parity oracled."""
+    docs = _docs(spark, sf_dir)
+    return TS.pack_documents(docs, budget=512).orderBy("doc_id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher repetition gate (dup-line fractions + top n-gram coverage)
     as distributed aggregations, value-parity oracled."""
@@ -785,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seo_spam": q_seo_spam,
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition_stats,
+        "pack_documents": q_pack_documents,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
@@ -910,6 +918,23 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "pack_documents": """
+            with t as (
+              select doc_id, lang,
+                len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as n_tokens
+              from documents),
+            c as (
+              select doc_id, lang, n_tokens,
+                sum(n_tokens) over (partition by lang order by doc_id
+                                    rows unbounded preceding) - n_tokens
+                  as start_offset
+              from t)
+            select doc_id, lang, n_tokens::int as n_tokens,
+                   start_offset::bigint as start_offset,
+                   (start_offset // 512)::int as bin
+            from c order by doc_id
         """,
         "repetition_stats": """
             with t as (

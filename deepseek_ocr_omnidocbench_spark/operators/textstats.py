@@ -309,3 +309,34 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                    F.col("top%d" % n) / F.col("tc"))
             .otherwise(F.lit(0.0)).alias("top%dgram_char_frac" % n))
     return out.select(*sel)
+
+
+def pack_documents(docs: DataFrame, budget: int = 512,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   group_col: str = "lang") -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins for
+    training-batch assembly.  Documents are laid out in a deterministic
+    stream (ordered by ``id_col`` within ``group_col``) and each doc
+    lands in the bin where its first token falls::
+
+        bin = floor(start_offset / budget),
+        start_offset = cumsum(tokens) - tokens
+
+    A doc longer than the remaining bin space straddles into the next
+    bin — truncation/padding is the trainer's concern; this operator
+    only fixes the deterministic layout.  One window shuffle on the
+    group key; everything else is per-row arithmetic.
+    """
+    from pyspark.sql import Window
+
+    tokens = token_count_cols(F.col(text_col))["bpe_tokens"]
+    w = Window.partitionBy("grp").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    d = docs.select(id_col, F.col(group_col).alias("grp"),
+                    tokens.alias("n_tokens"))
+    d = d.withColumn("start_offset",
+                     F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return d.select(
+        id_col, F.col("grp").alias(group_col), "n_tokens", "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("int").alias("bin"),
+    )

@@ -142,3 +142,20 @@ def test_repetition_stats_planted(spark):
     assert out[2]["top3gram_char_frac"] == pytest.approx(2 * 6 / 12)
     assert out[3]["dup_line_frac"] == 0.0
     assert out[3]["top2gram_char_frac"] == 0.0
+
+
+def test_pack_documents_layout(spark):
+    """Deterministic token-stream packing: offsets are cumulative within
+    a group and bins chop every `budget` tokens."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        pack_documents,
+    )
+
+    rows = [(1, "en", "a " * 10), (2, "en", "b " * 10), (3, "en", "c " * 10),
+            (4, "de", "d " * 25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in pack_documents(df, budget=16).collect()}
+    assert out[1]["start_offset"] == 0 and out[1]["bin"] == 0
+    assert out[2]["start_offset"] == 10 and out[2]["bin"] == 0  # straddles
+    assert out[3]["start_offset"] == 20 and out[3]["bin"] == 1
+    assert out[4]["start_offset"] == 0 and out[4]["bin"] == 0  # own group
