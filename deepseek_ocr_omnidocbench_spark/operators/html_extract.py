@@ -410,8 +410,14 @@ def _extract_batch(html_bin: pd.Series) -> pd.Series:
     def _one(b):
         if b is None:
             return None
-        s = bytes(b).decode("utf-8", errors="replace")
-        return extract_markdown(s)
+        raw = bytes(b)
+        if raw.startswith(b"%PDF"):
+            # content sniffing: CC-style blob columns mix HTML and PDF;
+            # decoding PDF bytes as HTML would emit mojibake markdown
+            from .pdf_extract import extract_pdf_markdown
+
+            return extract_pdf_markdown(raw)
+        return extract_markdown(raw.decode("utf-8", errors="replace"))
 
     return html_bin.map(_one)
 

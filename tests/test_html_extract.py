@@ -141,7 +141,8 @@ def test_spark_extract_pages_byte_identity(spark):
     from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
     from deepseek_ocr_omnidocbench_spark.sources.pages import PAGES_ARROW_SCHEMA
 
-    rows = [r for r in generate_pages(60, seed=3) if r["category"] != "pdfish"]
+    # pdfish included: extract_pages sniffs %PDF and routes accordingly
+    rows = list(generate_pages(60, seed=3))
     pdf = pa.Table.from_pylist(rows, schema=PAGES_ARROW_SCHEMA).to_pandas()
     df = spark.createDataFrame(pdf)
     out = extract_pages(df, salt_buckets=4)

@@ -39,12 +39,11 @@ def test_stream_extract_processes_all_drops(spark, drops):
     out = spark.read.parquet(str(tmp_path / "out"))
     non_empty = [r for r in rows if r["category"] != "empty"]
     assert out.count() >= len(non_empty) - 5
-    # byte identity holds through the streaming path for html pages
+    # byte identity holds through the streaming path for every category
     src = spark.createDataFrame(
         pa.Table.from_pylist(rows, schema=PAGES_ARROW_SCHEMA).to_pandas())
     joined = out.join(src.select("url", "text", "category"), "url")
-    bad = joined.where((F.col("category") != "pdfish")
-                       & (F.col("markdown") != F.col("text"))).count()
+    bad = joined.where(F.col("markdown") != F.col("text")).count()
     assert bad == 0
     # micro-batches recorded
     assert out.select("batch_id").distinct().count() >= 1
