@@ -69,7 +69,7 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",
-                 "rule_checks"]:
+                 "rule_checks", "repetition_stats"]:
         fn = entry.queries()[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
