@@ -134,3 +134,124 @@ def tile_media(media: DataFrame, decode=fake_decode_image,
                 out, columns=[f.name for f in TILES_SCHEMA.fields])
 
     return media.select("media_id", "data").mapInPandas(_gen, TILES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio / video columns (task brief §extras): opaque binary + typed
+# metadata; probe/decode is container-stubbed, the sampling arithmetic,
+# schemas and mapInPandas batch shapes are real.
+
+def probe_media(data: bytes) -> tuple[float, float]:
+    """STUB: real deployment probes container metadata (duration_sec,
+    native_fps) with pyav/ffprobe; no media library exists here."""
+    raise NotImplementedError(
+        "media probe requires pyav/ffmpeg; use fake_probe_media in tests")
+
+
+def fake_probe_media(data: bytes) -> tuple[float, float]:
+    """Deterministic stand-in: duration 1..120 s, fps 10..40, derived
+    from the blob hash so tests are stable."""
+    h = int.from_bytes(data[:8].ljust(8, b"\0"), "little") if data else 0
+    duration = 1.0 + (h % 11900) / 100.0
+    fps = 10.0 + ((h >> 17) % 300) / 10.0
+    return duration, fps
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("t_sec", T.DoubleType()),
+    T.StructField("native_frame", T.LongType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, sample_fps: float = 1.0,
+                  max_frames: int = 64,
+                  probe=fake_probe_media) -> DataFrame:
+    """video rows (media_id, data[, meta]) -> one row per sampled frame.
+
+    Frames are sampled at t = k / sample_fps for k < min(duration *
+    sample_fps, max_frames); ``native_frame`` is the container frame
+    index round(t * native_fps) a real decoder would seek to.  Metadata
+    in ``meta['duration_sec']`` / ``meta['fps']`` overrides the probe
+    (the 100 TB path: probe once at ingest, carry typed metadata so
+    sampling never touches the bytes).  mapInPandas for the per-row
+    variable fan-out, like tile_media."""
+
+    has_meta = "meta" in media.columns
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            metas = pdf["meta"] if has_meta else [None] * len(pdf)
+            for media_id, data, meta in zip(pdf["media_id"], pdf["data"], metas):
+                if data is None:
+                    continue
+                meta = meta or {}
+                try:
+                    if "duration_sec" in meta and "fps" in meta:
+                        duration, fps = float(meta["duration_sec"]), float(meta["fps"])
+                    else:
+                        duration, fps = probe(bytes(data))
+                except NotImplementedError:
+                    continue
+                n = min(int(duration * sample_fps), max_frames)
+                for k in range(n):
+                    t = k / sample_fps
+                    out.append((media_id, k, t, round(t * fps),
+                                b"frame:%d:" % k + bytes(data)[:32]))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    cols = ["media_id", "data"] + (["meta"] if has_meta else [])
+    return media.select(*cols).mapInPandas(_gen, FRAMES_SCHEMA)
+
+
+CHUNKS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("chunk_idx", T.IntegerType()),
+    T.StructField("t0_sec", T.DoubleType()),
+    T.StructField("t1_sec", T.DoubleType()),
+    T.StructField("chunk", T.BinaryType()),
+])
+
+
+def chunk_audio(media: DataFrame, chunk_sec: float = 30.0,
+                overlap_sec: float = 0.0,
+                probe=fake_probe_media) -> DataFrame:
+    """audio rows -> fixed-length chunk boundaries (the Whisper-style
+    windowing): chunk k covers [k*(chunk_sec-overlap), ... + chunk_sec),
+    last chunk clipped to the duration.  Same stub/meta contract as
+    sample_frames."""
+    has_meta = "meta" in media.columns
+    stride = chunk_sec - overlap_sec
+    assert stride > 0
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            metas = pdf["meta"] if has_meta else [None] * len(pdf)
+            for media_id, data, meta in zip(pdf["media_id"], pdf["data"], metas):
+                if data is None:
+                    continue
+                meta = meta or {}
+                try:
+                    if "duration_sec" in meta:
+                        duration = float(meta["duration_sec"])
+                    else:
+                        duration, _ = probe(bytes(data))
+                except NotImplementedError:
+                    continue
+                k = 0
+                while k * stride < duration:
+                    t0 = k * stride
+                    t1 = min(t0 + chunk_sec, duration)
+                    out.append((media_id, k, t0, t1,
+                                b"chunk:%d:" % k + bytes(data)[:32]))
+                    k += 1
+            yield pd.DataFrame(
+                out, columns=[f.name for f in CHUNKS_SCHEMA.fields])
+
+    cols = ["media_id", "data"] + (["meta"] if has_meta else [])
+    return media.select(*cols).mapInPandas(_gen, CHUNKS_SCHEMA)

@@ -73,3 +73,53 @@ def test_tile_media_spark(spark):
         assert MIN_CROPS <= n_crops <= MAX_CROPS
         idx = sorted(t["tile_idx"] for t in tiles)
         assert idx == list(range(len(tiles)))
+
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampling: deterministic fan-out, meta overrides the probe,
+    native frame indices track the container fps."""
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        fake_probe_media,
+        sample_frames,
+    )
+
+    rows = [("v1", bytearray(b"videoblob-one"), {"duration_sec": "5.0", "fps": "30"}),
+            ("v2", bytearray(b"videoblob-two"), None),
+            ("v3", None, None)]
+    df = spark.createDataFrame(
+        rows, "media_id string, data binary, meta map<string,string>")
+    out = sample_frames(df, sample_fps=2.0, max_frames=6).collect()
+    v1 = [r for r in out if r["media_id"] == "v1"]
+    # duration 5s at 2 fps -> 10 frames capped at 6
+    assert len(v1) == 6
+    assert [r["t_sec"] for r in v1] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+    assert [r["native_frame"] for r in v1] == [0, 15, 30, 45, 60, 75]
+    dur2, _ = fake_probe_media(b"videoblob-two")
+    v2 = [r for r in out if r["media_id"] == "v2"]
+    assert len(v2) == min(int(dur2 * 2.0), 6)
+    assert not [r for r in out if r["media_id"] == "v3"]
+    assert v1[0]["frame"].startswith(b"frame:0:")
+
+
+def test_chunk_audio_boundaries(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import chunk_audio
+
+    df = spark.createDataFrame(
+        [("a1", bytearray(b"audio"), {"duration_sec": "70"})],
+        "media_id string, data binary, meta map<string,string>")
+    out = sorted(chunk_audio(df, chunk_sec=30.0).collect(),
+                 key=lambda r: r["chunk_idx"])
+    assert [(r["t0_sec"], r["t1_sec"]) for r in out] == [
+        (0.0, 30.0), (30.0, 60.0), (60.0, 70.0)]
+    # overlap windows
+    out2 = sorted(chunk_audio(df, chunk_sec=30.0, overlap_sec=10.0).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert out2[0]["t1_sec"] == 30.0 and out2[1]["t0_sec"] == 20.0
+
+
+def test_probe_stub_is_loud():
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import probe_media
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        probe_media(b"x")
