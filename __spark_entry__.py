@@ -171,6 +171,26 @@ def q_gopher_rules(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup on canonical crawl URLs (scheme/host folding,
+    tracking-param strip, param sort) — two url variants per doc pair
+    collapse to one canonical group; exact value parity with DuckDB."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    base = F.concat(F.lit("Example.com/doc/"),
+                    F.floor(F.col("doc_id") / 2).cast("long").cast("string"))
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://www."), base, F.lit("/?utm_source=x&b=2&a=1")),
+    ).otherwise(F.concat(F.lit("HTTPS://"), base, F.lit("?a=1&b=2")))
+    pages = docs.select(url.alias("url"))
+    out = url_dedup(pages)
+    return out.select("url", "canonical_url", "group_size",
+                      F.col("is_canonical").cast("int").alias("is_canonical")) \
+        .orderBy("url")
+
+
 def q_pack_documents(spark, sf_dir):
     """Sequence packing: deterministic fixed-token-budget bin layout per
     lang group (training-batch assembly), value-parity oracled."""
@@ -793,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition_stats,
         "pack_documents": q_pack_documents,
+        "url_dedup": q_url_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
@@ -918,6 +939,56 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "url_dedup": """
+            with p as (
+              select case when doc_id % 2 = 0
+                then 'https://www.Example.com/doc/' || (doc_id // 2)
+                     || '/?utm_source=x&b=2&a=1'
+                else 'HTTPS://Example.com/doc/' || (doc_id // 2) || '?a=1&b=2'
+              end as url
+              from documents),
+            c as (
+              select url,
+                regexp_replace(trim(url), '#.*$', '') as frag
+              from p),
+            c2 as (
+              select url,
+                lower(regexp_extract(frag,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+                regexp_replace(frag,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://', '') as rest
+              from c),
+            c3 as (
+              select url, scheme, rest,
+                regexp_replace(regexp_replace(regexp_replace(
+                  lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                  ':(80|443)$', ''), '^www\\.', ''), '\\.$', '') as host,
+                regexp_replace(rest, '^[^/?]*', '') as pathq
+              from c2),
+            c4 as (
+              select url, scheme, host,
+                case when regexp_extract(pathq, '^([^?]*)', 1) = '' then '/'
+                  else regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                      '(.)/$', '\\1') end as path,
+                array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                  q -> len(q) > 0 and not regexp_matches(q,
+                       '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&')
+                  as qnorm
+              from c3),
+            canon as (
+              select url,
+                (case when scheme = '' then 'http' else scheme end)
+                || '://' || host || path
+                || (case when len(qnorm) > 0 then '?' || qnorm else '' end)
+                  as canonical_url
+              from c4)
+            select url, canonical_url,
+              count(*) over (partition by canonical_url) as group_size,
+              (url = min(url) over (partition by canonical_url))::int
+                as is_canonical
+            from canon order by url
         """,
         "pack_documents": """
             with t as (

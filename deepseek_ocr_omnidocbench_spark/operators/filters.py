@@ -13,7 +13,7 @@ References: olmocr/olmocr/filter/filter.py (form fields :29-33, language
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import SEO_WORDS, SPAM_THRESHOLD, _word_array
@@ -85,3 +85,54 @@ def runaway_generation(text: Column, max_repeats: int = 30) -> Column:
 def page_quality_keep(text: Column) -> Column:
     """Composite pre-train keep-predicate: not spam, not runaway."""
     return ~seo_spam_flag(text) & ~runaway_generation(text)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl URL for URL-level dedup — all flat
+    string expressions (SQL-mirrorable):
+
+    - scheme + host lowercased, default ports dropped, trailing host dot
+      and leading ``www.`` stripped
+    - fragment removed
+    - tracking params (utm_*, fbclid, gclid, ref) dropped; surviving
+      query params sorted so parameter order never splits a group
+    - trailing slash on a bare path removed
+    """
+    u = F.trim(url)
+    frag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"\.$", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1"))
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="))
+    qnorm = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        F.when(scheme == "", F.lit("http")).otherwise(scheme),
+        F.lit("://"), host, path,
+        F.when(F.length(qnorm) > 0, F.concat(F.lit("?"), qnorm))
+        .otherwise(F.lit("")))
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup on the canonical form: one shuffle on the
+    canonical key, min-url survivor (the analog of exact_dedup for the
+    crawl frontier — dedupe BEFORE fetching/extracting at 100 TB)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_url")
+    return (
+        pages.select(url_col, canonical_url(F.col(url_col)).alias("canonical_url"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical",
+                    F.col(url_col) == F.min(url_col).over(w))
+    )

@@ -55,3 +55,41 @@ def test_runaway_generation(spark):
     got = col_eval(spark, FL.runaway_generation(F.col("t")),
                    [(runaway,), (normal,)], ["t"])
     assert got == [True, False]
+
+
+def test_canonical_url_folding(spark):
+    """Scheme/host case folding, default ports, www, fragments, tracking
+    params, param order, trailing slashes, bare hosts."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_omnidocbench_spark.operators.filters import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.com:80/a/b/?utm_source=x&q=1&a=2#frag",
+         "http://example.com/a/b?a=2&q=1"),
+        ("http://example.com/a/b?a=2&q=1", "http://example.com/a/b?a=2&q=1"),
+        ("https://example.com./a/b/c/", "https://example.com/a/b/c"),
+        ("example.org/path", "http://example.org/path"),
+        ("https://site.com", "https://site.com/"),
+        ("https://site.com/?fbclid=abc&gclid=1&ref=tw", "https://site.com/"),
+        ("https://host.com:443/x", "https://host.com/x"),
+        ("https://host.com:8080/x", "https://host.com:8080/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    for (url, want), g in zip(cases, got):
+        assert g == want, url
+
+
+def test_url_dedup_groups(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import url_dedup
+
+    df = spark.createDataFrame(
+        [("https://www.a.com/p/?utm_source=t",),
+         ("https://a.com/p",),
+         ("https://b.com/q",)], ["url"])
+    out = url_dedup(df).collect()
+    groups = {r["url"]: (r["group_size"], r["is_canonical"]) for r in out}
+    assert groups["https://a.com/p"] == (2, True)
+    assert groups["https://www.a.com/p/?utm_source=t"] == (2, False)
+    assert groups["https://b.com/q"] == (1, True)
