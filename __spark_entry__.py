@@ -662,6 +662,66 @@ def q_rule_checks(spark, sf_dir):
     )
 
 
+def _bleu_oracle_sql(max_n: int = 4) -> str:
+    """DuckDB mirror of corpus BLEU per source for q_bleu_by_source.
+
+    Precondition (asserted by the corpus): text is pure ``[a-z0-9 ]``,
+    so mteval-13a tokenization degenerates to whitespace split and the
+    oracle checks the BLEU computation itself — modified n-gram
+    clipping, geometric mean, brevity penalty — value for value."""
+    per_n = []
+    joins = []
+    for n in range(1, max_n + 1):
+        gram = (f"[array_to_string(tk[i:i+{n - 1}], ' ') "
+                f"for i in range(1, greatest(len(tk) - {n - 1}, 0) + 1)]")
+        per_n.append(f"""
+            p{n} as (select doc_id, gram, count(*) as c from (
+                       select doc_id, unnest({gram.replace('tk', 'pt')}) as gram
+                       from d2) group by doc_id, gram),
+            r{n} as (select doc_id, gram, count(*) as c from (
+                       select doc_id, unnest({gram.replace('tk', 'rt')}) as gram
+                       from d2) group by doc_id, gram),
+            s{n} as (select d2.source,
+                       sum(greatest(len(pt) - {n - 1}, 0)) as total
+                     from d2 group by d2.source),
+            c{n} as (select d2.source,
+                       sum(least(p{n}.c, coalesce(r{n}.c, 0))) as clipped
+                     from p{n}
+                     left join r{n} on r{n}.doc_id = p{n}.doc_id
+                                   and r{n}.gram = p{n}.gram
+                     join d2 on d2.doc_id = p{n}.doc_id
+                     group by d2.source)""")
+        joins.append(f"""
+            left join s{n} on s{n}.source = lens.source
+            left join c{n} on c{n}.source = lens.source""")
+    log_terms = " + ".join(
+        f"ln(c{n}.clipped::double / s{n}.total)" for n in range(1, max_n + 1))
+    zero_guard = " or ".join(
+        f"coalesce(s{n}.total, 0) = 0 or coalesce(c{n}.clipped, 0) = 0"
+        for n in range(1, max_n + 1))
+    return f"""
+        with d2 as (
+          select doc_id, source,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) as rt,
+            list_filter(string_split(
+              regexp_replace(text, '^\\S+\\s*', ''), ' '),
+              x -> len(x) > 0) as pt
+          from documents),
+        lens as (select source, count(*) as n_docs,
+                        sum(len(pt)) as pred_len, sum(len(rt)) as ref_len
+                 from d2 group by source),
+        {",".join(per_n)}
+        select lens.source, lens.n_docs,
+          round(case when lens.pred_len = 0 or {zero_guard} then 0.0
+                else (case when lens.pred_len > lens.ref_len then 1.0
+                      else exp(1 - lens.ref_len::double / lens.pred_len) end)
+                     * exp(({log_terms}) / {max_n})
+                end, 6) as bleu
+        from lens {"".join(joins)}
+        order by lens.source
+    """
+
+
 def q_extract_pipeline(spark, sf_dir):
     """North-star pipeline end-to-end on deterministic synthetic pages:
     filter -> sniff/extract/explode -> assemble with page spans.  Returns
@@ -940,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
         """,
+        "bleu_by_source": _bleu_oracle_sql(),
         "url_dedup": """
             with p as (
               select case when doc_id % 2 = 0
