@@ -94,3 +94,98 @@ def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_crawl_rates(spark: SparkSession, input_dir: str, output_dir: str,
+                       checkpoint_dir: str, window: str = "1 minute",
+                       watermark: str = "2 minutes",
+                       max_files_per_trigger: int = 4,
+                       available_now: bool = True):
+    """Watermarked event-time windowed aggregation: docs + bytes per
+    crawl-time window (the crawl-throughput monitor).  Late pages within
+    the watermark horizon revise their window; append mode emits a
+    window only once the watermark passes it, so the sink is an
+    immutable time series — windows newer than (max event time -
+    watermark) stay pending until later batches advance the clock."""
+    stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum(F.length("html")).alias("total_bytes"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_pages", "total_bytes")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_domain_counters(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           state_timeout_min: int = 60,
+                           available_now: bool = True):
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    per-domain page/byte counters across micro-batches — the streaming
+    analog of the lineage throughput report, and the pattern for any
+    bespoke state Spark's built-in aggregations can't express.  State is
+    one small struct per domain, evicted after ``state_timeout_min`` of
+    processing-time inactivity so a long tail of dead domains can't
+    grow state without bound."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    stream = read_pages_stream(spark, input_dir).withColumn(
+        "domain",
+        F.regexp_replace(F.regexp_extract("url", r"^[a-z]+://([^/]*)", 1),
+                         r"^www\.", ""))
+
+    out_schema = ("domain string, total_pages bigint, total_bytes bigint, "
+                  "batches int")
+    state_schema = "total_pages bigint, total_bytes bigint, batches int"
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pages = bytes_ = 0
+        for pdf in pdfs:
+            pages += len(pdf)
+            bytes_ += int(pdf["html"].map(
+                lambda b: len(b) if b is not None else 0).sum())
+        if state.exists:
+            p0, b0, n0 = state.get
+        else:
+            p0, b0, n0 = 0, 0, 0
+        new = (p0 + pages, b0 + bytes_, n0 + 1)
+        state.update(new)
+        state.setTimeoutDuration(60_000 * state_timeout_min)
+        yield pd.DataFrame([{"domain": key[0], "total_pages": new[0],
+                             "total_bytes": new[1], "batches": new[2]}])
+
+    counters = stream.groupBy("domain").applyInPandasWithState(
+        _update, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout)
+
+    def _sink(batch_df, batch_id):
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(output_dir))
+
+    writer = (counters.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

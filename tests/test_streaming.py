@@ -100,3 +100,62 @@ def test_stream_dedup_drops_duplicate_content(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == len(rows)
     assert out.select("content_hash").distinct().count() == len(rows)
+
+
+def test_stream_crawl_rates_windows(spark, drops):
+    """Watermarked windowed aggregation: every page lands in exactly one
+    event-time window; totals reconcile with the input."""
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_crawl_rates,
+    )
+
+    import datetime as dt
+
+    tmp_path, rows = drops
+    # append mode only emits a window once the watermark passes it, so
+    # feed a late sentinel page (one file per trigger) that advances the
+    # event clock beyond every real window
+    sentinel = {**rows[0], "url": "https://sentinel.example/x",
+                "warc_ts": max(r["warc_ts"] for r in rows)
+                + dt.timedelta(hours=1)}
+    write_drop([sentinel], str(tmp_path / "in" / "drop-zzz.parquet"))
+    q = stream_crawl_rates(spark, str(tmp_path / "in"), str(tmp_path / "rates"),
+                           str(tmp_path / "rck"), window="1 minute",
+                           max_files_per_trigger=1)
+    q.awaitTermination(240)
+    out = spark.read.parquet(str(tmp_path / "rates"))
+    got = out.agg(F.sum("n_pages"), F.sum("total_bytes")).collect()[0]
+    # the sentinel's own window stays pending (nothing later advances
+    # the watermark past it), so the emitted totals equal the real rows
+    want_bytes = sum(len(r["html"]) for r in rows)
+    assert got[0] == len(rows)
+    assert got[1] == want_bytes
+    # windows are exactly one minute and non-overlapping
+    spans = [(r["window_start"], r["window_end"]) for r in out.collect()]
+    assert all((e - s).total_seconds() == 60 for s, e in spans)
+    assert len(set(spans)) == len(spans)
+
+
+def test_stream_domain_counters_stateful(spark, drops):
+    """applyInPandasWithState: counters accumulate ACROSS micro-batches
+    (state survives the batch boundary), and the final snapshot
+    reconciles with the input."""
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_domain_counters,
+    )
+
+    tmp_path, rows = drops
+    q = stream_domain_counters(
+        spark, str(tmp_path / "in"), str(tmp_path / "cnt"),
+        str(tmp_path / "cck"))
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "cnt"))
+    # keep the LAST emitted snapshot per domain (update mode re-emits)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(F.desc("batch_id"),
+                                             F.desc("total_pages"))
+    last = out.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    got = {r["domain"]: r["total_pages"] for r in last.collect()}
+    assert got.get("example.org") == len(rows)
+    assert all(r["batches"] >= 1 for r in last.collect())
