@@ -863,6 +863,21 @@ def q_eval_fixture_report(spark, sf_dir):
     )
 
 
+def q_cdm_match(spark, sf_dir):
+    """Renderer-free CDM formula scoring (cdm_metric.py:96-147): Hungarian
+    token-box match + iterated RANSAC affine inlier filter + token filter
+    → per-formula R/P/F1.  Token boxes come from a deterministic
+    synthetic fixture standing in for the container-blocked LaTeX
+    renderer; the kernel itself (assignment, RANSAC, scoring) is the
+    production path.  rows-only: the Hungarian+RANSAC pipeline is not
+    SQL-expressible (pytest covers hand-computed fixture F1s)."""
+    from deepseek_ocr_omnidocbench_spark.operators.cdm_match import (
+        cdm_match_report, synthetic_formula_boxes)
+
+    boxes = synthetic_formula_boxes(spark, n_formulas=40)
+    return cdm_match_report(boxes).orderBy("formula_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -902,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recognition_report": q_recognition_report,
         "md2md_report": q_md2md_report,
         "eval_fixture_report": q_eval_fixture_report,
+        "cdm_match": q_cdm_match,
     }
 
 

@@ -187,7 +187,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         block_col: str = "lang",
                         threshold: float = 0.0,
-                        df_cap: int | None = None,
+                        df_cap: int | None | str = "derived",
                         candidates: DataFrame | None = None) -> DataFrame:
     """Blocked n-gram Jaccard verification (the exact verifier; SQL-parity
     with the DuckDB oracle).  Blocking on ``block_col`` bounds the
@@ -196,23 +196,29 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Candidate generation is an inverted-index self-join on exploded
     shingles, which is O(sum_s c_s^2) over posting-list sizes — a stock
     phrase shared by 10^6 docs in one block would emit 10^12 join rows.
-    Two scale escapes, either of which bounds it:
+    The DEFAULT therefore bounds posting lists: ``df_cap="derived"``
+    caps each block at ``max(1000, ceil(sqrt(block_doc_count)))``,
+    computed inside the plan (no driver-side count).  Shingles whose
+    within-block document frequency exceeds the cap are dropped from
+    candidate *generation* only; surviving pairs are verified against
+    the FULL arrays, so every reported jaccard is exact.  Only pairs
+    whose shared shingles are ALL ultra-frequent (each df > cap) can be
+    missed — for near-dup thresholds that requires >cap near-copies of
+    the same document, at which point exact dedup catches them first.
+
+    Other modes:
 
     - ``candidates``: a (doc_a, doc_b) DataFrame (e.g. from
       ``lsh_candidate_pairs`` band buckets) — verification joins the
       full shingle arrays onto exactly those pairs; no self-join at all.
-    - ``df_cap``: shingles whose document frequency within a block
-      exceeds the cap are dropped from candidate *generation* only;
-      surviving pairs are verified against the FULL arrays, so every
-      reported jaccard is exact.  Only pairs whose shared shingles are
-      ALL ultra-frequent (each df > cap) can be missed — for near-dup
-      thresholds that requires >cap near-copies of the same document,
-      at which point exact dedup catches them first.
+      This is the preferred 100 TB path when an LSH pass already ran.
+    - ``df_cap=<int>``: explicit cap, same exact-verify semantics.
+    - ``df_cap=None``: uncapped all-pairs inverted index (single-pass
+      co-count, no re-verify join) — small corpora / testing only.
 
-    With neither set the result is exactly the all-pairs form (J > t > 0
-    requires a shared shingle).  Result-preserving optimizations:
-    shingles hashed to longs (collision odds ~|shingles|^2/2^64), union
-    via |A|+|B|-|A∩B| (arrays are distinct)."""
+    Result-preserving optimizations: shingles hashed to longs (collision
+    odds ~|shingles|^2/2^64), union via |A|+|B|-|A∩B| (arrays are
+    distinct)."""
     sh = word_shingles(F.col(text_col), n)
     base = docs.select(
         id_col, F.col(block_col).alias("block"),
@@ -226,8 +232,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     ex = base.select(id_col, "block", "n_sh", F.explode("sh").alias("s"))
     if df_cap is not None:
         dfreq = ex.groupBy("block", "s").agg(F.count(F.lit(1)).alias("_df"))
-        ex = (ex.join(dfreq.where(F.col("_df") <= df_cap).drop("_df"),
-                      ["block", "s"]))
+        if df_cap == "derived":
+            # per-block adaptive cap, never below 1000 so small corpora
+            # (and the sf0.01 oracle run) are bit-identical to uncapped
+            block_sz = base.groupBy("block").agg(
+                F.count(F.lit(1)).alias("_n_b"))
+            keep = (dfreq.join(block_sz, "block")
+                    .where(F.col("_df") <= F.greatest(
+                        F.lit(1000), F.ceil(F.sqrt("_n_b")).cast("long")))
+                    .select("block", "s"))
+        else:
+            keep = (dfreq.where(F.col("_df") <= df_cap)
+                    .select("block", "s"))
+        ex = ex.join(keep, ["block", "s"])
         a, b = ex.alias("a"), ex.alias("b")
         cand = (
             a.join(b, ["block", "s"])

@@ -172,12 +172,39 @@ def _lzw_decode(data: bytes) -> Optional[bytes]:
     return bytes(out)
 
 
+def _rle_decode(data: bytes) -> Optional[bytes]:
+    """PDF /RunLengthDecode (ISO 32000 §7.4.5): length byte L then
+    either L+1 literal bytes (L<128) or one byte repeated 257-L times
+    (L>128); 128 = EOD."""
+    out = bytearray()
+    i = 0
+    end = len(data)
+    while i < end:
+        length = data[i]
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            chunk = data[i + 1:i + 2 + length]
+            if len(chunk) != length + 1:
+                return None
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= end:
+                return None
+            out += data[i + 1:i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
 def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
     """Stream bytes for a ``_STREAM_RE`` match, decoded per the owning
-    object dict's /Filter (Flate, LZW, ASCIIHex supported).  The dict is
-    the window between the previous ``endstream`` (or buffer start) and
-    this ``stream`` keyword — nested dicts (/DecodeParms) stay inside
-    that window, so a plain substring probe is exact enough here."""
+    object dict's /Filter (Flate, LZW, RunLength, ASCIIHex, ASCII85
+    supported — chains like [/ASCII85Decode /FlateDecode] work because
+    the transport decode happens first).  The dict is the window between
+    the previous ``endstream`` (or buffer start) and this ``stream``
+    keyword — nested dicts (/DecodeParms) stay inside that window, so a
+    plain substring probe is exact enough here."""
     raw = m.group(1)
     head = data[max(0, m.start() - 512):m.start()]
     prev_end = head.rfind(b"endstream")
@@ -194,6 +221,17 @@ def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
             raw = binascii.unhexlify(hexpart)
         except (binascii.Error, ValueError):
             return None
+    if b"/ASCII85Decode" in head or b"/A85" in head:
+        import base64
+
+        payload = re.sub(rb"\s+", b"", raw)
+        tail = payload.find(b"~>")
+        if tail != -1:
+            payload = payload[:tail]
+        try:
+            raw = base64.a85decode(payload)
+        except ValueError:
+            return None
     if b"/FlateDecode" in head:
         # decompressobj tolerates the trailing EOL the regex captured
         try:
@@ -202,7 +240,9 @@ def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
             return None
     if b"/LZWDecode" in head:
         return _lzw_decode(raw)
-    if b"/ASCIIHexDecode" in head:
+    if b"/RunLengthDecode" in head or b"/RL" in head:
+        return _rle_decode(raw)
+    if b"/ASCIIHexDecode" in head or b"/ASCII85Decode" in head:
         return raw
     return raw.rstrip(b"\r\n")
 

@@ -87,7 +87,7 @@ def test_ngram_jaccard_df_cap_adversarial(spark):
 
     capped = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100)
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
-    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=None)
     want = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.collect()}
     assert (0, 2000) in got
     assert got == want  # result-identical: near-dups share non-stock shingles
@@ -95,6 +95,14 @@ def test_ngram_jaccard_df_cap_adversarial(spark):
     # the capped plan's self-join input is bounded: no posting > df_cap
     n_join_rows = 1000 * 999 // 2  # what the stock shingle alone would emit
     assert capped.count() < n_join_rows
+
+    # DEFAULT path (df_cap="derived"): cap = max(1000, ceil(sqrt(1001)))
+    # = 1000 < stock df 1001, so the stock posting list is dropped from
+    # candidate generation with NO opt-in flags — and the result is
+    # still exact because near-dups share non-stock shingles
+    default = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert default == want
 
 
 def test_ngram_jaccard_candidates_param(docs):

@@ -125,6 +125,69 @@ def test_asciihex_stream_extracts():
     assert extract_pdf_markdown(blob) == "lzw works here"
 
 
+def test_ascii85_stream_extracts():
+    import base64
+
+    payload = base64.a85encode(CONTENT) + b"~>"
+    blob = _one_stream_pdf(payload, "ASCII85Decode")
+    assert extract_pdf_markdown(blob) == "lzw works here"
+
+
+def test_ascii85_flate_chain_extracts():
+    """Filter chain [/ASCII85Decode /FlateDecode] — transport decode
+    first, then inflate (common in pre-binary-transport PDFs)."""
+    import base64
+    import zlib as _z
+
+    payload = base64.a85encode(_z.compress(CONTENT)) + b"~>"
+    blob = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(payload)).encode()
+            + b" /Filter [/ASCII85Decode /FlateDecode] >>\n"
+            + b"stream\n" + payload + b"\nendstream\nendobj\n%%EOF")
+    assert extract_pdf_markdown(blob) == "lzw works here"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Test-side twin of _rle_decode: naive literal/run packer."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (j < len(data) and j - i < 128
+                   and not (j + 1 < len(data) and data[j] == data[j + 1])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def test_runlength_stream_extracts():
+    blob = _one_stream_pdf(_rle_encode(CONTENT), "RunLengthDecode")
+    assert extract_pdf_markdown(blob) == "lzw works here"
+
+
+def test_runlength_roundtrips():
+    import random as _r
+
+    from deepseek_ocr_omnidocbench_spark.operators.pdf_extract import _rle_decode
+
+    rng = _r.Random(7)
+    for n in (0, 1, 129, 300, 4000):
+        data = bytes(rng.choice(b"aaaabc") for _ in range(n))
+        assert _rle_decode(_rle_encode(data)) == data
+    assert _rle_decode(bytes([255]) + b"x" + bytes([128])) == b"xx"
+    assert _rle_decode(bytes([129]) + b"x" + bytes([128])) == b"x" * 128
+    assert _rle_decode(bytes([0])) is None  # truncated literal
+
+
 def test_flate_garbage_stream_is_skipped():
     blob = (b"%PDF-1.4\n1 0 obj\n<< /Length 9 /Filter /FlateDecode >>\n"
             b"stream\nnot-flate\nendstream\nendobj\n%%EOF")
