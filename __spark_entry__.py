@@ -797,8 +797,13 @@ def q_detection_map(spark, sf_dir):
 
 def q_recognition_report(spark, sf_dir):
     """Recognition-task scoring (block-granularity gt/pred pairs) over
-    deterministic pairs derived from documents: pred = text minus
-    punctuation (text normalizer should equalize most of it)."""
+    deterministic pairs derived from documents.  Oracle-checked: on this
+    ASCII corpus the 'text' normalizer (clean_string∘textblock2unicode)
+    reduces to dropping non-word chars and the 'formula' normalizer
+    (normalized_formula) to lowercase + space removal, both expressible
+    in DuckDB SQL.  Preds plant real edits: even docs substitute
+    'table'→'tab1e' (survives the text normalizer), odd docs uppercase
+    (erased by the formula normalizer's lowering → edit 0)."""
     from deepseek_ocr_omnidocbench_spark.plans.recognition import (
         recognition_report,
         score_recognition,
@@ -808,9 +813,11 @@ def q_recognition_report(spark, sf_dir):
     pairs = docs.select(
         F.col("doc_id").cast("string").alias("img_id"),
         F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("text"))
-        .otherwise(F.lit("formula_line")).alias("category_type"),
+        .otherwise(F.lit("formula")).alias("category_type"),
         F.col("text").alias("gt"),
-        F.regexp_replace("text", r"[,.!?]", "").alias("pred"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0,
+               F.regexp_replace("text", "table", "tab1e"))
+        .otherwise(F.upper("text")).alias("pred"),
     )
     return recognition_report(score_recognition(pairs))
 
@@ -953,23 +960,8 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "lang_id": f"""
-            with t as (
-              select doc_id, length(text) as n,
-                length(regexp_replace(text, '[^一-鿿]', '', 'g')) as cjk,
-                len(list_filter({_WORDS_EXPR}, w -> list_contains({_EN_STOP}, w))) as en_hits,
-                len(list_filter({_WORDS_EXPR}, w -> list_contains({_DE_STOP}, w))) as de_hits,
-                len(list_filter({_WORDS_EXPR}, w -> list_contains({_ES_STOP}, w))) as es_hits,
-                len(list_filter({_WORDS_EXPR}, w -> list_contains({_FR_STOP}, w))) as fr_hits
-              from documents)
-            select doc_id,
-              case when n = 0 then 'unknown'
-                   when cjk / n > 0.05 then 'zh'
-                   when fr_hits > greatest(en_hits, de_hits, es_hits) then 'fr'
-                   when es_hits > greatest(en_hits, de_hits) then 'es'
-                   when de_hits > en_hits then 'de'
-                   when en_hits > 0 then 'en'
-                   else 'unknown' end as lang_pred
-            from t
+            select doc_id, {TS.lang_id_oracle_sql("text")} as lang_pred
+            from documents
         """,
         "quality_scores": f"""
             with t as (
@@ -1269,6 +1261,36 @@ def oracle_sql() -> dict[str, str]:
                   from v group by doc_id)
             select d.doc_id, coalesce(s.simhash16, 0)::bigint as simhash16
             from documents d left join s using (doc_id) order by d.doc_id
+        """,
+        "recognition_report": """
+            with p as (
+              select doc_id,
+                case when doc_id % 2 = 0 then 'text' else 'formula' end
+                  as category_type,
+                text as gt,
+                case when doc_id % 2 = 0
+                  then regexp_replace(text, 'table', 'tab1e', 'g')
+                  else upper(text) end as pred
+              from documents),
+            n as (
+              select category_type,
+                case when category_type = 'text'
+                  then regexp_replace(gt, '[^a-zA-Z0-9_]+', '', 'g')
+                  else lower(replace(gt, ' ', '')) end as ng,
+                case when category_type = 'text'
+                  then regexp_replace(pred, '[^a-zA-Z0-9_]+', '', 'g')
+                  else lower(replace(pred, ' ', '')) end as np
+              from p),
+            s as (
+              select category_type, levenshtein(ng, np) as edit_num,
+                greatest(length(ng), length(np)) as upper_len from n)
+            select category_type,
+              round(avg(case when upper_len > 0
+                        then edit_num::double / upper_len else 0.0 end), 6)
+                as edit_sample_avg,
+              round(sum(edit_num)::double / sum(upper_len), 6) as edit_whole,
+              count(*) as n_samples
+            from s group by category_type order by category_type
         """,
         "rule_presence": """
             with d as (

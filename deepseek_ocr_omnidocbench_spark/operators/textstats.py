@@ -24,6 +24,45 @@ DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine"
 # argmax cascade stays deterministic
 ES_STOPWORDS = ["el", "los", "las", "una", "es", "por", "con", "para", "del", "como", "su"]
 FR_STOPWORDS = ["le", "les", "des", "et", "est", "pour", "avec", "dans", "du", "sur", "au"]
+
+# Latin-script stopword profiles in CASCADE ORDER: language i is chosen
+# iff its hit count strictly exceeds every later profile's; 'en' (last)
+# needs only >0 hits.  ASCII-only words (the word splitter drops
+# accents), pairwise-disjoint across profiles (tested) so ties can't
+# flip with list order.  From-scratch extension toward the reference's
+# ~75-language lingua detector (olmocr/filter/filter.py:101-105).
+LATIN_PROFILES: list[tuple[str, list[str]]] = [
+    ("it", ["che", "il", "di", "sono", "della", "gli", "anche", "questo",
+            "nella", "ma"]),
+    ("pt", ["uma", "mais", "foi", "pelo", "isso", "os", "da", "em", "ele",
+            "mas"]),
+    ("nl", ["het", "een", "van", "niet", "zijn", "voor", "maar", "ook",
+            "naar", "heeft"]),
+    ("sv", ["och", "att", "det", "som", "av", "till", "har", "inte", "vid",
+            "ett"]),
+    ("pl", ["nie", "jest", "jak", "ale", "czy", "tak", "przez", "tego",
+            "jego", "juz"]),
+    ("tr", ["bir", "ve", "bu", "olarak", "daha", "gibi", "sonra", "kadar",
+            "ancak", "yok"]),
+    ("id", ["yang", "dan", "dengan", "untuk", "dari", "ini", "itu", "tidak",
+            "pada", "adalah"]),
+    ("fr", FR_STOPWORDS),
+    ("es", ES_STOPWORDS),
+    ("de", DE_STOPWORDS),
+    ("en", EN_STOPWORDS),
+]
+
+# Non-Latin scripts by codepoint-range density, in CASCADE ORDER —
+# kana before the CJK-ideograph range because Japanese text mixes kanji
+# with kana while Chinese has (near) none.
+SCRIPT_PROFILES: list[tuple[str, int, int, float]] = [
+    ("ja", 0x3040, 0x30FF, 0.05),   # hiragana + katakana
+    ("ko", 0xAC00, 0xD7AF, 0.05),   # hangul syllables
+    ("ru", 0x0400, 0x04FF, 0.05),   # cyrillic
+    ("ar", 0x0600, 0x06FF, 0.05),   # arabic
+    ("hi", 0x0900, 0x097F, 0.05),   # devanagari
+    ("zh", 0x4E00, 0x9FFF, 0.05),   # CJK unified ideographs
+]
 SEO_WORDS = ["download", "pdf", "epub", "mobi", "free", "ebook", "file", "save",
              "casino", "viagra", "cialis", "ciprofloxacin"]  # filter.py:36-50
 SPAM_THRESHOLD = 0.004  # filter.py:20
@@ -41,27 +80,62 @@ def token_count_cols(text: Column) -> dict[str, Column]:
 
 
 def lang_id_col(text: Column) -> Column:
-    """Stopword-profile heuristic language ID: zh via CJK density, then
-    a deterministic hit-count cascade over en/de/es/fr profiles (the
-    cheap stand-in for the reference's lingua detector,
-    olmocr/filter/filter.py:101-105 — detection quality is profile-
-    table-limited; the reference's detector covers ~75 languages)."""
+    """Stopword-profile heuristic language ID: non-Latin scripts by
+    codepoint-range density (SCRIPT_PROFILES — ja/ko/ru/ar/hi/zh), then
+    a deterministic strictly-greater hit-count cascade over the
+    LATIN_PROFILES stopword tables (it/pt/nl/sv/pl/tr/id/fr/es/de/en) —
+    the from-scratch stand-in for the reference's lingua detector
+    (olmocr/filter/filter.py:101-105).  'unknown' over a wrong guess for
+    unprofiled languages.  The oracle SQL is generated from the SAME
+    profile tables (lang_id_oracle_sql), so Spark and DuckDB cannot
+    drift."""
     n = F.length(text)
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
     words = _word_array(text)
-    en_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
-    de_hits = F.size(F.filter(words, lambda w: w.isin(DE_STOPWORDS)))
-    es_hits = F.size(F.filter(words, lambda w: w.isin(ES_STOPWORDS)))
-    fr_hits = F.size(F.filter(words, lambda w: w.isin(FR_STOPWORDS)))
-    return (
-        F.when(n == 0, F.lit("unknown"))
-        .when(cjk / n > 0.05, F.lit("zh"))
-        .when(fr_hits > F.greatest(en_hits, de_hits, es_hits), F.lit("fr"))
-        .when(es_hits > F.greatest(en_hits, de_hits), F.lit("es"))
-        .when(de_hits > en_hits, F.lit("de"))
-        .when(en_hits > 0, F.lit("en"))
+
+    def _hits(ws: list[str]) -> Column:
+        return F.size(F.filter(words, lambda w: w.isin(ws)))
+
+    hit_cols = [(lang, _hits(ws)) for lang, ws in LATIN_PROFILES]
+    # build the cascade back-to-front: en needs only >0, every earlier
+    # profile must strictly beat all later ones
+    expr = F.when(hit_cols[-1][1] > 0, F.lit(hit_cols[-1][0])) \
         .otherwise(F.lit("unknown"))
-    )
+    for i in range(len(hit_cols) - 2, -1, -1):
+        lang, h = hit_cols[i]
+        rest = [c for _, c in hit_cols[i + 1:]]
+        bar = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        expr = F.when(h > bar, F.lit(lang)).otherwise(expr)
+    for lang, lo, hi, thr in reversed(SCRIPT_PROFILES):
+        dens = F.length(
+            F.regexp_replace(text, "[^%s-%s]" % (chr(lo), chr(hi)), ""))
+        expr = F.when(dens / n > thr, F.lit(lang)).otherwise(expr)
+    return F.when(n == 0, F.lit("unknown")).otherwise(expr)
+
+
+def lang_id_oracle_sql(text_expr: str = "text") -> str:
+    """DuckDB CASE expression equivalent to ``lang_id_col``, generated
+    from the same SCRIPT_PROFILES / LATIN_PROFILES tables."""
+    words = ("list_filter(string_split_regex(lower(%s), '[^a-z]+'), "
+             "x -> len(x) > 0)" % text_expr)
+    parts = ["case when length(%s) = 0 then 'unknown'" % text_expr]
+    for lang, lo, hi, thr in SCRIPT_PROFILES:
+        parts.append(
+            "when length(regexp_replace(%s, '[^%s-%s]', '', 'g'))"
+            " / length(%s) > %s then '%s'"
+            % (text_expr, chr(lo), chr(hi), text_expr, thr, lang))
+    hits = {
+        lang: ("len(list_filter(%s, w -> list_contains([%s], w)))"
+               % (words, ",".join("'%s'" % w for w in ws)))
+        for lang, ws in LATIN_PROFILES
+    }
+    langs = [lang for lang, _ in LATIN_PROFILES]
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(hits[l] for l in langs[i + 1:])
+        bar = rest if i == len(langs) - 2 else "greatest(%s)" % rest
+        parts.append("when %s > %s then '%s'" % (hits[lang], bar, lang))
+    parts.append("when %s > 0 then '%s'" % (hits[langs[-1]], langs[-1]))
+    parts.append("else 'unknown' end")
+    return "\n".join(parts)
 
 
 def quality_cols(text: Column) -> dict[str, Column]:

@@ -49,6 +49,71 @@ def test_lang_id_basics(spark):
     assert rows == ["en", "de", "zh", "es", "fr", "unknown"]
 
 
+def test_lang_id_extended_profiles(spark):
+    """One unit sentence per round-3 profile (it/pt/nl/sv/pl/tr/id via
+    stopwords; ja/ko/ru/ar/hi via script density)."""
+    cases = [
+        ("il gatto che corre sono anche questo nella casa ma di gli", "it"),
+        ("uma casa mais bonita foi pelo caminho e isso os leva em paz", "pt"),
+        ("het huis is een niet zo groot maar ook voor zijn vrienden", "nl"),
+        ("och det som har att vara av till vid ett hus inte", "sv"),
+        ("nie jest jak ale czy tak przez tego jego juz dom", "pl"),
+        ("bir ev ve bu olarak daha gibi sonra kadar ancak yok", "tr"),
+        ("yang dan dengan untuk dari ini itu tidak pada adalah", "id"),
+        ("これは日本語のテキストです、漢字も混ざっています", "ja"),
+        ("안녕하세요 한국어 문서입니다 감사합니다", "ko"),
+        ("это русский текст для проверки определения языка", "ru"),
+        ("هذا نص باللغة العربية للاختبار", "ar"),
+        ("यह हिंदी में एक परीक्षण वाक्य है", "hi"),
+        ("数据处理分布式系统文档提取标题段落表格公式", "zh"),
+        ("qwz brx vlk pzt", "unknown"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    assert rows == [want for _, want in cases]
+
+
+def test_lang_profiles_disjoint():
+    """The strictly-greater cascade is order-stable only if no stopword
+    appears in two profiles."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import LATIN_PROFILES
+
+    seen: dict[str, str] = {}
+    for lang, ws in LATIN_PROFILES:
+        for w in ws:
+            assert w not in seen, (w, lang, seen.get(w))
+            assert w == w.lower() and w.isascii() and w.isalpha(), w
+            seen[w] = lang
+
+
+def test_lang_id_oracle_sql_matches_spark(spark):
+    """The generated DuckDB CASE must agree with lang_id_col on mixed
+    multilingual rows (the same-table guarantee, checked end to end)."""
+    import duckdb
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        lang_id_oracle_sql)
+
+    texts = [
+        "the cat is on the mat", "der hund ist nicht mit",
+        "il gatto che sono anche", "uma casa mais foi pelo",
+        "het huis een niet zijn", "och det som har att",
+        "nie jest jak ale czy", "bir ve bu olarak daha",
+        "yang dan dengan untuk dari", "le chat est dans les",
+        "el gato por el con su", "これは日本語です",
+        "안녕하세요 한국어", "это русский текст", "هذا نص عربي",
+        "यह हिंदी है", "数据处理分布式系统", "", "zz qq xx",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    con = duckdb.connect()
+    con.execute("create table t(text varchar)")
+    con.executemany("insert into t values (?)", [(t,) for t in texts])
+    want = [r[0] for r in con.sql(
+        "select %s from t" % lang_id_oracle_sql("text")).fetchall()]
+    assert got == want
+
+
 def test_analyze_documents_ranges(docs):
     out = analyze_documents(docs).collect()
     assert len(out) == docs.count()
