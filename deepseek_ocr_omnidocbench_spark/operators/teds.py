@@ -117,10 +117,11 @@ def _rename_cost(a: _TNode, b: _TNode, structure_only: bool) -> float:
     if (a.tag, a.colspan, a.rowspan) != (b.tag, b.colspan, b.rowspan):
         return 1.0
     if a.tag == "td" and not structure_only:
-        ta = re.sub(r"\s+", " ", a.text).strip()
-        tb = re.sub(r"\s+", " ", b.text).strip()
-        if ta or tb:
-            return norm_edit(ta, tb)
+        # RAW cell text — the reference tokenizes node.text verbatim
+        # (table_metric.py:73-83); whitespace normalization belongs to
+        # normalized_table upstream, not the metric
+        if a.text or b.text:
+            return norm_edit(a.text, b.text)
     return 0.0
 
 
@@ -174,7 +175,7 @@ def _cost_matrix(n1: list, n2: list, structure_only: bool) -> np.ndarray:
         return C
 
     def cell_text(n):
-        return re.sub(r"\s+", " ", n.text).strip() if n.tag == "td" else None
+        return n.text if n.tag == "td" else None
 
     texts1 = [cell_text(a) for a in n1]
     texts2 = [cell_text(b) for b in n2]
@@ -302,8 +303,14 @@ def _truncate_tree(root: _TNode, max_nodes: int) -> _TNode:
 
 def teds_score(pred_html: str, gt_html: str, structure_only: bool = False,
                max_nodes: int = TEDS_MAX_NODES) -> float:
-    """1 - dist/max(nodes); 0 when either side lacks a table
-    (cal_metric.py:49-58 sets errors to 0)."""
+    """1 - dist/max(descendant counts); 0 when either side lacks a table
+    (cal_metric.py:49-58 sets errors to 0).
+
+    The denominator is the descendant count EXCLUDING the <table> root —
+    the reference normalizes by ``len(tree.xpath(".//*"))``
+    (table_metric.py:122-125), so scores can go slightly negative on
+    degenerate pairs; parity with the reference scorer is asserted in
+    tests/test_teds_reference_parity.py."""
     t_pred = parse_table_tree(pred_html)
     t_gt = parse_table_tree(gt_html)
     if t_pred is None or t_gt is None:
@@ -315,5 +322,5 @@ def teds_score(pred_html: str, gt_html: str, structure_only: bool = False,
     if n_gt > max_nodes:
         t_gt = _truncate_tree(t_gt, max_nodes)
     dist = tree_edit_distance(t_pred, t_gt, structure_only)
-    denom = max(n_pred, n_gt)  # normalized by the UNtruncated sizes
-    return 1.0 - dist / denom if denom else 0.0
+    denom = max(n_pred - 1, n_gt - 1)  # UNtruncated sizes, sans root
+    return 1.0 - dist / denom if denom > 0 else 0.0
