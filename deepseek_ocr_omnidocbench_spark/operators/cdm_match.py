@@ -305,7 +305,12 @@ def cdm_match_report(boxes: DataFrame) -> DataFrame:
         return pd.DataFrame([{
             "formula_id": pdf["formula_id"].iloc[0], **s}])
 
-    return (boxes.groupBy("formula_id")
+    # explicit partition count: the per-formula kernel is CPU-bound and
+    # AQE's byte-based coalescing would serialize the tiny shuffle (same
+    # hazard as eval_harness.match_elements; AQE respects user counts)
+    n_part = boxes.sparkSession.sparkContext.defaultParallelism
+    return (boxes.repartition(n_part, "formula_id")
+            .groupBy("formula_id")
             .applyInPandas(score, schema=CDM_REPORT_SCHEMA))
 
 

@@ -116,9 +116,16 @@ def detection_map(gt: DataFrame, preds: DataFrame) -> pd.DataFrame:
                      "n_gt_here": len(gt_pdf)})
         return pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA.fields])
 
+    # explicit partition count: CPU-bound per-(image, class) kernels;
+    # AQE's byte-based coalescing would serialize the tiny shuffle (same
+    # hazard as eval_harness.match_elements; AQE respects user counts)
+    n_part = gt.sparkSession.sparkContext.defaultParallelism
     matched = (
-        gt.select("img_id", "category", "bbox").groupBy("img_id", "category")
+        gt.select("img_id", "category", "bbox")
+        .repartition(n_part, "img_id", "category")
+        .groupBy("img_id", "category")
         .cogroup(preds.select("img_id", "category", "bbox", "score")
+                 .repartition(n_part, "img_id", "category")
                  .groupBy("img_id", "category"))
         .applyInPandas(_match, MATCH_SCHEMA)
     ).toPandas()
