@@ -870,6 +870,36 @@ def q_eval_fixture_report(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark n-gram contamination check (GPT-3 appendix C style,
+    n=5 here so the small synthetic docs produce several n-grams): the
+    benchmark set is every 37th document's text — those docs score 1.0,
+    the rest whatever they share by chance; value-parity with DuckDB."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        ngram_contamination)
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.pmod("doc_id", F.lit(37)) == 0).select("text")
+    out = ngram_contamination(docs, benchmark, n=5, threshold=0.8)
+    return out.select("doc_id", "n_ngrams", "n_hit",
+                      F.round("contamination", R).alias("contamination"),
+                      "is_contaminated").orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling (corpus mixing with
+    exact quotas): reproducible rank = row_number over xxhash64(seed,
+    doc_id) within each lang; value-parity with the same window in
+    DuckDB via Spark's xxhash64 mirrored as a precomputed column."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        stratified_sample)
+
+    docs = _docs(spark, sf_dir)
+    quotas = {"en": 40, "zh": 25, "de": 10, "es": 5, "fr": 5}
+    out = stratified_sample(docs, strata_col="lang", quotas=quotas, seed=7)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_cdm_match(spark, sf_dir):
     """Renderer-free CDM formula scoring (cdm_metric.py:96-147): Hungarian
     token-box match + iterated RANSAC affine inlier filter + token filter
@@ -925,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md2md_report": q_md2md_report,
         "eval_fixture_report": q_eval_fixture_report,
         "cdm_match": q_cdm_match,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1261,6 +1293,49 @@ def oracle_sql() -> dict[str, str]:
                   from v group by doc_id)
             select d.doc_id, coalesce(s.simhash16, 0)::bigint as simhash16
             from documents d left join s using (doc_id) order by d.doc_id
+        """,
+        "contamination": """
+            with w as (
+              select doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0) as w
+              from documents),
+            sh as (
+              select doc_id,
+                case when len(w) < 5 then [array_to_string(w, ' ')]
+                else list_distinct([array_to_string(w[i:i+4], ' ')
+                                    for i in range(1, len(w) - 3)]) end as sh
+              from w),
+            b as (select distinct unnest(sh) as s from sh
+                  where doc_id % 37 = 0),
+            c as (select doc_id, unnest(sh) as s from sh),
+            h as (
+              select c.doc_id, count(*) as n_ngrams,
+                sum(case when b.s is not null then 1 else 0 end)::bigint
+                  as n_hit
+              from c left join b on c.s = b.s
+              group by c.doc_id),
+            m as (
+              select doc_id, n_ngrams, n_hit,
+                case when n_ngrams > 0
+                  then n_hit::double / n_ngrams else 0.0 end as contam
+              from h)
+            select doc_id, n_ngrams, n_hit,
+              round(contam, 6) as contamination,
+              (contam >= 0.8)::int as is_contaminated
+            from m order by doc_id
+        """,
+        "stratified_sample": """
+            with q(lang, quota) as (values
+              ('en', 40), ('zh', 25), ('de', 10), ('es', 5), ('fr', 5)),
+            r as (
+              select doc_id, lang,
+                row_number() over (
+                  partition by lang
+                  order by md5('7:' || doc_id), doc_id) as rk
+              from documents)
+            select doc_id, lang from r join q using (lang)
+            where rk <= quota order by doc_id
         """,
         "recognition_report": """
             with p as (

@@ -1,0 +1,108 @@
+"""Corpus-curation operators a training-data pipeline runs after
+filtering/dedup: benchmark-contamination checks and stratified mixture
+sampling.  Both are pure-Column / native-agg dataflows with DuckDB
+value-parity oracles (task brief §extras; these extend the engine
+beyond the reference's own inventory).
+
+Scale shapes:
+
+- contamination: explode benchmark docs to n-gram hashes (the benchmark
+  side is SMALL — thousands of eval documents — so its distinct n-gram
+  set broadcasts), then one broadcast semi-join against the corpus's
+  exploded n-grams + a groupBy(doc_id).  One corpus-side shuffle on
+  doc_id; no corpus self-join, no skew (n-gram fan-out is linear in
+  document length).
+- stratified mixing: one window per stratum (row_number over a
+  deterministic xxhash64 order) + a broadcast join of per-stratum
+  quotas.  Sampling is reproducible across runs and cluster sizes
+  because rank order depends only on (seed, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13,
+                        threshold: float = 0.8) -> DataFrame:
+    """Per-corpus-document benchmark contamination: the fraction of the
+    document's distinct n-grams that appear in ANY benchmark document
+    (the standard 13-gram eval-decontamination test, e.g. GPT-3 appendix
+    C / PaLM §C.2).  Returns (doc_id, n_ngrams, n_hit, contamination,
+    is_contaminated).
+
+    Documents shorter than n words contribute their full word sequence
+    as ONE shingle (word_shingles' fallback), so a short document is
+    contaminated only if it equals a short benchmark span verbatim.
+    Shingles are hashed to 64-bit longs
+    on both sides; the benchmark's distinct hash set is broadcast so the
+    corpus scan stays shuffle-free until the final per-doc groupBy."""
+    c_sh = corpus.select(
+        id_col,
+        F.explode_outer(
+            F.transform(word_shingles(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))).alias("h"))
+    b_sh = (benchmark
+            .select(F.explode(
+                F.transform(word_shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s))).alias("h"))
+            .distinct())
+    hits = (
+        c_sh.join(F.broadcast(b_sh.withColumn("_hit", F.lit(1))), "h", "left")
+        .groupBy(id_col)
+        .agg(F.count("h").alias("n_ngrams"),
+             F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"))
+    )
+    contamination = F.when(
+        F.col("n_ngrams") > 0,
+        F.col("n_hit") / F.col("n_ngrams")).otherwise(F.lit(0.0))
+    return hits.select(
+        id_col, "n_ngrams", F.col("n_hit").cast("long").alias("n_hit"),
+        contamination.alias("contamination"),
+        (contamination >= threshold).cast("int").alias("is_contaminated"))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      quotas: dict[str, int] | None = None,
+                      fraction: float | None = None,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum top-k sampling for corpus mixing.
+
+    Every document gets a pseudo-random but REPRODUCIBLE rank inside its
+    stratum — row_number ordered by md5(seed:id) — and the first
+    ``quotas[stratum]`` (or ``ceil(fraction * stratum_size)``) survive.
+    Unlike ``df.sample``, the output is identical across runs, partition
+    layouts, cluster sizes, AND engines (md5 is hex-string-comparable in
+    any SQL dialect, which is what the DuckDB parity oracle checks),
+    which is what a corpus-mixture spec needs (exact token budgets per
+    source/language).
+
+    One window shuffle on the stratum key; quotas join broadcast."""
+    if (quotas is None) == (fraction is None):
+        raise ValueError("pass exactly one of quotas / fraction")
+    order = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    win = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    ranked = docs.withColumn("_rank", F.row_number().over(win))
+    if quotas is not None:
+        spark = docs.sparkSession
+        qdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(quotas.items())],
+            f"{strata_col} string, _quota long")
+        out = (ranked.join(F.broadcast(qdf), strata_col, "inner")
+               .where(F.col("_rank") <= F.col("_quota")))
+    else:
+        sizes = Window.partitionBy(strata_col)
+        out = (ranked
+               .withColumn("_n", F.count(F.lit(1)).over(sizes))
+               .where(F.col("_rank") <=
+                      F.ceil(F.col("_n") * F.lit(fraction)))
+               .drop("_n"))
+    return out.drop("_rank", "_quota") if quotas is not None \
+        else out.drop("_rank")

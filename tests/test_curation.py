@@ -1,0 +1,92 @@
+"""Corpus curation: contamination check + stratified mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators.curation import (
+    ngram_contamination,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "en", "alpha beta gamma delta epsilon completely different tail "
+                  "words here now"),
+        (2, "en", "nothing shared with anything else at all in this one"),
+        (3, "de", "kurz"),                      # shorter than n -> fallback
+        (4, "de", ""),                          # empty
+        (5, "fr", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_contamination_exact_and_partial(spark, corpus):
+    bench = corpus.where(F.col("doc_id") == 0).select("text")
+    out = {r["doc_id"]: r.asDict()
+           for r in ngram_contamination(corpus, bench, n=5).collect()}
+    # doc 0 is the benchmark itself -> fully contaminated
+    assert out[0]["contamination"] == pytest.approx(1.0)
+    assert out[0]["is_contaminated"] == 1
+    # doc 5 repeats doc 0 verbatim -> fully contaminated
+    assert out[5]["contamination"] == pytest.approx(1.0)
+    # doc 1 shares exactly one 5-gram (alpha..epsilon) of its 7
+    assert out[1]["n_ngrams"] == 7
+    assert out[1]["n_hit"] == 1
+    assert out[1]["contamination"] == pytest.approx(1 / 7)
+    assert out[1]["is_contaminated"] == 0
+    # doc 2 shares nothing
+    assert out[2]["n_hit"] == 0 and out[2]["contamination"] == 0.0
+    # short doc: one fallback shingle, not in benchmark
+    assert out[3]["n_ngrams"] == 1 and out[3]["n_hit"] == 0
+    # every corpus row is present exactly once
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+
+
+def test_contamination_short_doc_verbatim_match(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny eval prompt"), (1, "tiny eval prompt"), (2, "other text")],
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 0).select("text")
+    out = {r["doc_id"]: r["is_contaminated"]
+           for r in ngram_contamination(docs, bench, n=13).collect()}
+    assert out == {0: 1, 1: 1, 2: 0}
+
+
+def test_stratified_quotas_exact(spark, corpus):
+    out = stratified_sample(corpus, quotas={"en": 2, "de": 1}, seed=3)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 2, "de": 1}  # fr has no quota -> dropped
+
+
+def test_stratified_deterministic_and_layout_independent(spark, corpus):
+    a = {r["doc_id"] for r in
+         stratified_sample(corpus, quotas={"en": 2}, seed=3).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(corpus.repartition(7), quotas={"en": 2},
+                           seed=3).collect()}
+    assert a == b and len(a) == 2
+    c = {r["doc_id"] for r in
+         stratified_sample(corpus, quotas={"en": 2}, seed=4).collect()}
+    assert len(c) == 2  # a different seed is a valid (possibly equal) draw
+
+
+def test_stratified_fraction_mode(spark):
+    rows = [(i, "en" if i % 2 else "de", f"text {i}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_sample(docs, fraction=0.3, seed=1)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 15, "de": 15}
+    with pytest.raises(ValueError):
+        stratified_sample(docs)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, quotas={"en": 1}, fraction=0.5)
+
+
+def test_quota_larger_than_stratum(spark, corpus):
+    out = stratified_sample(corpus, quotas={"de": 99}, seed=3)
+    assert out.count() == 2  # whole stratum survives
