@@ -110,7 +110,245 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].children.append(data)
 
 
-def parse_html(html: str) -> Node:
+# ---- fast tokenizer --------------------------------------------------------
+#
+# stdlib html.parser spends ~65% of extraction CPU in goahead/updatepos
+# (line-number bookkeeping and char-by-char scanning we never use).  This
+# regex tokenizer emits the SAME event stream (starttag/startendtag/
+# endtag/data with convert_charrefs semantics, script/style CDATA modes,
+# comments/decls/PIs/bogus-comments ignored) straight into the tree
+# builder.  Equivalence with the stdlib path is pinned by
+# tests/test_html_fast_parse.py (full synthetic corpus at every category,
+# adversarial fixtures, and a random-junk fuzz sweep); any exception
+# falls back to the stdlib parser for the whole document.
+
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_GT = re.compile(r">")
+# the stdlib tolerant grammar, reproduced verbatim so both paths accept
+# exactly the same start/end-tag shapes (html/parser.py:36-58)
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*")
+_LOCATESTART = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*
+  (?:[\s/]*
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*
+      (?:\s*=+\s*
+        (?:'[^']*'
+          |"[^"]*"
+          |(?!['"])[^>\s]*
+         )
+        \s*
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*
+""", re.VERBOSE)
+_ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+_MARKED_KEYWORDS = {"temp", "cdata", "ignore", "include", "rcdata"}
+_MS_KEYWORDS = {"if", "else", "endif"}
+
+
+def _fast_feed(b: "_TreeBuilder", html: str) -> None:
+    """Single-pass port of html.parser's goahead(end=1) event loop —
+    same tolerant regex grammar, same recovery rules, minus the
+    line/column bookkeeping (updatepos) and feed-buffer management that
+    dominate stdlib parse time.  Two deliberate divergences: invalid
+    marked sections (``<![`` with an unknown keyword), where the stdlib
+    path RAISES from _markupbase, are treated as bogus comments here;
+    and feed() chunk boundaries don't exist, so data chunking can differ
+    (content is identical — test_html_fast_parse pins both)."""
+    n = len(html)
+    pos = 0
+    data = b.handle_data
+    find = html.find
+    startswith = html.startswith
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            t = html[pos:]
+            data(unescape(t) if "&" in t else t)
+            break
+        if lt > pos:
+            t = html[pos:lt]
+            data(unescape(t) if "&" in t else t)
+        pos = lt
+        c = html[pos + 1:pos + 2]
+        if c and ("a" <= c <= "z" or "A" <= c <= "Z"):
+            k = _fast_starttag(b, html, pos)
+            if isinstance(k, tuple):  # script/style: consume CDATA
+                pos = _fast_cdata(b, html, k[0], k[1])
+                continue
+        elif c == "/":
+            k = _fast_endtag(b, html, pos)
+        elif startswith("<!--", pos):
+            m = _COMMENT_CLOSE.search(html, pos + 4)
+            k = m.end() if m else -1
+        elif c == "?":
+            gt = find(">", pos + 2)
+            k = gt + 1 if gt >= 0 else -1
+        elif c == "!":
+            k = _fast_decl(html, pos)
+        else:
+            data("<")
+            pos += 1
+            continue
+        if k < 0:
+            # goahead end=1 recovery: emit through the next '>' (else
+            # the next '<', else one char) as charref-converted data
+            k = find(">", pos + 1)
+            if k < 0:
+                k = find("<", pos + 1)
+                if k < 0:
+                    k = pos + 1
+            else:
+                k += 1
+            chunk = html[pos:k]
+            data(unescape(chunk) if "&" in chunk else chunk)
+        pos = k
+
+
+def _fast_starttag(b, html, i):
+    """parse_starttag + check_for_whole_start_tag (html/parser.py:308-373).
+    Returns new pos, -1 (incomplete), or ('cdata-start-pos', tag)."""
+    m = _LOCATESTART.match(html, i)
+    j = m.end()
+    nxt = html[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if html.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return -1
+    elif nxt == "":
+        return -1
+    elif nxt == "=" or ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+        return -1  # ended inside an attribute value at EOF
+    else:
+        endpos = j if j > i else i + 1
+    tm = _TAGFIND.match(html, i + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs = []
+    while k < endpos:
+        am = _ATTRFIND.match(html, k)
+        if am is None:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or                 attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    end = html[k:endpos].strip()
+    if end not in (">", "/>"):
+        b.handle_data(html[i:endpos])  # junk in start tag: raw, like stdlib
+        return endpos
+    if end.endswith("/>"):
+        b.handle_startendtag(tag, attrs)
+        return endpos
+    b.handle_starttag(tag, attrs)
+    if tag in _CDATA_CLOSE:
+        return (endpos, tag)
+    return endpos
+
+
+def _fast_endtag(b, html, i):
+    """parse_endtag outside CDATA (html/parser.py:375-410)."""
+    gm = _GT.search(html, i + 1)
+    if gm is None:
+        return -1
+    gtpos = gm.end()
+    m = _ENDTAGFIND.match(html, i)
+    if m is None:
+        nm = _TAGFIND.match(html, i + 2)
+        if nm is None:
+            if html[i:i + 3] == "</>":
+                return i + 3
+            p = html.find(">", i + 2)  # bogus comment
+            return p + 1 if p >= 0 else -1
+        tagname = nm.group(1).lower()
+        gtpos = html.find(">", nm.end())
+        b.handle_endtag(tagname)
+        return gtpos + 1
+    b.handle_endtag(m.group(1).lower())
+    return gtpos
+
+
+def _fast_decl(html, i):
+    """parse_html_declaration (comments are dispatched earlier).
+    Declarations/PIs/marked sections produce no builder events."""
+    if html.startswith("<![", i):
+        dm = _DECLNAME.match(html, i + 3)
+        name = dm.group().strip().lower() if dm else None
+        if name in _MARKED_KEYWORDS:
+            mm = _MARKED_CLOSE.search(html, i + 3)
+        elif name in _MS_KEYWORDS:
+            mm = _MS_MARKED_CLOSE.search(html, i + 3)
+        else:
+            # stdlib RAISES here (_markupbase.py:155); treat as bogus
+            mm = None
+            p = html.find(">", i + 2)
+            return p + 1 if p >= 0 else -1
+        return mm.end() if mm else -1
+    if html[i:i + 9].lower() == "<!doctype":
+        p = html.find(">", i + 9)
+        return p + 1 if p >= 0 else -1
+    p = html.find(">", i + 2)  # bogus comment
+    return p + 1 if p >= 0 else -1
+
+
+def _fast_cdata(b, html, pos, tag):
+    """script/style content mode (set_cdata_mode + parse_endtag's
+    cdata_elem branches): raw data, only the matching end tag closes."""
+    n = len(html)
+    closer = _CDATA_CLOSE[tag]
+    while pos < n:
+        cm = closer.search(html, pos)
+        if cm is None:
+            b.handle_data(html[pos:])
+            return n
+        if cm.start() > pos:
+            b.handle_data(html[pos:cm.start()])
+        i = cm.start()
+        gm = _GT.search(html, i + 1)
+        if gm is None:
+            # EOF recovery inside CDATA: raw chunk through next '<'
+            k = html.find("<", i + 1)
+            k = k if k >= 0 else i + 1
+            b.handle_data(html[i:k])
+            pos = k
+            continue
+        m = _ENDTAGFIND.match(html, i)
+        if m is not None and m.group(1).lower() == tag:
+            b.handle_endtag(tag)
+            return gm.end()
+        # a non-matching or malformed end tag stays inside the CDATA
+        b.handle_data(html[i:gm.end()])
+        pos = gm.end()
+    return n
+
+
+def parse_html(html: str, fast: bool = True) -> Node:
+    if fast:
+        b = _TreeBuilder()
+        try:
+            _fast_feed(b, html)
+            return b.root
+        except Exception:
+            pass  # fall back to the stdlib parser for the whole doc
     b = _TreeBuilder()
     b.feed(html)
     b.close()
