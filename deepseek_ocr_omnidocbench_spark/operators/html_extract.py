@@ -678,16 +678,25 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 0,
     stage tail collapses scaling (measured: 0.3 efficiency 8->32 cores).
     Instead the big side is round-robin repartitioned — at most
     ceil(n_big/partitions) giants per task, so the critical path is one
-    giant — and the small side salts on xxhash64(url).
+    giant.
 
-    ``salt_buckets`` = 0 keeps the scan partitioning (test scale).
+    The small side keeps the SCAN partitioning: with giants filtered
+    out, per-partition cost tracks bytes, which is exactly what the
+    file-split planner already balances (maxPartitionBytes) — an extra
+    hash shuffle would move ~98% of rows (half the corpus bytes)
+    through the exchange for no balance gain.  Both branches read the
+    source (predicates on length(html) don't push into parquet), which
+    was already true of the salted form, so this strictly removes one
+    full-table shuffle.
+
+    ``salt_buckets`` = 0 keeps the scan partitioning for everything
+    (test scale).
     """
     sel = lambda df: df.select(  # noqa: E731
         "url", extract_markdown_udf()(F.col("html")).alias("md"))
     if salt_buckets:
         is_big = F.length("html") >= big_blob_bytes
-        small = pages.where(~is_big | F.col("html").isNull()).repartition(
-            salt_buckets, F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+        small = pages.where(~is_big | F.col("html").isNull())
         # round-robin: repartition(n) with no key balances rows exactly
         big = pages.where(is_big).repartition(salt_buckets * 2)
         out = sel(small).unionByName(sel(big))
