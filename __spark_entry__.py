@@ -915,6 +915,54 @@ def q_cdm_match(spark, sf_dir):
     return cdm_match_report(boxes).orderBy("formula_id")
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE learning iteration under the value-parity gate: word
+    frequencies -> char-symbol adjacent-pair counts, top 50.  The
+    iterative merge loop (q_bpe_merges) repeats exactly this
+    aggregation on the evolving vocab table."""
+    from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
+
+    docs = _docs(spark, sf_dir)
+    vocab = BP.word_freq_table(docs).select(
+        BP.init_symbols(F.col("word")).alias("sym"), "freq")
+    return (BP.pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "a", "b").limit(50))
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (25 merges over the documents
+    corpus).  rows-only: the merge loop is inherently iterative (each
+    argmax depends on all prior merges) — not SQL-expressible; pytest
+    checks every merge against an independent reference implementation
+    (tests/test_bpe.py)."""
+    from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
+
+    merges = BP.learn_bpe(_docs(spark, sf_dir), n_merges=25, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, a string, b string, cnt long").orderBy("rank")
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 4
+
+
+def q_bloom_probe(spark, sf_dir):
+    """Bloom-filter crawl seen-set under the value-parity gate: build
+    the bitmap over 2/3 of doc keys, probe ALL keys.  The bitmap
+    (chunk_id, bit_or) build and bitwise probe are mirrored in DuckDB
+    as distinct-position set membership — mathematically identical."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        bloom_build, bloom_probe)
+
+    keys = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"))
+    seen = keys.where(F.pmod("doc_id", F.lit(3)) != 0).select("url")
+    bloom = bloom_build(seen, m=_BLOOM_M, k=_BLOOM_K)
+    out = bloom_probe(keys.select("url"), bloom, m=_BLOOM_M, k=_BLOOM_K)
+    return out.orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_groups": q_exact_dedup_groups,
@@ -957,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdm_match": q_cdm_match,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bloom_probe": q_bloom_probe,
     }
 
 
@@ -1336,6 +1387,53 @@ def oracle_sql() -> dict[str, str]:
               from documents)
             select doc_id, lang from r join q using (lang)
             where rk <= quota order by doc_id
+        """,
+        "bpe_pair_counts": r"""
+            with words as (
+              select unnest(regexp_split_to_array(trim(text), '\s+')) as word
+              from documents),
+            wf as (
+              select word, count(*) as freq from words
+              where word <> '' group by word),
+            syms as (
+              select freq,
+                list_append(string_split(word, ''), '</w>') as s
+              from wf),
+            p0 as (
+              select freq, unnest(
+                [struct_pack(a := s[i], b := s[i+1])
+                 for i in range(1, len(s))]) as p
+              from syms),
+            pc as (
+              select p.a as a, p.b as b, sum(freq)::bigint as cnt
+              from p0 group by p.a, p.b)
+            select a, b, cnt from pc
+            order by cnt desc, a, b limit 50
+        """,
+        "bloom_probe": f"""
+            with keys as (
+              select doc_id,
+                'doc:' || cast(doc_id as varchar) as url from documents),
+            seen as (select url from keys where doc_id % 3 <> 0),
+            bits as (
+              select distinct unnest(
+                [('0x' || substr(md5(url || ':' || cast(i as varchar)),
+                                 1, 15))::bigint % {_BLOOM_M}
+                 for i in range(0, {_BLOOM_K})]) as pos
+              from seen),
+            probe as (
+              select url, unnest(
+                [('0x' || substr(md5(url || ':' || cast(i as varchar)),
+                                 1, 15))::bigint % {_BLOOM_M}
+                 for i in range(0, {_BLOOM_K})]) as pos
+              from keys),
+            hit as (
+              select url,
+                case when pos in (select pos from bits) then 1 else 0 end
+                  as bit_set
+              from probe)
+            select url, cast(min(bit_set) = 1 as int) as maybe_seen
+            from hit group by url order by url
         """,
         "recognition_report": """
             with p as (

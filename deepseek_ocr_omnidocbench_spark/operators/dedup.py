@@ -393,3 +393,61 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# --- Bloom-filter seen-set (incremental crawl dedup) ----------------------
+
+def bloom_positions(col: Column, m: int, k: int) -> Column:
+    """array<int> of k bit positions in [0, m) for a key — md5-derived
+    (the DuckDB-replicable hash family; each of the k hashes salts the
+    key with ':i').  Pure Columns, no UDF."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(col.cast("string"),
+                                           F.lit(":%d" % i))), 1, 15),
+                16, 10).cast("long") % m).cast("int")
+        for i in range(k)
+    ])
+
+
+def bloom_build(seen: DataFrame, key_col: str = "url",
+                m: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Materialize a Bloom filter over ``seen[key_col]`` as a compact
+    bitmap table (chunk_id, bits): 32 bits per row via bit_or partial
+    aggregation, so the build is ONE shuffle whose output is m/32 rows
+    (a 10^10-bit filter -> ~300M rows / ~2.5 GB — broadcastable in
+    chunks or storable as the crawl frontier's seen-set snapshot).
+    Incremental maintenance is a union + the same groupBy: bit_or is
+    idempotent and associative."""
+    pos = seen.select(
+        F.explode(bloom_positions(F.col(key_col), m, k)).alias("pos"))
+    # shiftleft's python wrapper needs a literal shift; expr() takes a column
+    return (pos
+            .groupBy((F.col("pos") / 32).cast("int").alias("chunk_id"))
+            .agg(F.bit_or(F.expr("shiftleft(1, pos % 32)")).alias("bits")))
+
+
+def bloom_probe(incoming: DataFrame, bloom: DataFrame,
+                key_col: str = "url", m: int = 1 << 20,
+                k: int = 5) -> DataFrame:
+    """Probe incoming keys against a built filter: (key, maybe_seen).
+    maybe_seen=1 -> key is possibly in the seen set (false-positive
+    rate ~(1-e^{-kn/m})^k); maybe_seen=0 -> DEFINITELY new, safe to
+    crawl.  The probe explodes each key to its k positions and
+    broadcast-joins the bitmap — the incoming scan shuffles once on the
+    key for the final all-bits-set groupBy."""
+    pos = incoming.select(
+        key_col,
+        F.posexplode(bloom_positions(F.col(key_col), m, k))
+        .alias("i", "pos"))
+    hit = (pos
+           .join(F.broadcast(bloom),
+                 (F.col("pos") / 32).cast("int") == F.col("chunk_id"),
+                 "left")
+           .select(key_col,
+                   F.when(F.col("bits").isNotNull() &
+                          (F.col("bits")
+                           .bitwiseAND(F.expr("shiftleft(1, pos % 32)"))
+                           != 0),
+                          1).otherwise(0).alias("bit_set")))
+    return (hit.groupBy(key_col)
+            .agg((F.min("bit_set") == 1).cast("int").alias("maybe_seen")))

@@ -1,0 +1,134 @@
+"""BPE merge learning + encoding: the distributed learner must agree
+with an independent in-process reference implementation (dict-based
+get_stats/merge, the subword-nmt algorithm re-done from its paper
+description) on every merge, and encoding must round-trip."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from deepseek_ocr_omnidocbench_spark.operators import bpe as B
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+    "the new low the newest",
+]
+
+
+def ref_learn_bpe(texts, n_merges, min_freq=2):
+    """Independent reference: word-freq dict + pair-count dict."""
+    vocab = {}
+    for t in texts:
+        for w in t.split():
+            sym = tuple(list(w) + [B.END])
+            vocab[sym] = vocab.get(sym, 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                stats[(sym[i], sym[i + 1])] = \
+                    stats.get((sym[i], sym[i + 1]), 0) + freq
+        if not stats:
+            break
+        # max count, ties lexicographic on (a, b) — mirrors learn_bpe
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                 "doc_id int, text string")
+
+
+def test_merges_match_reference(corpus_df):
+    got = B.learn_bpe(corpus_df, n_merges=12, min_freq=2,
+                      checkpoint_every=5)
+    want = ref_learn_bpe(CORPUS, n_merges=12, min_freq=2)
+    assert got == want
+    assert len(got) >= 8  # the corpus supports a real merge sequence
+    # first merges are the obvious high-frequency pairs
+    assert got[0][:2] in {("e", "s"), ("s", "t"), ("n", "e"),
+                          ("w", "e"), ("e", "w")}
+
+
+def test_merges_deterministic_across_partitioning(corpus_df):
+    a = B.learn_bpe(corpus_df.repartition(7), n_merges=6)
+    b = B.learn_bpe(corpus_df.coalesce(1), n_merges=6)
+    assert a == b
+
+
+def test_encode_roundtrip(corpus_df):
+    merges = B.learn_bpe(corpus_df, n_merges=10)
+    out = B.bpe_encode(corpus_df, merges).orderBy("doc_id").collect()
+    for row in out:
+        joined = "".join(row["tokens"]).replace(B.END, " ").strip()
+        assert joined == " ".join(row["text"].split())
+        assert row["n_tokens"] == len(row["tokens"])
+
+
+def test_encode_uses_merges(corpus_df):
+    merges = B.learn_bpe(corpus_df, n_merges=20)
+    out = B.bpe_encode(corpus_df, merges).collect()
+    toks = {t for r in out for t in r["tokens"]}
+    # multi-char tokens exist => merges actually applied
+    assert any(len(t.replace(B.END, "x")) > 1 for t in toks)
+    # 'low' appears 6x => should have become a single token
+    assert "low" + B.END in toks or "low" in toks
+
+
+def test_encode_word_greedy_overlap():
+    # 'a a a' + merge (a,a): left-to-right non-overlap -> ['aa', 'a</w>']
+    merges = [("a", "a"), ("a", B.END)]
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = B._encode_word("aaa", merges, ranks, {})
+    assert got == ["aa", "a" + B.END]
+
+
+def test_apply_merge_regex_specials(spark):
+    # symbols that are regex metacharacters must be literal-quoted
+    df = spark.createDataFrame([("( ) ( ) </w>",), ("$ \\ </w>",)],
+                               "sym string")
+    out = df.select(B.apply_merge(F.col("sym"), "(", ")").alias("m"),
+                    B.apply_merge(F.col("sym"), "$", "\\").alias("d")) \
+        .collect()
+    assert out[0]["m"] == "() () </w>"
+    assert out[1]["d"] == "$\\ </w>"
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame([(0, ""), (1, None), (2, "  ")],
+                               "doc_id int, text string")
+    assert B.learn_bpe(df, n_merges=3) == []
+    out = B.bpe_encode(df, [("a", "b", 5)]).orderBy("doc_id").collect()
+    assert [r["tokens"] for r in out] == [[], [], []]
+
+
+def test_unicode_words(spark):
+    df = spark.createDataFrame(
+        [(0, "héllo héllo héllo wörld wörld")], "doc_id int, text string")
+    merges = B.learn_bpe(df, n_merges=8, min_freq=2)
+    want = ref_learn_bpe(["héllo héllo héllo wörld wörld"], 8, 2)
+    assert merges == want
+    out = B.bpe_encode(df, merges).collect()[0]
+    assert "".join(out["tokens"]).replace(B.END, " ").strip() == \
+        "héllo héllo héllo wörld wörld"
