@@ -219,6 +219,25 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", R).alias("jaccard"))
 
 
+_BOILER = ("all rights reserved contact us for more information "
+           "about our terms of service")
+
+
+def q_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022): duplicated n-gram windows
+    merged into maximal per-doc spans.  Every third doc gets a shared
+    boilerplate tail so the corpus has real duplicated substrings;
+    md5 gram keys so DuckDB computes the identical grouping."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat_ws(" ", F.col("text"), F.lit(_BOILER)))
+        .otherwise(F.col("text")).alias("text"))
+    return (D.substring_dedup_spans(aug, n=8, key_fn=F.md5)
+            .orderBy("doc_id", "span_start"))
+
+
 def q_doc_stats_by_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bpe = TS.token_count_cols(F.col("text"))["bpe_tokens"]
@@ -975,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "url_dedup": q_url_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "substring_spans": q_substring_spans,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1090,6 +1110,37 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.lang = b.lang and a.doc_id < b.doc_id
             where len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(a.sh || b.sh)) > 0.2
+        """,
+        "substring_spans": f"""
+            with aug as (
+              select doc_id,
+                case when doc_id % 3 = 0
+                  then text || ' {_BOILER}' else text end as text
+              from documents),
+            wd as (select doc_id, {_AZ09_WORDS} as w from aug),
+            g as (
+              select doc_id, i - 1 as pos,
+                md5(array_to_string(w[i:i+7], ' ')) as k
+              from wd, unnest(generate_series(1, len(w) - 7)) as t(i)),
+            f as (
+              select doc_id, pos,
+                count(*) over (partition by k) as cnt
+              from g),
+            d as (select doc_id, pos from f where cnt > 1),
+            isl0 as (
+              select doc_id, pos,
+                case when pos - lag(pos) over
+                    (partition by doc_id order by pos) > 8
+                  then 1 else 0 end as newi
+              from d),
+            isl as (
+              select doc_id, pos,
+                sum(newi) over (partition by doc_id order by pos) as grp
+              from isl0)
+            select doc_id, min(pos) as span_start,
+              max(pos) + 8 as span_end, count(*) as n_grams
+            from isl group by doc_id, grp
+            order by doc_id, span_start
         """,
         "bleu_by_source": _bleu_oracle_sql(),
         "url_dedup": """

@@ -451,3 +451,86 @@ def bloom_probe(incoming: DataFrame, bloom: DataFrame,
                           1).otherwise(0).alias("bit_set")))
     return (hit.groupBy(key_col)
             .agg((F.min("bit_set") == 1).cast("int").alias("maybe_seen")))
+
+
+# --- Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+# --- Data Makes Language Models Better" — the ExactSubstr variant) ------
+
+def _pos_ngrams(words: Column, n: int) -> Column:
+    """All n-word grams in order (index i = gram starting at word i,
+    0-based) — same zipped-slice shape as word_shingles, but POSITIONED:
+    the output array index IS the start offset."""
+    k = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(words, 1 + j, k) for j in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def substring_dedup_spans(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 50,
+                          key_fn=None) -> DataFrame:
+    """Maximal duplicated word spans per document: every n-gram that
+    occurs >= 2 times ANYWHERE in the corpus marks its [pos, pos+n)
+    interval; overlapping/adjacent intervals merge into maximal spans
+    (doc_id, span_start, span_end, n_grams), positions in the
+    normalized-word sequence.
+
+    This is suffix-array ExactSubstr dedup re-expressed relationally:
+    instead of one giant suffix array, duplicated length-n windows are
+    found with a count-over-hash window (any >= n-word duplicate
+    substring contains a duplicated n-window, so maximal-span recall is
+    identical for duplicates of length >= n).
+
+    Scale: exactly TWO exchanges — (1) the count window on the gram
+    hash (key cardinality ~ corpus token count, uniform — no skew
+    beyond genuinely viral spans, which are precisely the rows kept),
+    (2) the per-doc island merge, whose window and groupBy share one
+    hash partitioning on doc_id.  No self-join, no pairs² term.
+    ``key_fn`` defaults to xxhash64 (64-bit collisions are negligible
+    next to n=50 semantic windows); pass md5 for engine-parity tests.
+    """
+    key_fn = key_fn or F.xxhash64
+    words = normalized_words(F.col(text_col))
+    grams = docs.select(
+        id_col, F.posexplode(_pos_ngrams(words, n)).alias("pos", "gram"))
+    dup_w = Window.partitionBy("k")
+    flagged = (grams
+               .select(id_col, "pos", key_fn(F.col("gram")).alias("k"))
+               .withColumn("cnt", F.count(F.lit(1)).over(dup_w))
+               .where(F.col("cnt") > 1))
+    doc_w = Window.partitionBy(id_col).orderBy("pos")
+    return (flagged
+            .withColumn("new_isl",
+                        F.when(F.col("pos") - F.lag("pos").over(doc_w) > n,
+                               1).otherwise(0))
+            .withColumn("isl", F.sum("new_isl").over(doc_w))
+            .groupBy(id_col, "isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + n).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .drop("isl"))
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Drop every word inside a duplicated span; adds ``clean_text``
+    (surviving words space-joined) and ``n_removed_words``.  The span
+    list per doc is small (merged maximal spans), so it rides in an
+    array column through one broadcast-friendly join; the word filter
+    is a native two-arg lambda — no UDF."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    joined = docs.join(sp, id_col, "left")
+    words = F.coalesce(normalized_words(F.col(text_col)),
+                       F.array().cast("array<string>"))
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]))
+    kept = F.when(F.col("_spans").isNull(), words).otherwise(
+        F.filter(words, lambda w, i: ~in_span(i)))
+    return (joined
+            .withColumn("clean_text", F.concat_ws(" ", kept))
+            .withColumn("n_removed_words", F.size(words) - F.size(kept))
+            .drop("_spans"))
