@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deepseek_ocr_omnidocbench_spark.operators import dedup as D
+from deepseek_ocr_omnidocbench_spark.operators.filters import (
+    PII_PATTERNS as _PII,
+)
 from deepseek_ocr_omnidocbench_spark.operators import similarity as S
 from deepseek_ocr_omnidocbench_spark.operators import textstats as TS
 from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
@@ -236,6 +239,42 @@ def q_substring_spans(spark, sf_dir):
         .otherwise(F.col("text")).alias("text"))
     return (D.substring_dedup_spans(aug, n=8, key_fn=F.md5)
             .orderBy("doc_id", "span_start"))
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph dedup: every third doc gets a shared
+    boilerplate paragraph appended; only the first occurrence
+    (lowest doc_id) survives."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\n\n"), F.lit(_BOILER)))
+        .otherwise(F.col("text")).alias("text"))
+    return (D.paragraph_dedup(aug, key_fn=F.md5)
+            .orderBy("doc_id"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub counts + redaction on deterministically-injected PII
+    (email, ipv4, phone seeded from doc_id)."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 555-123-4567")).alias("text"))
+    return pii_scrub(aug).orderBy("doc_id")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (TS.tfidf_top_terms(docs, k=3)
+            .orderBy("doc_id", "term"))
 
 
 def q_doc_stats_by_lang(spark, sf_dir):
@@ -995,6 +1034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "substring_spans": q_substring_spans,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1141,6 +1183,75 @@ def oracle_sql() -> dict[str, str]:
               max(pos) + 8 as span_end, count(*) as n_grams
             from isl group by doc_id, grp
             order by doc_id, span_start
+        """,
+        "paragraph_dedup": f"""
+            with aug as (
+              select doc_id,
+                case when doc_id % 3 = 0
+                  then text || e'\\n\\n' || '{_BOILER}' else text end as t
+              from documents),
+            pl as (
+              select doc_id,
+                list_filter(
+                  list_transform(string_split_regex(t, '\\n\\s*\\n'),
+                                 p -> trim(p)),
+                  p -> len(p) > 0) as ps
+              from aug),
+            pe as (
+              select doc_id, i - 1 as pos, ps[i] as para
+              from pl, unnest(generate_series(1, len(ps))) as u(i)),
+            kd as (
+              select doc_id, pos, para,
+                row_number() over (partition by md5(
+                  regexp_replace(regexp_replace(lower(para),
+                    '[0-9]+', '', 'g'), '\\s+', ' ', 'g'))
+                  order by doc_id, pos) as rk
+              from pe)
+            select doc_id,
+              coalesce(string_agg(para, e'\\n\\n' order by pos)
+                       filter (where rk = 1), '') as clean_text,
+              count(*) as n_paras,
+              sum((rk > 1)::int) as n_removed_paras
+            from kd group by doc_id order by doc_id
+        """,
+        "pii_scrub": f"""
+            with aug as (
+              select doc_id,
+                text || ' contact user' || doc_id
+                  || '@example.com or 10.0.' || (doc_id % 256)
+                  || '.1 call 555-123-4567' as t
+              from documents)
+            select doc_id,
+              len(regexp_extract_all(t, '{_PII["email"]}')) as n_email,
+              len(regexp_extract_all(t, '{_PII["ipv4"]}')) as n_ipv4,
+              len(regexp_extract_all(t, '{_PII["phone"]}')) as n_phone,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '{_PII["email"]}', '<EMAIL>', 'g'),
+                '{_PII["ipv4"]}', '<IPV4>', 'g'),
+                '{_PII["phone"]}', '<PHONE>', 'g') as scrubbed_text
+            from aug order by doc_id
+        """,
+        "tfidf_top_terms": """
+            with w as (
+              select doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z]+'),
+                x -> len(x) > 0)) as term
+              from documents),
+            tf as (
+              select doc_id, term, count(*) as tf
+              from w group by doc_id, term),
+            sc as (
+              select doc_id, term, tf,
+                count(*) over (partition by term) as df,
+                tf * (ln(((select count(*) from documents) + 1)::double
+                         / (df + 1)) + 1) as score
+              from tf),
+            rk as (
+              select *, row_number() over (partition by doc_id
+                order by score desc, term asc) as r
+              from sc)
+            select doc_id, term, tf, df, round(score, 6) as score
+            from rk where r <= 3 order by doc_id, term
         """,
         "bleu_by_source": _bleu_oracle_sql(),
         "url_dedup": """

@@ -469,7 +469,7 @@ def _pos_ngrams(words: Column, n: int) -> Column:
 
 def substring_dedup_spans(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 50,
-                          key_fn=None) -> DataFrame:
+                          key_fn=None, giant_words: int = 20_000) -> DataFrame:
     """Maximal duplicated word spans per document: every n-gram that
     occurs >= 2 times ANYWHERE in the corpus marks its [pos, pos+n)
     interval; overlapping/adjacent intervals merge into maximal spans
@@ -489,11 +489,33 @@ def substring_dedup_spans(docs: DataFrame, text_col: str = "text",
     hash partitioning on doc_id.  No self-join, no pairs² term.
     ``key_fn`` defaults to xxhash64 (64-bit collisions are negligible
     next to n=50 semantic windows); pass md5 for engine-parity tests.
+
+    Giant-doc routing: the zipped-slice gram builder holds n slices of
+    the doc's word array in ONE row buffer (n x doc blow-up — a 10 MB
+    doc at n=50 is a 500 MB row).  Docs with >= ``giant_words`` words
+    instead explode to per-word rows and build the IDENTICAL gram
+    strings from n-1 window leads (per-row memory bounded by n words;
+    the per-doc window sort spills).  Same gram text on both routes,
+    so duplicates pair up across them.
     """
     key_fn = key_fn or F.xxhash64
-    words = normalized_words(F.col(text_col))
-    grams = docs.select(
-        id_col, F.posexplode(_pos_ngrams(words, n)).alias("pos", "gram"))
+    base = docs.select(
+        id_col, normalized_words(F.col(text_col)).alias("_w"))
+    small = base.where(F.size("_w") < giant_words)
+    giant = base.where(F.size("_w") >= giant_words)
+    small_g = small.select(
+        id_col, F.posexplode(_pos_ngrams(F.col("_w"), n)).alias("pos", "gram"))
+    lead_w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("_w0")] + [F.lead("_w0", j).over(lead_w)
+                              for j in range(1, n)]
+    giant_g = (giant
+               .select(id_col, F.posexplode("_w").alias("pos", "_w0"))
+               .select(id_col, "pos",
+                       F.concat_ws(" ", *leads).alias("gram"),
+                       leads[-1].alias("_last"))
+               .where(F.col("_last").isNotNull())
+               .drop("_last"))
+    grams = small_g.unionByName(giant_g)
     dup_w = Window.partitionBy("k")
     flagged = (grams
                .select(id_col, "pos", key_fn(F.col("gram")).alias("k"))
@@ -510,6 +532,55 @@ def substring_dedup_spans(docs: DataFrame, text_col: str = "text",
                  (F.max("pos") + n).alias("span_end"),
                  F.count(F.lit(1)).alias("n_grams"))
             .drop("isl"))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", key_fn=None) -> DataFrame:
+    """CCNet-style paragraph dedup: split each document on blank lines,
+    keep only the corpus-wide FIRST occurrence of each normalized
+    paragraph (first = lowest (doc_id, position)), and reassemble
+    surviving paragraphs in document order.  Returns (doc_id,
+    clean_text, n_paras, n_removed_paras).
+
+    Normalization before hashing mirrors CCNet: lowercase, digits
+    dropped, whitespace collapsed — so boilerplate that differs only in
+    counters/dates still collapses to one survivor.
+
+    Scale: exactly TWO exchanges — (1) a row_number window on the
+    paragraph hash (uniform key, cardinality ~ distinct paragraphs;
+    viral boilerplate keys are exactly the rows the window exists to
+    rank), (2) the per-doc reassembly groupBy.  No join back to the
+    docs table: the paragraph rows carry everything.  ``key_fn``
+    defaults to xxhash64; pass md5 for engine-parity tests.
+    """
+    key_fn = key_fn or F.xxhash64
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\s*\n"),
+                    lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0)
+    norm = lambda p: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(F.lower(p), r"[0-9]+", ""), r"\s+", " ")
+    exploded = docs.select(
+        id_col, F.posexplode(F.coalesce(
+            paras, F.array().cast("array<string>"))).alias("pos", "para"))
+    first_w = (Window.partitionBy("k")
+               .orderBy(F.col(id_col).asc(), F.col("pos").asc()))
+    kept = (exploded
+            .withColumn("k", key_fn(norm(F.col("para"))))
+            .withColumn("rk", F.row_number().over(first_w)))
+    return (kept
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_paras"),
+                 F.sum((F.col("rk") > 1).cast("int"))
+                 .alias("n_removed_paras"),
+                 F.concat_ws(
+                     "\n\n",
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("rk") == 1,
+                             F.struct("pos", "para")))),
+                         lambda s: s["para"])).alias("clean_text"))
+            .select(id_col, "clean_text", "n_paras", "n_removed_paras"))
 
 
 def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,

@@ -136,3 +136,36 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn("is_canonical",
                     F.col(url_col) == F.min(url_col).over(w))
     )
+
+
+# ---- PII scrubbing (beyond the reference: standard corpus-curation
+# ---- pass, cf. Dolma/FineWeb pipelines) --------------------------------
+
+# Patterns are deliberately RE2-compatible (no backrefs/lookaround) so
+# the DuckDB oracle runs the IDENTICAL regex; all are also valid Java
+# regexes with the same semantics.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+}
+
+
+def pii_cols(text: Column) -> dict[str, Column]:
+    """Per-kind match counts plus the scrubbed text (every match
+    replaced by a typed sentinel, applied in the fixed PII_PATTERNS
+    order).  Pure Columns — at 100 TB this is a free rider on whatever
+    scan already touches the text."""
+    out: dict[str, Column] = {}
+    scrubbed = text
+    for kind, pat in PII_PATTERNS.items():
+        out[f"n_{kind}"] = F.regexp_count(text, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    out["scrubbed_text"] = scrubbed
+    return out
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    cols = pii_cols(F.col(text_col))
+    return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])

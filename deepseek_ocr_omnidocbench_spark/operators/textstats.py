@@ -414,3 +414,41 @@ def pack_documents(docs: DataFrame, budget: int = 512,
         id_col, F.col("grp").alias(group_col), "n_tokens", "start_offset",
         F.floor(F.col("start_offset") / budget).cast("int").alias("bin"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf:
+    ln((N+1)/(df+1)) + 1), ties broken by term so the result is fully
+    deterministic.  Returns (doc_id, term, tf, df, score).
+
+    Scale shape: ONE shuffle builds the (doc, term, tf) table; document
+    frequency is a count-distinct-free window over the SAME partitioning
+    key (term rows are already unique per doc, so df = count(*) over
+    term) — no join against a df dimension table and no second
+    aggregation over the corpus.  N rides in as a broadcast scalar via
+    a literal-free cross join of a 1-row aggregate.  The final top-k
+    window partitions by doc — the natural key, no skew.
+    """
+    from pyspark.sql import Window
+
+    tf = (docs
+          .select(id_col, F.explode(_word_array(F.col(text_col)))
+                  .alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_w = Window.partitionBy("term")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (tf
+              .withColumn("df", F.count(F.lit(1)).over(df_w))
+              .join(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf") * (F.log((F.col("_n") + 1)
+                                               / (F.col("df") + 1)) + 1)))
+    top_w = (Window.partitionBy(id_col)
+             .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored
+            .withColumn("rk", F.row_number().over(top_w))
+            .where(F.col("rk") <= k)
+            .select(id_col, "term", "tf", "df",
+                    F.round("score", 6).alias("score")))

@@ -99,3 +99,25 @@ def test_empty_and_null(spark):
     out = remove_duplicate_spans(
         df, substring_dedup_spans(df, n=3)).collect()
     assert all(r["n_removed_words"] == 0 for r in out)
+
+
+def test_giant_doc_routing_parity(spark, corpus=None):
+    # same corpus through both routes: force every doc giant vs none
+    rows = [(i, f"head{i} shared phrase repeated across many docs tail{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    small_route = substring_dedup_spans(df, n=6, giant_words=10**9)
+    giant_route = substring_dedup_spans(df, n=6, giant_words=1)
+    key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    assert key(small_route) == key(giant_route)
+    # mixed: half the docs giant-routed, duplicates still pair ACROSS routes
+    mixed = substring_dedup_spans(
+        df.withColumn("text", F.when(F.col("doc_id") < 6, F.col("text"))
+          .otherwise(F.concat_ws(" ", "text", F.lit("x " * 30)))),
+        n=6, giant_words=15)
+    # the shared phrase (words [1, 7)) is found in BOTH halves — small
+    # docs pair with giant docs, proving keys match across routes
+    shared = mixed.where((F.col("span_start") == 1)
+                         & (F.col("span_end") == 7))
+    assert shared.where(F.col("doc_id") < 6).count() == 6
+    assert shared.where(F.col("doc_id") >= 6).count() == 6
