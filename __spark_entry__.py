@@ -277,6 +277,34 @@ def q_tfidf_top_terms(spark, sf_dir):
             .orderBy("doc_id", "term"))
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line filters over documents re-lined every 6 words (the
+    synthetic text has no punctuation, so sentence structure is
+    manufactured identically in both engines), plus an injected
+    bad-phrase line and a too-short line so every rule fires."""
+    docs = _docs(spark, sf_dir)
+    lined = F.regexp_replace("text", r"((?:\w+ ){5}\w+) ", "$1.\n")
+    aug = docs.select(
+        "doc_id",
+        F.concat(lined, F.lit(
+            ".\nlorem ipsum dolor sit amet consectetur filler line."
+            "\ntiny line.")).alias("text"))
+    return TS.c4_clean(aug).orderBy("doc_id")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain curation aggregates on deterministic synthetic hosts
+    (7 domains seeded from doc_id)."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    return TS.domain_stats(aug).orderBy("domain")
+
+
 def q_doc_stats_by_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bpe = TS.token_count_cols(F.col("text"))["bpe_tokens"]
@@ -1037,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "c4_clean": q_c4_clean,
+        "domain_stats": q_domain_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1230,6 +1260,74 @@ def oracle_sql() -> dict[str, str]:
                 '{_PII["ipv4"]}', '<IPV4>', 'g'),
                 '{_PII["phone"]}', '<PHONE>', 'g') as scrubbed_text
             from aug order by doc_id
+        """,
+        "c4_clean": """
+            with aug as (
+              select doc_id,
+                replace(regexp_replace(text,
+                  '((?:\\w+ ){5}\\w+) ', '\\1.<NL>', 'g'),
+                  '<NL>', chr(10))
+                || '.' || chr(10)
+                || 'lorem ipsum dolor sit amet consectetur filler line.'
+                || chr(10) || 'tiny line.' as text
+              from documents),
+            l as (
+              select doc_id,
+                list_filter(list_transform(
+                  string_split_regex(coalesce(text, ''), '\\n'),
+                  x -> trim(x)), x -> len(x) > 0) as lines
+              from aug),
+            k as (
+              select doc_id, lines,
+                list_filter(lines, ln ->
+                  regexp_matches(ln, '[.!?"'']$')
+                  and len(list_filter(string_split_regex(ln, '\\s+'),
+                          w -> len(w) > 0)) >= 5
+                  and len(list_filter(
+                    ['lorem ipsum','javascript','{','cookie policy',
+                     'terms of use','privacy policy','use of cookies'],
+                    p -> contains(lower(ln), p))) = 0) as kept
+              from l)
+            select doc_id,
+              coalesce(array_to_string(kept, chr(10)), '') as clean_text,
+              len(lines) as n_lines, len(kept) as n_kept_lines,
+              (len(kept) >= 3)::int as keep_doc
+            from k order by doc_id
+        """,
+        "domain_stats": f"""
+            with aug as (
+              select 'https://host' || (doc_id % 7) || '.example.com/p/'
+                     || doc_id as url, text
+              from documents),
+            t as (
+              select lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as domain,
+                length(text) as n,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as alpha,
+                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  as punct,
+                {_WORDS_EXPR} as words
+              from aug),
+            u as (
+              select domain,
+                case when n > 0 then alpha / n else 0.0 end as alpha_ratio,
+                case when n > 0 then punct / n else 0.0 end as punct_ratio,
+                case when len(words) > 0
+                  then len(list_filter(words,
+                       w -> list_contains({_EN_STOP}, w)))
+                       / len(words) else 0.0 end as stop_ratio,
+                case when len(words) > 0
+                  then len(list_filter(words,
+                       w -> list_contains({_SEO}, w)))::double
+                       / len(words) else 0.0 end as seo_ratio,
+                n from t)
+            select domain, count(*) as n_docs,
+              round(avg(least(n / 1000.0, 1.0) * 0.2 + alpha_ratio * 0.4
+                    + least(stop_ratio * 5.0, 1.0) * 0.3
+                    + (1 - least(punct_ratio * 4.0, 1.0)) * 0.1), 6)
+                as avg_quality,
+              round(avg((seo_ratio > 0.004)::int), 6) as spam_share
+            from u group by domain order by domain
         """,
         "tfidf_top_terms": """
             with w as (

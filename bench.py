@@ -66,6 +66,19 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     times["eval_harness"] = round(time.time() - t0, 3)
     times["_eval_pages"] = n_eval
 
+    # production-path dedup kernels (xxhash64 keys, not the md5 oracle
+    # twins): ExactSubstr span dedup + CCNet paragraph dedup
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        paragraph_dedup, substring_dedup_spans,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    substring_dedup_spans(docs, n=20).agg(F.count(F.lit(1))).collect()
+    times["substring_dedup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    paragraph_dedup(docs).agg(F.count(F.lit(1))).collect()
+    times["paragraph_dedup"] = round(time.time() - t0, 3)
+
     for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",

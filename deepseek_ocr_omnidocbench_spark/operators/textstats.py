@@ -452,3 +452,69 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
             .where(F.col("rk") <= k)
             .select(id_col, "term", "tf", "df",
                     F.round("score", 6).alias("score")))
+
+
+# ---- C4-style line-level cleaning (Raffel et al. 2020, §2.2) -----------
+
+C4_BAD_PHRASES = ["lorem ipsum", "javascript", "{", "cookie policy",
+                  "terms of use", "privacy policy", "use of cookies"]
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_line_words: int = 5,
+             min_kept_lines: int = 3) -> DataFrame:
+    """The C4 cleaning recipe as one pure-Column pass: keep only lines
+    that end in terminal punctuation (.!?" or ') AND have at least
+    ``min_line_words`` words AND contain none of the bad phrases; then
+    keep only docs retaining at least ``min_kept_lines`` lines.
+
+    Returns (doc_id, clean_text, n_lines, n_kept_lines, keep_doc) for
+    EVERY input doc (keep_doc marks the C4 doc-level gate — callers
+    filter, this operator only annotates).
+
+    Scale: zero shuffles — the whole recipe is higher-order array
+    functions over a per-row line split, so it pipelines inside
+    whatever scan/codegen stage already reads the text.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                            r"\n"),
+                    lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0)
+    lc = lambda ln: F.lower(ln)  # noqa: E731
+    good = lambda ln: (  # noqa: E731
+        ln.rlike("[.!?\"']$")
+        & (F.size(F.filter(F.split(ln, r"\s+"),
+                           lambda w: F.length(w) > 0)) >= min_line_words)
+        & ~F.exists(F.array(*[F.lit(p) for p in C4_BAD_PHRASES]),
+                    lambda p: lc(ln).contains(p)))
+    kept = F.filter(lines, good)
+    return docs.select(
+        id_col,
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        (F.size(kept) >= min_kept_lines).cast("int").alias("keep_doc"))
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-domain corpus health (FineWeb-style curation unit): doc
+    count, mean quality score, spam share — the aggregate a domain-level
+    keep/drop decision reads.  One shuffle on the registrable host; a
+    broadcast-join of the resulting (small) domain verdict table back
+    onto docs is the intended composition at 100 TB.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)",
+                                    1))
+    q = quality_cols(F.col(text_col))
+    spam = seo_spam_cols(F.col(text_col))["is_spam"]
+    return (docs
+            .select(host.alias("domain"),
+                    q["quality_score"].alias("q"),
+                    spam.cast("int").alias("is_spam"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality"),
+                 F.round(F.avg("is_spam"), 6).alias("spam_share")))

@@ -112,3 +112,53 @@ class TestTfidf:
                tfidf_top_terms(df, k=2).orderBy("term").collect()]
         # all three tie on score; term-asc tiebreak keeps ant + yak
         assert out == ["ant", "yak"]
+
+
+class TestC4Clean:
+    def test_rules(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.textstats import c4_clean
+        doc = ("This line has plenty of words and ends properly.\n"
+               "no terminal punctuation here at all\n"
+               "short line.\n"
+               "Enable javascript to view this site properly please.\n"
+               "Another perfectly fine sentence with enough words here.\n"
+               "   \n")
+        df = spark.createDataFrame(
+            [(0, doc), (1, "one good line but only one, sadly kept alone.\nx.\ny"),
+             (2, None)],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+        assert out[0]["n_lines"] == 5  # blank line dropped pre-count
+        assert out[0]["n_kept_lines"] == 2
+        assert out[0]["keep_doc"] == 0  # 2 < 3
+        assert out[0]["clean_text"] == (
+            "This line has plenty of words and ends properly.\n"
+            "Another perfectly fine sentence with enough words here.")
+        assert out[1]["n_kept_lines"] == 1 and out[1]["keep_doc"] == 0
+        assert out[2]["n_lines"] == 0 and out[2]["clean_text"] == ""
+
+    def test_keep_threshold(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.textstats import c4_clean
+        good = "\n".join(
+            f"Sentence number {i} carries exactly enough words today." for i in range(4))
+        df = spark.createDataFrame([(0, good)], "doc_id int, text string")
+        r = c4_clean(df).collect()[0]
+        assert r["n_kept_lines"] == 4 and r["keep_doc"] == 1
+
+
+class TestDomainStats:
+    def test_aggregates(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.textstats import domain_stats
+        rows = [
+            ("https://A.com/x", "the and of to in is that for with as on words"),
+            ("https://a.com:8080/y", "casino viagra casino viagra casino"),
+            ("http://b.org/z", "plain text content"),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string")
+        out = {r["domain"]: r for r in domain_stats(df).collect()}
+        # host lowercased; port split off by the [^/?:] class
+        assert set(out) == {"a.com", "b.org"}
+        assert out["a.com"]["n_docs"] == 2
+        assert out["a.com"]["spam_share"] == 0.5
+        assert out["b.org"]["spam_share"] == 0.0
+        assert 0.0 < out["a.com"]["avg_quality"] < 1.0
