@@ -423,6 +423,20 @@ def q_minhash_lsh_oracle(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dup-cluster resolution: md5 MinHash-LSH pairs
+    (jaccard >= 0.5) -> distributed connected components -> min-id
+    survivor per cluster, annotated over the FULL corpus.  The oracle
+    replays the pair generation and closes the transitive closure with
+    a recursive CTE, so the iterative Spark algorithm sits under the
+    value-parity gate end to end."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs, k=8, bands=4,
+                                  hash_fn=D.md5_hash64) \
+        .where(F.col("jaccard") >= 0.5)
+    return D.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def q_embedding_srp_oracle(spark, sf_dir):
     """SRP-banded embedding near-dups (the unlabeled 100 TB path) under
     the value-parity gate: hyperplanes are deterministic literals, so
@@ -1082,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_checks": q_rule_checks,
         "simhash_oracle": q_simhash_oracle,
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_srp_oracle": q_embedding_srp_oracle,
         "knn_ivf_oracle": q_knn_ivf_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1119,6 +1134,47 @@ _SHINGLES = (
     "list_distinct([array_to_string(w[i:i+2], ' ') "
     "for i in range(1, greatest(len(w) - 1, case when len(w) > 0 then 2 else 1 end))])"
 )
+
+# Shared by minhash_lsh_oracle and dedup_clusters: the md5-derived
+# MinHash-LSH pair generation (k=8, bands=4) as a CTE chain ending at
+# `j` (doc_a, doc_b, jaccard).  Spliced after "with recursive" so the
+# clusters oracle can append a recursive reachability CTE.
+_MINHASH_CTES = f"""
+            base as (
+              select doc_id, {_SHINGLES} as sh
+              from (select doc_id, {_AZ09_WORDS} as w, text from documents)
+            ),
+            sig as (
+              select doc_id, sh,
+                [coalesce(
+                   list_min([('0x' || substr(md5(cast(7 + i as varchar)
+                                                 || ',' || s), 1, 15))::bigint
+                             for s in sh]),
+                   4611686018427387904) for i in range(8)] as sig
+              from base
+            ),
+            banded as (
+              select doc_id, b.band,
+                ('0x' || substr(md5(cast(sig[2*b.band + 1] as varchar) || ','
+                                   || cast(sig[2*b.band + 2] as varchar)),
+                                1, 15))::bigint as bucket
+              from sig cross join (select unnest(range(4)) as band) b
+            ),
+            cand as (
+              select distinct a.doc_id as doc_a, b2.doc_id as doc_b
+              from banded a
+              join banded b2 on a.band = b2.band and a.bucket = b2.bucket
+              where a.doc_id < b2.doc_id
+            ),
+            j as (
+              select doc_a, doc_b,
+                round(len(list_intersect(sa.sh, sb.sh))::double /
+                      (len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh))), 6) as jaccard
+              from cand
+              join base sa on sa.doc_id = cand.doc_a
+              join base sb on sb.doc_id = cand.doc_b
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1548,42 +1604,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_srp_oracle": _srp_oracle_sql(),
         "knn_ivf_oracle": _ivf_oracle_sql(),
         "minhash_lsh_oracle": f"""
-            with base as (
-              select doc_id, {_SHINGLES} as sh
-              from (select doc_id, {_AZ09_WORDS} as w, text from documents)
-            ),
-            sig as (
-              select doc_id, sh,
-                [coalesce(
-                   list_min([('0x' || substr(md5(cast(7 + i as varchar)
-                                                 || ',' || s), 1, 15))::bigint
-                             for s in sh]),
-                   4611686018427387904) for i in range(8)] as sig
-              from base
-            ),
-            banded as (
-              select doc_id, b.band,
-                ('0x' || substr(md5(cast(sig[2*b.band + 1] as varchar) || ','
-                                   || cast(sig[2*b.band + 2] as varchar)),
-                                1, 15))::bigint as bucket
-              from sig cross join (select unnest(range(4)) as band) b
-            ),
-            cand as (
-              select distinct a.doc_id as doc_a, b2.doc_id as doc_b
-              from banded a
-              join banded b2 on a.band = b2.band and a.bucket = b2.bucket
-              where a.doc_id < b2.doc_id
-            ),
-            j as (
-              select doc_a, doc_b,
-                round(len(list_intersect(sa.sh, sb.sh))::double /
-                      (len(sa.sh) + len(sb.sh)
-                       - len(list_intersect(sa.sh, sb.sh))), 6) as jaccard
-              from cand
-              join base sa on sa.doc_id = cand.doc_a
-              join base sb on sb.doc_id = cand.doc_b
-            )
+            with recursive {_MINHASH_CTES}
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            with recursive {_MINHASH_CTES},
+            edges as (
+              select doc_a as a, doc_b as b from j where jaccard >= 0.5
+              union
+              select doc_b, doc_a from j where jaccard >= 0.5
+            ),
+            reach(node, lbl) as (
+              select a, a from edges
+              union
+              select e.a, r.lbl from edges e join reach r on r.node = e.b
+            ),
+            cc as (select node, min(lbl) as cluster_id
+                   from reach group by node)
+            select d.doc_id,
+              coalesce(cc.cluster_id, d.doc_id) as cluster_id,
+              (coalesce(cc.cluster_id, d.doc_id) = d.doc_id)::int
+                as is_survivor
+            from documents d left join cc on cc.node = d.doc_id
+            order by d.doc_id
         """,
         "simhash_oracle": f"""
             with w as (

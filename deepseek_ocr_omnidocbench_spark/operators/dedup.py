@@ -605,3 +605,88 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,
             .withColumn("clean_text", F.concat_ws(" ", kept))
             .withColumn("n_removed_words", F.size(words) - F.size(kept))
             .drop("_spans"))
+
+
+# ---- duplicate-cluster resolution (connected components) ---------------
+
+def connected_components(edges: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 30) -> DataFrame:
+    """Connected components over an undirected edge list ->
+    (node, cluster_id) where cluster_id is the component's minimum node
+    id.  This is the cluster-resolution step every banded dedup
+    pipeline needs after MinHash/SimHash pair generation: pairs only
+    say "a duplicates b"; keeping one survivor per *transitive* group
+    requires components.
+
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    does (1) lbl(x) <- min(lbl(x), min over neighbours' lbl) — one
+    groupBy shuffle keyed on node — then (2) lbl(x) <- lbl(lbl(x)) — a
+    self-join that halves remaining path lengths, so convergence takes
+    O(log diameter) rounds instead of O(diameter).  Dup clusters are
+    near-cliques in practice (diameter 2-3), and adversarial chains
+    still finish in ~log2(n) rounds.
+
+    Scale notes: per round the data volume is |V| label rows + |E|
+    edge rows — never pairs-squared; every shuffle keys on node ids
+    (uniform after banding).  Lineage is truncated each round with an
+    eager localCheckpoint so the plan doesn't grow with iterations; on
+    a real cluster point spark.checkpoint.dir at durable storage and
+    swap in checkpoint() for executor-loss tolerance.  Convergence is
+    detected with one count per round (labels only ever decrease, so
+    zero changes == fixpoint).
+    """
+    sym = (edges.select(F.col(a_col).cast("long").alias("src"),
+                        F.col(b_col).cast("long").alias("dst"))
+           .union(edges.select(F.col(b_col).cast("long").alias("src"),
+                               F.col(a_col).cast("long").alias("dst")))
+           .distinct())
+    labels = (sym.groupBy("src")
+              .agg(F.min(F.least(F.col("dst"), F.col("src"))).alias("lbl"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nbr_min = (sym.join(labels.select(F.col("src").alias("dst"),
+                                          F.col("lbl").alias("nl")), "dst")
+                   .groupBy("src").agg(F.min("nl").alias("lbl")))
+        new = (labels.union(nbr_min)
+               .groupBy("src").agg(F.min("lbl").alias("lbl")))
+        # pointer jump: follow the label one hop (lbl is itself a node
+        # present in `labels`, so the left join always resolves unless
+        # lbl(x) == x, where the coalesce keeps the root label).
+        new = (new.join(labels.select(F.col("src").alias("lbl"),
+                                      F.col("lbl").alias("jump")),
+                        "lbl", "left")
+               .select("src", F.least(F.coalesce("jump", F.col("lbl")),
+                                      F.col("lbl")).alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.select("src",
+                                          F.col("lbl").alias("old")), "src")
+                   .where(F.col("lbl") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("node"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", a_col: str = "doc_a",
+                   b_col: str = "doc_b",
+                   max_iters: int = 30) -> DataFrame:
+    """Resolve dup pairs into clusters over the full corpus ->
+    (doc_id, cluster_id, is_survivor).  Docs in no pair are their own
+    singleton cluster; the survivor is the minimum doc_id of each
+    component (the same min-id survivor rule as exact_dedup).  The
+    components table is tiny relative to the corpus (only docs that
+    appear in some pair), so the final join broadcasts at any scale
+    where dups are a minority."""
+    cc = connected_components(pairs, a_col, b_col, max_iters)
+    out = (docs.select(id_col)
+           .join(F.broadcast(cc.withColumnRenamed("node", id_col)),
+                 id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("cluster_id", F.col(id_col))
+                   .alias("cluster_id")))
+    return out.withColumn(
+        "is_survivor",
+        (F.col("cluster_id") == F.col(id_col)).cast("int"))
