@@ -31,6 +31,7 @@ from deepseek_ocr_omnidocbench_spark.operators import dedup as D
 from deepseek_ocr_omnidocbench_spark.operators.filters import (
     PII_PATTERNS as _PII,
 )
+from deepseek_ocr_omnidocbench_spark.operators import lm as LM
 from deepseek_ocr_omnidocbench_spark.operators import similarity as S
 from deepseek_ocr_omnidocbench_spark.operators import textstats as TS
 from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
@@ -421,6 +422,22 @@ def q_minhash_lsh_oracle(spark, sf_dir):
     return out.select("doc_a", "doc_b",
                       F.round("jaccard", R).alias("jaccard")) \
         .orderBy("doc_a", "doc_b")
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality bucketing: train a bigram Stupid-Backoff
+    model ON the corpus (two groupBys), score every doc's perplexity,
+    assign head/middle/tail thirds per language.  Full value parity —
+    the model, the scoring joins, and the ntile split are all mirrored
+    in SQL."""
+    docs = _docs(spark, sf_dir)
+    bi, uni = LM.train_bigram_lm(docs)
+    scored = (LM.lm_score(docs, bi, uni)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    return (LM.ppl_buckets(scored)
+            .select("doc_id", "lang", "n_bigrams",
+                    F.round("ppl", 6).alias("ppl"), "bucket")
+            .orderBy("doc_id"))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1097,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_oracle": q_simhash_oracle,
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "dedup_clusters": q_dedup_clusters,
+        "lm_perplexity": q_lm_perplexity,
         "embedding_srp_oracle": q_embedding_srp_oracle,
         "knn_ivf_oracle": q_knn_ivf_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1606,6 +1624,52 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_oracle": f"""
             with recursive {_MINHASH_CTES}
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b
+        """,
+        "lm_perplexity": f"""
+            with tok as (
+              select doc_id, {_AZ09_WORDS} as ws
+              from (select doc_id, text from documents)),
+            bge as (
+              select doc_id, b['w1'] as w1, b['w2'] as w2
+              from (select doc_id,
+                      unnest([{{'w1': ws[i], 'w2': ws[i+1]}}
+                              for i in range(1, len(ws))]) as b
+                    from tok)),
+            uni as (
+              select w, count(*) as c
+              from (select unnest(ws) as w from tok) group by w),
+            tot as (select sum(c) as total from uni),
+            bim as (
+              select b.w1, b.w2, log10(b.c12 / u.c) as logp
+              from (select w1, w2, count(*) as c12
+                    from bge group by w1, w2) b
+              join uni u on u.w = b.w1),
+            unim as (
+              select w, log10(0.4 * c / (select total from tot))
+                as logp_bo from uni),
+            lp as (
+              select g.doc_id,
+                coalesce(bm.logp, um.logp_bo, -12.0) as lp
+              from bge g
+              left join bim bm on bm.w1 = g.w1 and bm.w2 = g.w2
+              left join unim um on um.w = g.w2),
+            per as (select doc_id, sum(lp) as s, count(*) as n
+                    from lp group by doc_id),
+            sc as (
+              select d.doc_id, d.lang, coalesce(per.n, 0) as n_bigrams,
+                case when per.n > 0 then pow(10, -per.s / per.n) end as ppl
+              from documents d left join per using (doc_id)),
+            nt as (
+              select *, case when ppl is not null then
+                ntile(3) over (partition by lang, (ppl is null)
+                               order by round(ppl, 6), doc_id) end as t
+              from sc)
+            select doc_id, lang, n_bigrams, round(ppl, 6) as ppl,
+              case when ppl is null then 'na'
+                   when t = 1 then 'head'
+                   when t = 2 then 'middle'
+                   else 'tail' end as bucket
+            from nt order by doc_id
         """,
         "dedup_clusters": f"""
             with recursive {_MINHASH_CTES},
