@@ -31,6 +31,7 @@ from deepseek_ocr_omnidocbench_spark.operators import dedup as D
 from deepseek_ocr_omnidocbench_spark.operators.filters import (
     PII_PATTERNS as _PII,
 )
+from deepseek_ocr_omnidocbench_spark.operators import graph as GR
 from deepseek_ocr_omnidocbench_spark.operators import lm as LM
 from deepseek_ocr_omnidocbench_spark.operators import similarity as S
 from deepseek_ocr_omnidocbench_spark.operators import textstats as TS
@@ -422,6 +423,33 @@ def q_minhash_lsh_oracle(spark, sf_dir):
     return out.select("doc_a", "doc_b",
                       F.round("jaccard", R).alias("jaccard")) \
         .orderBy("doc_a", "doc_b")
+
+
+def q_pagerank(spark, sf_dir):
+    """Host-graph PageRank (10 iterations, damping 0.85) over a
+    deterministic synthetic link graph: each doc's source-host links to
+    3 derived hosts.  The oracle unrolls all 10 iterations as CTE
+    steps with the identical update formula (incl. dangling-mass
+    redistribution), so the iterative loop is value-checked end to
+    end."""
+    docs = _docs(spark, sf_dir)
+    # 1-3 outlinks per doc (varies with doc_id so host in/out-degrees —
+    # and therefore the stationary ranks — are non-uniform)
+    links = (docs
+             .select("source", "doc_id",
+                     F.explode(F.sequence(
+                         F.lit(1),
+                         (F.lit(1) + F.col("doc_id") % 3).cast("int")))
+                     .alias("j"))
+             .select(F.col("source").alias("src"),
+                     F.concat(F.lit("src"),
+                              ((F.col("doc_id") * 7 + F.col("j")) % 20)
+                              .cast("string")).alias("dst")))
+    edges = (links.groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("double").alias("weight")))
+    return (GR.pagerank(edges, iters=10)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node"))
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -1115,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
+        "pagerank": q_pagerank,
         "embedding_srp_oracle": q_embedding_srp_oracle,
         "knn_ivf_oracle": q_knn_ivf_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1193,6 +1222,55 @@ _MINHASH_CTES = f"""
               join base sa on sa.doc_id = cand.doc_a
               join base sb on sb.doc_id = cand.doc_b
             )"""
+
+
+def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
+    """DuckDB mirror of q_pagerank with every iteration unrolled as a
+    CTE step (recursive CTEs can't aggregate in the recursive term, so
+    a fixed-iteration power method unrolls instead)."""
+    steps = []
+    prev = "pr0"
+    for i in range(iters):
+        cur = f"pr{i + 1}"
+        steps.append(f"""
+            {cur} as materialized (
+              select n.node,
+                (1 - {d}) / (select nn from ncount)
+                + {d} * (coalesce(c.contrib, 0)
+                         + dang.dm / (select nn from ncount)) as rank
+              from nodes n
+              left join (
+                select e.dst as node,
+                       sum(p.rank * e.weight / o.outw) as contrib
+                from edges e
+                join {prev} p on p.node = e.src
+                join outdeg o on o.node = e.src
+                group by e.dst) c on c.node = n.node
+              cross join (
+                select coalesce(sum(p.rank), 0) as dm
+                from {prev} p left join outdeg o on o.node = p.node
+                where o.node is null) dang
+            )""")
+        prev = cur
+    return f"""
+        with links as materialized (
+          select source as src,
+                 'src' || ((doc_id * 7 + t.j) % 20) as dst
+          from documents, unnest(range(1, (2 + doc_id % 3)::int)) as t(j)),
+        edges as materialized (
+          select src, dst, count(*)::double as weight
+          from links group by src, dst),
+        nodes as materialized (select src as node from edges
+                  union select dst from edges),
+        ncount as materialized (select count(*)::double as nn from nodes),
+        outdeg as materialized (select src as node, sum(weight) as outw
+                   from edges group by src),
+        pr0 as materialized (select node, 1.0 / (select nn from ncount) as rank
+                from nodes),
+        {','.join(steps)}
+        select node, round(rank, 6) as rank from pr{iters}
+        order by node
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1625,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
             with recursive {_MINHASH_CTES}
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b
         """,
+        "pagerank": _pagerank_oracle_sql(),
         "lm_perplexity": f"""
             with tok as (
               select doc_id, {_AZ09_WORDS} as ws

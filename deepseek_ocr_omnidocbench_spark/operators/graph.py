@@ -1,0 +1,80 @@
+"""Host-graph centrality for crawl curation (PageRank).
+
+Web-scale curation ranks *hosts* before it ranks documents: Common
+Crawl publishes host- and domain-level graph ranks (PageRank +
+harmonic centrality) precisely so pipelines can prioritize crawl
+frontiers and down-weight link-farm neighborhoods.  This module
+implements weighted PageRank as an iterative DataFrame computation —
+the classic "think like a vertex" loop expressed as joins + groupBys.
+
+Scale design:
+
+* The rank table is |V| rows (hosts, not pages — millions, not
+  trillions); edges are |E| rows keyed on host.  Each iteration is
+  one join-shuffle keyed on src (attach rank + out-degree) and one
+  groupBy-shuffle keyed on dst — both on uniform host keys.
+* Dangling mass (hosts with no out-links) is folded back uniformly
+  via a 1-row aggregate cross-joined in-plan — no per-iteration
+  driver collect.
+* Lineage is truncated per iteration with an eager localCheckpoint
+  (swap for checkpoint() on durable storage in a real cluster).
+* Fixed iteration count (default 10) rather than convergence deltas:
+  deterministic output, engine-portable, and the standard choice for
+  the curation use-case (relative ordering stabilizes in ~10 rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             weight_col: str | None = "weight", iters: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over a directed edge list -> (node, rank).
+
+    rank'(v) = (1-d)/N + d * (sum_u rank(u) * w(u,v)/outw(u)
+                              + dangling_mass/N)
+
+    ``weight_col=None`` treats every edge as weight 1.  Ranks sum to 1
+    across nodes at every iteration (dangling mass is redistributed
+    uniformly, the standard formulation)."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"),
+                     w.alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()  # one driver scalar, fixed for the whole run
+    outdeg = e.groupBy(F.col("src").alias("node")) \
+        .agg(F.sum("w").alias("outw"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        dang = (ranks.join(outdeg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("w") / F.col("outw"))
+                        .alias("contrib")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce("contrib", F.lit(0.0))
+                             + F.col("dm") / n)).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def host_link_stats(ranks: DataFrame, docs: DataFrame,
+                    host_col: str = "host",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Join host ranks back onto documents (the curation read path):
+    every doc gets its host's rank — a broadcast join at any scale,
+    since the rank table is host-cardinality."""
+    r = ranks.withColumnRenamed("node", host_col)
+    return docs.join(F.broadcast(r), host_col, "left")

@@ -1,0 +1,73 @@
+"""PageRank (operators/graph.py) vs an independent dense power
+iteration."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepseek_ocr_omnidocbench_spark.operators.graph import (
+    host_link_stats,
+    pagerank,
+)
+
+
+def _dense_pagerank(edges, iters=10, d=0.85):
+    nodes = sorted({x for e in edges for x in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw = [0.0] * n
+    for s, _, w in edges:
+        outw[idx[s]] += w
+    rank = [1.0 / n] * n
+    for _ in range(iters):
+        dang = sum(rank[i] for i in range(n) if outw[i] == 0.0)
+        contrib = [0.0] * n
+        for s, t, w in edges:
+            contrib[idx[t]] += rank[idx[s]] * w / outw[idx[s]]
+        rank = [(1 - d) / n + d * (contrib[i] + dang / n)
+                for i in range(n)]
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def _spark_pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+class TestPagerank:
+    def test_two_node_cycle(self, spark):
+        got = _spark_pr(spark, [("a", "b", 1.0), ("b", "a", 1.0)])
+        assert got["a"] == pytest.approx(0.5)
+        assert got["b"] == pytest.approx(0.5)
+
+    def test_dangling_node(self, spark):
+        edges = [("a", "b", 1.0)]
+        got = _spark_pr(spark, edges)
+        want = _dense_pagerank(edges)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0)
+
+    def test_weighted_random_graph(self, spark):
+        import random
+        rng = random.Random(3)
+        hosts = [f"h{i}" for i in range(12)]
+        edges = [(rng.choice(hosts), rng.choice(hosts),
+                  float(rng.randint(1, 5))) for _ in range(40)]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = _spark_pr(spark, edges, iters=8)
+        want = _dense_pagerank(edges, iters=8)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)
+        assert sum(got.values()) == pytest.approx(1.0)
+
+    def test_join_back_to_docs(self, spark):
+        ranks = spark.createDataFrame([("a.com", 0.7), ("b.com", 0.3)],
+                                      "node string, rank double")
+        docs = spark.createDataFrame(
+            [(1, "a.com"), (2, "b.com"), (3, "c.com")],
+            "doc_id long, host string")
+        out = {r["doc_id"]: r["rank"]
+               for r in host_link_stats(ranks, docs).collect()}
+        assert out == {1: 0.7, 2: 0.3, 3: None}
