@@ -31,6 +31,7 @@ from deepseek_ocr_omnidocbench_spark.operators import dedup as D
 from deepseek_ocr_omnidocbench_spark.operators.filters import (
     PII_PATTERNS as _PII,
 )
+from deepseek_ocr_omnidocbench_spark.operators import classifier as CL
 from deepseek_ocr_omnidocbench_spark.operators import graph as GR
 from deepseek_ocr_omnidocbench_spark.operators import lm as LM
 from deepseek_ocr_omnidocbench_spark.operators import similarity as S
@@ -423,6 +424,38 @@ def q_minhash_lsh_oracle(spark, sf_dir):
     return out.select("doc_a", "doc_b",
                       F.round("jaccard", R).alias("jaccard")) \
         .orderBy("doc_a", "doc_b")
+
+
+def q_classifier_scores(spark, sf_dir):
+    """DCLM/FineWeb-style quality-classifier APPLY path: hashed
+    bag-of-ngram features x a fixed md5-derived weight table ->
+    sigmoid score per doc.  Featurization, hashing trick, sparse dot
+    product, and sigmoid are all mirrored in SQL."""
+    docs = _docs(spark, sf_dir)
+    f = CL.hashed_features(docs, dim=65536, hash_fn=D.md5_hash64)
+    w = CL.deterministic_weights(65536, spark)
+    scores = CL.apply_linear(f, w)
+    return (docs.select("doc_id").join(scores, "doc_id", "left")
+            .select("doc_id",
+                    F.round(F.coalesce("score", F.lit(0.5)), 6)
+                    .alias("score"))
+            .orderBy("doc_id"))
+
+
+def q_classifier_train(spark, sf_dir):
+    """Distributed full-batch logistic regression (3 epochs, lr=1.0,
+    dim=4096) on deterministic labels (n_chars > 300) -> the trained
+    weight table.  The oracle unrolls every epoch — margin join,
+    sigmoid error, bucket-grouped gradient, weight update — so the
+    iterative training loop itself sits under the value-parity gate."""
+    docs = _docs(spark, sf_dir)
+    f = CL.hashed_features(docs, dim=4096, hash_fn=D.md5_hash64)
+    labels = docs.select("doc_id",
+                         (F.col("n_chars") > 300).cast("int")
+                         .alias("label"))
+    w = CL.train_logreg(f, labels, iters=3, lr=1.0)
+    return w.select("bucket", F.round("weight", 6).alias("weight")) \
+        .orderBy("bucket")
 
 
 def q_pagerank(spark, sf_dir):
@@ -1144,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
         "pagerank": q_pagerank,
+        "classifier_scores": q_classifier_scores,
+        "classifier_train": q_classifier_train,
         "embedding_srp_oracle": q_embedding_srp_oracle,
         "knn_ivf_oracle": q_knn_ivf_oracle,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1222,6 +1257,69 @@ _MINHASH_CTES = f"""
               join base sa on sa.doc_id = cand.doc_a
               join base sb on sb.doc_id = cand.doc_b
             )"""
+
+
+def _classifier_feat_ctes(dim: int) -> str:
+    """Shared featurization CTEs (-> ``feat``: doc_id, bucket, value)
+    mirroring classifier.hashed_features with md5 hashing."""
+    return f"""tcl as materialized (
+          select doc_id, {_AZ09_WORDS} as ws
+          from (select doc_id, text from documents)),
+        trm as (
+          select doc_id, unnest(ws || [ws[i] || ' ' || ws[i+1]
+                                       for i in range(1, len(ws))]) as term
+          from tcl),
+        fc as materialized (
+          select doc_id,
+            ('0x' || substr(md5(term), 1, 15))::bigint % {dim} as bucket,
+            count(*)::double as c
+          from trm group by doc_id, bucket),
+        ntm as (select doc_id, sum(c) as n from fc group by doc_id),
+        feat as materialized (
+          select fc.doc_id, fc.bucket, fc.c / ntm.n as value
+          from fc join ntm using (doc_id))"""
+
+
+def _classifier_train_oracle_sql(dim: int = 4096, iters: int = 3,
+                                 lr: float = 1.0) -> str:
+    """DuckDB mirror of q_classifier_train: every GD epoch unrolled —
+    margin join, sigmoid error, bucket-grouped gradient, update."""
+    steps = []
+    prev = "w0"
+    for k in range(iters):
+        cur = f"w{k + 1}"
+        steps.append(f"""
+            {cur} as materialized (
+              select w.bucket,
+                     w.weight - {lr} * coalesce(g.g, 0) as weight
+              from {prev} w
+              left join (
+                select f3.bucket,
+                       sum(f3.value * e.e) / (select nd from ndocs) as g
+                from feat f3
+                join (
+                  select y.doc_id,
+                    1.0 / (1.0 + exp(-coalesce(z.z, 0))) - y.y as e
+                  from y left join (
+                    select f2.doc_id, sum(f2.value * ww.weight) as z
+                    from feat f2 join {prev} ww using (bucket)
+                    group by f2.doc_id) z using (doc_id)) e
+                on e.doc_id = f3.doc_id
+                group by f3.bucket) g on g.bucket = w.bucket
+            )""")
+        prev = cur
+    return f"""
+        with {_classifier_feat_ctes(dim)},
+        y as (select doc_id, ((n_chars > 300)::int)::double as y
+              from documents),
+        ndocs as (select count(*)::double as nd from y),
+        w0 as materialized (
+          select bucket, 0.0 as weight
+          from (select distinct bucket from feat)),
+        {','.join(steps)}
+        select bucket, round(weight, 6) as weight from w{iters}
+        order by bucket
+    """
 
 
 def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
@@ -1704,6 +1802,22 @@ def oracle_sql() -> dict[str, str]:
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "classifier_scores": f"""
+            with {_classifier_feat_ctes(65536)},
+            w as (
+              select bucket,
+                ((('0x' || substr(md5('w,' || bucket), 1, 15))::bigint
+                  % 1000001) / 1000000.0 - 0.5) as weight
+              from (select distinct bucket from feat)),
+            z as (
+              select feat.doc_id, sum(feat.value * w.weight) as z
+              from feat join w using (bucket) group by feat.doc_id)
+            select d.doc_id,
+              round(1.0 / (1.0 + exp(-coalesce(z.z, 0))), 6) as score
+            from documents d left join z using (doc_id)
+            order by d.doc_id
+        """,
+        "classifier_train": _classifier_train_oracle_sql(),
         "lm_perplexity": f"""
             with tok as (
               select doc_id, {_AZ09_WORDS} as ws

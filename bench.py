@@ -79,6 +79,29 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     paragraph_dedup(docs).agg(F.count(F.lit(1))).collect()
     times["paragraph_dedup"] = round(time.time() - t0, 3)
 
+    # CCNet-style LM quality: train bigram model on the corpus, score
+    # every doc's perplexity, assign head/middle/tail buckets
+    from deepseek_ocr_omnidocbench_spark.operators.lm import (
+        lm_score, ppl_buckets, train_bigram_lm,
+    )
+    t0 = time.time()
+    bi, uni = train_bigram_lm(docs)
+    scored = (lm_score(docs, bi, uni)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    ppl_buckets(scored).agg(F.max("ppl")).collect()
+    times["lm_perplexity"] = round(time.time() - t0, 3)
+
+    # transitive dup-cluster resolution over production (xxhash64) LSH
+    # pairs: the iterative connected-components loop end to end
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        dedup_clusters, lsh_candidate_pairs,
+    )
+    t0 = time.time()
+    pairs = lsh_candidate_pairs(docs).where(F.col("jaccard") >= 0.5)
+    dedup_clusters(docs, pairs) \
+        .agg(F.max("cluster_id"), F.sum("is_survivor")).collect()
+    times["dedup_clusters"] = round(time.time() - t0, 3)
+
     for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",
