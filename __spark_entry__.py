@@ -640,6 +640,63 @@ def _ivf_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup under the value gate: fixed centroids
+    (first 8 corpus vectors) make cluster assignment, the
+    keep-low-centroid-similarity ordering and the within-cluster
+    domination test all replayable in DuckDB bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    cents = [list(r["embedding"]) for r in
+             emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+             .select("embedding").collect()]
+    # synthetic embeddings are near-random (max intra-cell cosine
+    # ~0.49), so like embedding_srp_oracle the gate threshold sits
+    # below it to exercise the domination branch
+    out = S.semdedup(emb, cents, threshold=0.32)
+    return out.select("vec_id", "cell",
+                      F.round("cell_sim", R).alias("cell_sim"),
+                      F.col("keep").cast("int").alias("keep")) \
+        .orderBy("vec_id")
+
+
+def _semdedup_oracle_sql(dim: int = 64, threshold: float = 0.32) -> str:
+    def dot(a: str, b: str) -> str:
+        return " + ".join("%s[%d] * %s[%d]" % (a, i, b, i)
+                          for i in range(1, dim + 1))
+
+    def norm(a: str) -> str:
+        return "sqrt(%s)" % dot(a, a)
+
+    return f"""
+        with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+        c as (select vec_id as cell, e as ce from v where vec_id < 8),
+        sims as (
+          select v.vec_id, c.cell,
+                 ({dot("v.e", "c.ce")}) / ({norm("v.e")} * {norm("c.ce")}) as sim
+          from v cross join c),
+        assign as (
+          select vec_id, cell, round(sim, 6) as cell_sim from (
+            select vec_id, cell, sim,
+                   row_number() over (partition by vec_id
+                                      order by sim desc, cell asc) as rn
+            from sims) where rn = 1),
+        dom as (
+          select distinct a.vec_id as vid
+          from assign a
+          join assign b on a.cell = b.cell
+          join v va on va.vec_id = a.vec_id
+          join v vb on vb.vec_id = b.vec_id
+          where (b.cell_sim < a.cell_sim
+                 or (b.cell_sim = a.cell_sim and b.vec_id < a.vec_id))
+            and ({dot("va.e", "vb.e")}) / ({norm("va.e")} * {norm("vb.e")})
+                >= {threshold})
+        select a.vec_id, a.cell, a.cell_sim,
+               case when d.vid is null then 1 else 0 end as keep
+        from assign a left join dom d on d.vid = a.vec_id
+        order by a.vec_id
+    """
+
+
 def q_simhash_oracle(spark, sf_dir):
     """SimHash kernel with the md5-derived word hash DuckDB replicates
     exactly (16 bits keeps the oracle SQL readable; production
@@ -1181,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train": q_classifier_train,
         "embedding_srp_oracle": q_embedding_srp_oracle,
         "knn_ivf_oracle": q_knn_ivf_oracle,
+        "semdedup": q_semdedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -1797,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_srp_oracle": _srp_oracle_sql(),
         "knn_ivf_oracle": _ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         "minhash_lsh_oracle": f"""
             with recursive {_MINHASH_CTES}
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b

@@ -252,6 +252,48 @@ def embedding_near_dups_srp(embeddings: DataFrame, dim: int,
     )
 
 
+def semdedup(embeddings: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540):
+    cluster the embedding space with k-means centroids, then prune
+    semantic duplicates WITHIN each cluster only.
+
+    Order the cluster's members by similarity-to-centroid ASCENDING
+    (the paper keeps the low-centroid-similarity member of each dup
+    group — it preserves outliers/diversity), tie-broken by id; a vector
+    is dropped iff some EARLIER vector in that order has cosine >=
+    threshold with it.  -> (vec_id, cell, cell_sim, keep).
+
+    Scale shape: centroid assignment is literal-folded codegen (no
+    shuffle — ``ivf_assign``); the quadratic term is confined within a
+    cluster, which is the SemDeDup design itself (k grows ~sqrt(N), so
+    cells stay bounded); one self-join shuffle on the cell key.  The
+    domination test needs no iteration: "has an earlier near-dup" is a
+    single semi-join fact per row, unlike transitive closure."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        "cell", "cell_sim")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominated = (
+        a.join(b, "cell")
+        # b earlier in the keep-order than a: lower cell_sim, tie min id
+        .where((F.col("b.cell_sim") < F.col("a.cell_sim")) |
+               ((F.col("b.cell_sim") == F.col("a.cell_sim")) &
+                (F.col("b.vid") < F.col("a.vid"))))
+        .where(cosine_sim(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("a.vid").alias("vid"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, "vid", "left")
+        .select(F.col("vid").alias(id_col), "cell", "cell_sim",
+                F.coalesce(F.col("dropped"), F.lit(False)).alias("is_dup"))
+        .withColumn("keep", ~F.col("is_dup")).drop("is_dup")
+    )
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         label_col: str = "label") -> DataFrame:

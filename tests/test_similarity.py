@@ -140,3 +140,45 @@ def test_embedding_near_dups_threshold(emb):
     for r in out.collect():
         assert r["cosine"] >= 0.9
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_semdedup_tiny_fixture(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import semdedup
+
+    # two clusters along the axes; one near-dup pair in each
+    rows = [
+        (0, [1.0, 0.0]),     # cell 0, cell_sim 1.0
+        (1, [0.99, 0.08]),   # cell 0, near-dup of v0, lower cell_sim
+        (2, [0.0, 1.0]),     # cell 1, cell_sim 1.0
+        (3, [0.10, 0.99]),   # cell 1, near-dup of v2, lower cell_sim
+        (4, [-1.0, 0.3]),    # cell 1? no — negative x, nearest is c1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["vec_id"]: r for r in semdedup(emb, cents, threshold=0.95).collect()}
+    assert len(out) == 5
+    # the LOW centroid-similarity member of each dup group survives
+    assert out[1]["keep"] and not out[0]["keep"]
+    assert out[3]["keep"] and not out[2]["keep"]
+    assert out[4]["keep"]  # far from everything in its cell
+    assert out[0]["cell"] == out[1]["cell"] == 0
+    assert out[2]["cell"] == out[3]["cell"]
+
+
+def test_semdedup_planted_duplicate(spark, emb):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        semdedup,
+        train_ivf_centroids,
+    )
+
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999_999).cast("long"))
+    both = emb.unionByName(dup).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    orig_id = emb.limit(1).collect()[0]["vec_id"]
+    cents = train_ivf_centroids(both, k=4, iters=2)
+    out = {r["vec_id"]: r for r in semdedup(both, cents, threshold=0.999).collect()}
+    # an exact duplicate lands in the same cell with identical cell_sim;
+    # exactly one of the pair survives (tie-break: min id kept)
+    assert out[orig_id]["cell"] == out[999_999]["cell"]
+    assert bool(out[orig_id]["keep"]) != bool(out[999_999]["keep"])
+    assert out[min(orig_id, 999_999)]["keep"]
