@@ -501,6 +501,70 @@ def q_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (hashed unigram+bigram bucket models,
+    target = the corpus's English slice, raw = full corpus) under the
+    value gate: the md5 bucket hash, both smoothed models, the floor for
+    target-unseen buckets and the per-doc weight sum are all mirrored in
+    SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators import dsir as DS
+
+    docs = _docs(spark, sf_dir)
+    out = DS.dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
+                              n_buckets=4096, bucket_fn=DS.md5_bucket)
+    return out.select("doc_id", "n_feats",
+                      F.round("logw", R).alias("logw")).orderBy("doc_id")
+
+
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k importance resampling over the DSIR weights: the
+    deterministic md5-derived Gumbel keys replay in SQL, so the sampled
+    set itself is value-checked."""
+    from deepseek_ocr_omnidocbench_spark.operators import dsir as DS
+
+    docs = _docs(spark, sf_dir)
+    w = DS.dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
+                            n_buckets=4096, bucket_fn=DS.md5_bucket)
+    out = DS.gumbel_topk_sample(w, k=50)
+    return out.select("doc_id", "n_feats",
+                      F.round("logw", R).alias("logw"),
+                      F.round("gkey", R).alias("gkey"))
+
+
+_DSIR_LW_CTES = """
+    tok as (select doc_id, {words} as ws from documents),
+    feats as (
+      select doc_id, unnest(list_concat(ws,
+        [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) as f
+      from tok),
+    fb as (select doc_id,
+                  (('0x' || substr(md5(f), 1, 15))::bigint % 4096) as bucket
+           from feats),
+    dc as (select doc_id, bucket, count(*) as cnt from fb group by 1, 2),
+    rawm as (select bucket, count(*) as c from fb group by bucket),
+    rtot as (select sum(c)::double as t from rawm),
+    tfb as (select fb.bucket from fb join documents d using (doc_id)
+            where d.lang = 'en'),
+    tgtm as (select bucket, count(*) as c from tfb group by bucket),
+    ttot as (select sum(c)::double as t from tgtm),
+    lw as (
+      select dc.doc_id, sum(dc.cnt)::bigint as n_feats,
+             sum(dc.cnt * (
+               log10((coalesce(tm.c, 0) + 1)
+                     / ((select t from ttot) + 4096.0))
+               - log10((rm.c + 1) / ((select t from rtot) + 4096.0))))
+               as logw
+      from dc
+      left join tgtm tm using (bucket)
+      join rawm rm using (bucket)
+      group by dc.doc_id),
+    lwfull as (
+      select d.doc_id, coalesce(lw.n_feats, 0) as n_feats,
+             coalesce(lw.logw, 0.0) as logw
+      from documents d left join lw using (doc_id))
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup-cluster resolution: md5 MinHash-LSH pairs
     (jaccard >= 0.5) -> distributed connected components -> min-id
@@ -1233,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
         "classifier_scores": q_classifier_scores,
         "classifier_train": q_classifier_train,
@@ -1877,6 +1943,24 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "dsir_weights": f"""
+            with {_DSIR_LW_CTES.format(words=_AZ09_WORDS)}
+            select doc_id, n_feats, round(logw, 6) as logw
+            from lwfull order by doc_id
+        """,
+        "dsir_sample": f"""
+            with {_DSIR_LW_CTES.format(words=_AZ09_WORDS)},
+            keyed as (
+              select doc_id, n_feats, logw,
+                     logw + (-ln(-ln(
+                       ((('0x' || substr(md5(doc_id::varchar || ':7'),
+                                         1, 15))::bigint)::double + 0.5)
+                       / 1152921504606846976.0))) as gkey
+              from lwfull)
+            select doc_id, n_feats, round(logw, 6) as logw,
+                   round(gkey, 6) as gkey
+            from keyed order by gkey desc, doc_id asc limit 50
+        """,
         "lm_perplexity": f"""
             with tok as (
               select doc_id, {_AZ09_WORDS} as ws
