@@ -501,6 +501,18 @@ def q_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """FineWeb-style composite keep/drop decision (gopher + spam +
+    runaway + predicted-lang gates in one codegen pass) with per-gate
+    verdicts and a comma-joined failed-gate reasons string — every gate
+    mirrored in SQL, so the composite sits under the value gate too."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        curation_pipeline,
+    )
+
+    return curation_pipeline(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (hashed unigram+bigram bucket models,
     target = the corpus's English slice, raw = full corpus) under the
@@ -716,7 +728,7 @@ def q_semdedup(spark, sf_dir):
     # synthetic embeddings are near-random (max intra-cell cosine
     # ~0.49), so like embedding_srp_oracle the gate threshold sits
     # below it to exercise the domination branch
-    out = S.semdedup(emb, cents, threshold=0.32)
+    out = S.semdedup(emb, cents, threshold=0.32, kernel="column")
     return out.select("vec_id", "cell",
                       F.round("cell_sim", R).alias("cell_sim"),
                       F.col("keep").cast("int").alias("keep")) \
@@ -1297,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
+        "curation_pipeline": q_curation_pipeline,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
@@ -1943,6 +1956,72 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "curation_pipeline": f"""
+            with t as (
+              select doc_id, text,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) as wwords,
+                list_filter(string_split_regex(text, '\\n'),
+                            l -> len(trim(l)) > 0) as lines,
+                {_WORDS_EXPR} as lwords
+              from documents),
+            u as (
+              select doc_id, text, lwords,
+                len(wwords) as n_words,
+                case when len(wwords) > 0
+                  then len(array_to_string(wwords, ''))::double / len(wwords)
+                  else 0.0 end as mean_word_len,
+                case when len(wwords) > 0
+                  then ((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)
+                       / len(wwords)
+                  else 0.0 end as symbol_word_ratio,
+                case when len(lines) > 0
+                  then len(list_filter(lines,
+                           l -> regexp_matches(trim(l), '^[-*•]')))::double
+                       / len(lines)
+                  else 0.0 end as bullet_line_ratio,
+                case when len(wwords) > 0
+                  then len(list_filter(wwords,
+                           w -> regexp_matches(w, '[A-Za-z]')))::double
+                       / len(wwords)
+                  else 0.0 end as alpha_word_ratio,
+                len(list_filter(wwords,
+                                w -> list_contains({_EN_STOP}, lower(w))))
+                  as stop_hits
+              from t),
+            g as (
+              select doc_id,
+                ((n_words >= 50 and n_words <= 100000)
+                 and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+                 and (symbol_word_ratio <= 0.1)
+                 and (bullet_line_ratio <= 0.9)
+                 and (alpha_word_ratio >= 0.8)
+                 and (stop_hits >= 2)) as g_gopher,
+                (case when len(lwords) > 0
+                   then len(list_filter(lwords,
+                            w -> list_contains({_SEO}, w)))::double
+                        / len(lwords)
+                   else 0.0 end <= 0.004) as g_spam,
+                not ({" or ".join(
+                    "(length(text) >= %d and substr(text, -%d, %d)"
+                    " = substr(text, -%d, %d))"
+                    % (30 * g + g, 30 * g, 30 * g, 30 * g + g, 30 * g)
+                    for g in (1, 2, 3))}) as g_runaway,
+                (({TS.lang_id_oracle_sql("text")}) = 'en') as g_lang
+              from u)
+            select doc_id, g_gopher::int as g_gopher, g_spam::int as g_spam,
+              g_runaway::int as g_runaway, g_lang::int as g_lang,
+              (g_gopher and g_spam and g_runaway and g_lang)::int as keep,
+              coalesce(array_to_string(list_filter(
+                [case when not g_gopher then 'gopher' end,
+                 case when not g_spam then 'spam' end,
+                 case when not g_runaway then 'runaway' end,
+                 case when not g_lang then 'lang' end],
+                x -> x is not null), ','), '') as reasons
+            from g order by doc_id
+        """,
         "dsir_weights": f"""
             with {_DSIR_LW_CTES.format(words=_AZ09_WORDS)}
             select doc_id, n_feats, round(logw, 6) as logw

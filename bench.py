@@ -102,10 +102,24 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
         .agg(F.max("cluster_id"), F.sum("is_survivor")).collect()
     times["dedup_clusters"] = round(time.time() - t0, 3)
 
+    # SemDeDup production kernel (numpy GEMM per cluster; the entry's
+    # "semdedup" query runs the slower bit-exact column kernel for the
+    # oracle, so bench times the path a real corpus run would use)
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        semdedup, train_ivf_centroids,
+    )
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    t0 = time.time()
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    semdedup(emb, cents, threshold=0.32).agg(F.sum(F.col("keep").cast("int"))).collect()
+    times["semdedup"] = round(time.time() - t0, 3)
+
     for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",
-                 "rule_checks", "repetition_stats"]:
+                 "rule_checks", "repetition_stats",
+                 "dsir_weights", "pagerank", "curation_pipeline"]:
         fn = entry.queries()[name]
         t0 = time.time()
         df = fn(spark, sf_dir)

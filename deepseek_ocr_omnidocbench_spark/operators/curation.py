@@ -106,3 +106,50 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
                .drop("_n"))
     return out.drop("_rank", "_quota") if quotas is not None \
         else out.drop("_rank")
+
+
+def curation_pipeline(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      keep_lang: str = "en") -> DataFrame:
+    """FineWeb-style composite curation decision: run the per-row
+    quality gates in ONE codegen pass and return, for every document,
+    each gate's verdict, the conjunction ``keep``, and a ``reasons``
+    string naming every failed gate (comma-joined, fixed order) so a
+    corpus report can explain drops.
+
+    Default gate set (each independently value-checked elsewhere):
+
+    - ``gopher``  — Gopher §A1.1 conjunction (textstats.gopher_rules_cols)
+    - ``spam``    — SEO keyword-stuffing ratio (textstats.seo_spam_cols)
+    - ``runaway`` — trailing n-gram repetition (filters.runaway_generation)
+    - ``lang``    — predicted language == ``keep_lang``
+                    (textstats.lang_id_col, not the table's lang column)
+
+    Line-level C4 cleaning stays a separate operator (c4_clean): it
+    rewrites text rather than gating documents.
+
+    Scale: zero shuffles and zero joins — every signal is a Column
+    expression over the row's own text, so the whole decision pipelines
+    inside the scan stage; at 100 TB this is a single pass that
+    predicate-pushes nothing and shuffles nothing."""
+    from .filters import runaway_generation
+    from .textstats import gopher_rules_cols, lang_id_col, seo_spam_cols
+
+    text = F.col(text_col)
+    g_gopher = gopher_rules_cols(text)["gopher_pass"]
+    g_spam = ~seo_spam_cols(text)["is_spam"]
+    g_runaway = ~runaway_generation(text)
+    g_lang = lang_id_col(text) == F.lit(keep_lang)
+    gates = [("gopher", g_gopher), ("spam", g_spam),
+             ("runaway", g_runaway), ("lang", g_lang)]
+    keep = None
+    for _, g in gates:
+        keep = g if keep is None else (keep & g)
+    reasons = F.concat_ws(",", F.filter(
+        F.array(*[F.when(~g, F.lit(name)) for name, g in gates]),
+        lambda x: x.isNotNull()))
+    return docs.select(
+        id_col,
+        *[g.cast("int").alias("g_" + name) for name, g in gates],
+        keep.cast("int").alias("keep"),
+        reasons.alias("reasons"))

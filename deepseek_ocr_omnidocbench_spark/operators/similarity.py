@@ -254,7 +254,7 @@ def embedding_near_dups_srp(embeddings: DataFrame, dim: int,
 
 def semdedup(embeddings: DataFrame, centroids: list[list[float]],
              threshold: float = 0.95, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", kernel: str = "numpy") -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540):
     cluster the embedding space with k-means centroids, then prune
     semantic duplicates WITHIN each cluster only.
@@ -270,10 +270,41 @@ def semdedup(embeddings: DataFrame, centroids: list[list[float]],
     cluster, which is the SemDeDup design itself (k grows ~sqrt(N), so
     cells stay bounded); one self-join shuffle on the cell key.  The
     domination test needs no iteration: "has an earlier near-dup" is a
-    single semi-join fact per row, unlike transitive closure."""
+    single semi-join fact per row, unlike transitive closure.
+
+    ``kernel``: "numpy" (default — one applyInPandas per cell, the
+    pairwise block is a single GEMM; the production path) or "column"
+    (pure-Column self-join whose left-fold cosines DuckDB replays
+    bit-for-bit; the oracle path).  Both implement the identical
+    ordering and domination semantics."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         "cell", "cell_sim")
+    if kernel == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["cell_sim", "vid"]).reset_index(drop=True)
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ V.T
+            n = len(pdf)
+            # dropped iff an EARLIER row (lower cell_sim, tie min id)
+            # is a near-dup: strict upper triangle looking backwards
+            tri = np.tril(S, -1)
+            keep = ~(tri >= threshold).any(axis=1) if n > 1 \
+                else np.ones(n, dtype=bool)
+            return pd.DataFrame({
+                "vid": pdf["vid"], "cell": pdf["cell"],
+                "cell_sim": pdf["cell_sim"], "keep": keep})
+
+        out = (assigned
+               .repartition(max(len(centroids), 1), "cell")
+               .groupBy("cell")
+               .applyInPandas(_cell, ("vid long, cell int, "
+                                      "cell_sim double, keep boolean")))
+        return out.withColumnRenamed("vid", id_col)
     a, b = assigned.alias("a"), assigned.alias("b")
     dominated = (
         a.join(b, "cell")

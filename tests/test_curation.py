@@ -90,3 +90,25 @@ def test_stratified_fraction_mode(spark):
 def test_quota_larger_than_stratum(spark, corpus):
     out = stratified_sample(corpus, quotas={"de": 99}, seed=3)
     assert out.count() == 2  # whole stratum survives
+
+
+def test_curation_pipeline_reasons(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        curation_pipeline,
+    )
+
+    good = ("The quick brown fox jumps over the lazy dog and then walks "
+            "through the quiet town with a friend. ") * 5
+    short = "too short."
+    runaway = good + "z" * 100  # period-1 trailing repetition
+    spammy = ("download pdf free ebook download file " * 30)
+    rows = [(1, good), (2, short), (3, runaway), (4, spammy)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation_pipeline(df).collect()}
+    assert out[1]["keep"] == 1 and out[1]["reasons"] == ""
+    assert out[2]["keep"] == 0 and "gopher" in out[2]["reasons"]
+    assert out[3]["g_runaway"] == 0 and "runaway" in out[3]["reasons"]
+    assert out[4]["g_spam"] == 0 and "spam" in out[4]["reasons"]
+    # reasons list is fixed-order comma-joined gate names
+    for r in out.values():
+        assert r["keep"] == (1 if r["reasons"] == "" else 0)

@@ -182,3 +182,18 @@ def test_semdedup_planted_duplicate(spark, emb):
     assert out[orig_id]["cell"] == out[999_999]["cell"]
     assert bool(out[orig_id]["keep"]) != bool(out[999_999]["keep"])
     assert out[min(orig_id, 999_999)]["keep"]
+
+
+def test_semdedup_kernels_agree(spark, emb):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import semdedup
+
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = [list(r["embedding"]) for r in
+             e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    a = {r["vec_id"]: (r["cell"], bool(r["keep"]))
+         for r in semdedup(e, cents, threshold=0.32, kernel="numpy").collect()}
+    b = {r["vec_id"]: (r["cell"], bool(r["keep"]))
+         for r in semdedup(e, cents, threshold=0.32, kernel="column").collect()}
+    assert a == b
+    assert any(not keep for _, keep in a.values())  # threshold does prune
