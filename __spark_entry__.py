@@ -1254,6 +1254,70 @@ def q_bpe_merges(spark, sf_dir):
         "rank int, a string, b string, cnt long").orderBy("rank")
 
 
+def q_bpe_learn_oracle(spark, sf_dir):
+    """First 3 BPE merges under the value gate (the same
+    unrolled-iteration technique as classifier_train/pagerank): DuckDB
+    replays word-freq reduction, adjacent-pair counting, the
+    (cnt desc, a, b) argmax and the left-to-right non-overlapping merge
+    application per iteration.  The full 25-merge loop stays rows-only
+    in bpe_merges; this pins the per-iteration semantics."""
+    from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
+
+    merges = BP.learn_bpe(_docs(spark, sf_dir), n_merges=3, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, a string, b string, cnt long").orderBy("rank")
+
+
+def _bpe_learn_oracle_sql(n_merges: int = 3) -> str:
+    """RE2 has no lookbehind, so the merge replace can't use the Spark
+    kernel's boundary-anchored regex.  Instead the vocab symbol string
+    lives in a padded DOUBLE-space form (' a  b  c ')): every symbol
+    boundary owns two spaces, so plain replace(' a  b ', ' ab ') is
+    boundary-anchored AND left-to-right non-overlapping — byte-for-byte
+    BPE merge semantics ('a a a' + merge(a,a) -> 'aa a')."""
+    stages = []
+    prev = "v0"
+    out_rows = []
+    for i in range(n_merges):
+        stages.append(f"""
+        pc{i} as (
+          select ss[i] as a, ss[i + 1] as b, sum(freq) as cnt
+          from (select string_split(trim(sym), '  ') as ss, freq
+                from {prev}),
+               unnest(range(1, len(ss))) as t(i)
+          group by 1, 2),
+        m{i} as (select a, b, cnt from pc{i}
+                 order by cnt desc, a asc, b asc limit 1),
+        v{i + 1} as (
+          select replace(sym,
+                         ' ' || (select a from m{i}) || '  '
+                             || (select b from m{i}) || ' ',
+                         ' ' || (select a || b from m{i}) || ' ') as sym,
+                 freq
+          from {prev})""")
+        out_rows.append(f"select {i} as rank, a, b, cnt from m{i}")
+        prev = f"v{i + 1}"
+    return f"""
+        with w as (
+          select word, count(*) as freq from (
+            select unnest(list_filter(
+              string_split_regex(trim(text), '\\s+'), x -> x != '')) as word
+            from documents)
+          group by word),
+        v0 as (
+          select ' ' || array_to_string(list_concat(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> word[i]),
+                   ['</w>']), '  ') || ' ' as sym,
+                 freq
+          from w),
+        {",".join(stages)}
+        {" union all ".join(out_rows)}
+        order by rank
+    """
+
+
 _BLOOM_M, _BLOOM_K = 1 << 16, 4
 
 
@@ -1333,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_learn_oracle": q_bpe_learn_oracle,
         "bloom_probe": q_bloom_probe,
     }
 
@@ -2192,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
             select a, b, cnt from pc
             order by cnt desc, a, b limit 50
         """,
+        "bpe_learn_oracle": _bpe_learn_oracle_sql(),
         "bloom_probe": f"""
             with keys as (
               select doc_id,
