@@ -501,6 +501,26 @@ def q_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """End-to-end curation plan (gate -> url dedup -> minhash survivors
+    -> packing) over the documents table with deterministic synthetic
+    urls.  rows-only: the plan composes four operators that each hold a
+    green oracle; the composition's iterative dedup-cluster stage keeps
+    it out of single-statement SQL."""
+    from deepseek_ocr_omnidocbench_spark.plans.curate import (
+        run_curation_inline,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://ex.org/"), F.col("source"), F.lit("/"),
+                 F.col("doc_id")).alias("url"),
+        F.col("text").alias("markdown"),
+        F.col("lang").alias("lang_pred"))
+    return (run_curation_inline(docs, budget=2048)
+            .orderBy("grp", "doc_id"))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """FineWeb-style composite keep/drop decision (gopher + spam +
     runaway + predicted-lang gates in one codegen pass) with per-gate
@@ -1374,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "lm_perplexity": q_lm_perplexity,
         "curation_pipeline": q_curation_pipeline,
+        "curate_pipeline": q_curate_pipeline,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,

@@ -78,7 +78,8 @@ class StageCheckpoint:
 
     def run_stage(self, stage: str, inp: DataFrame, transform,
                   failure_col: str | None = None,
-                  max_failure_urls: int = 20) -> DataFrame:
+                  max_failure_urls: int = 20,
+                  cross_bucket: bool = False) -> DataFrame:
         """Apply ``transform(df) -> df`` per uncommitted bucket; commit each
         bucket's parquet + lineage row; return the stage's full output.
 
@@ -92,10 +93,19 @@ class StageCheckpoint:
         row — the failure count plus up to ``max_failure_urls`` failing
         urls (the reference's per-doc error tracking,
         olmocr/olmocr/pipeline.py:430-434).
+
+        ``cross_bucket=True`` runs the transform over the FULL input as
+        one committed unit (bucket 0) — for stages whose semantics span
+        buckets (global dedup: a dup pair can straddle bucket keys).
+        Resume granularity is the whole stage: committed -> skipped.
         """
         done = self.committed_buckets(stage)
-        bucketed = self.bucket_of(inp)
-        todo = sorted(set(range(self.n_buckets)) - done)
+        if cross_bucket:
+            bucketed = inp.withColumn("_bucket", F.lit(0).cast("int"))
+            todo = [] if 0 in done else [0]
+        else:
+            bucketed = self.bucket_of(inp)
+            todo = sorted(set(range(self.n_buckets)) - done)
         for b in todo:
             t0 = time.monotonic()
             part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
