@@ -501,6 +501,69 @@ def q_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _synth_url(doc_id, source):
+    """Deterministic synthetic crawl url (documents.parquet has no url
+    column); mirrored 1:1 in SQL by _SYNTH_URL_SQL.  Mix of blocked
+    domains, spam keywords and non-text extensions so the URL gates see
+    every branch."""
+    host = (F.when(doc_id % 13 == 0, F.lit("badsite.example"))
+            .when(doc_id % 13 == 1, F.lit("sub.spam.example"))
+            .otherwise(F.concat(source, (doc_id % 5).cast("string"),
+                                F.lit(".example.com"))))
+    tail = (F.when(doc_id % 7 == 0, F.lit(".jpg"))
+            .when(doc_id % 11 == 0, F.lit("?q=casino"))
+            .otherwise(F.lit("")))
+    return F.concat(F.lit("https://"), host, F.lit("/p/"),
+                    doc_id.cast("string"), tail)
+
+
+_SYNTH_URL_SQL = """
+    'https://' ||
+    (case when doc_id % 13 = 0 then 'badsite.example'
+          when doc_id % 13 = 1 then 'sub.spam.example'
+          else source || (doc_id % 5)::varchar || '.example.com' end)
+    || '/p/' || doc_id::varchar ||
+    (case when doc_id % 7 = 0 then '.jpg'
+          when doc_id % 11 = 0 then '?q=casino'
+          else '' end)
+"""
+
+
+def q_url_filters(spark, sf_dir):
+    """Crawl-frontier URL hygiene gates (blocklisted domains incl.
+    subdomains, spam keywords, non-text extensions) under the value
+    gate on deterministic synthetic urls."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        url_filter_cols,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url(F.col("doc_id"), F.col("source")).alias("url"))
+    c = url_filter_cols(F.col("url"))
+    return docs.select(
+        "doc_id", "url", c["host"].alias("host"),
+        c["blocked_domain"].cast("int").alias("blocked_domain"),
+        c["blocked_keyword"].cast("int").alias("blocked_keyword"),
+        c["nontext_ext"].cast("int").alias("nontext_ext"),
+        c["url_pass"].cast("int").alias("url_pass")).orderBy("doc_id")
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling (diversity cap): deterministic
+    md5-hash rank per registrable host, keep <= 20 — rank order and
+    verdicts replayed in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        domain_quota_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url(F.col("doc_id"), F.col("source")).alias("url"))
+    out = domain_quota_sample(docs, max_per_domain=20)
+    return out.select("doc_id", "domain", "domain_rank",
+                      F.col("keep").cast("int").alias("keep")) \
+        .orderBy("doc_id")
+
+
 def q_curate_pipeline(spark, sf_dir):
     """End-to-end curation plan (gate -> url dedup -> minhash survivors
     -> packing) over the documents table with deterministic synthetic
@@ -1395,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "curation_pipeline": q_curation_pipeline,
         "curate_pipeline": q_curate_pipeline,
+        "url_filters": q_url_filters,
+        "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
@@ -2042,6 +2107,55 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "url_filters": f"""
+            with u as (
+              select doc_id, {_SYNTH_URL_SQL} as url from documents),
+            h as (
+              select doc_id, url,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as host
+              from u),
+            g as (
+              select doc_id, url, host,
+                (host = 'badsite.example'
+                 or suffix(host, '.badsite.example')
+                 or host = 'spam.example' or suffix(host, '.spam.example')
+                 or host = 'malware.example'
+                 or suffix(host, '.malware.example')) as blocked_domain,
+                regexp_matches(lower(url),
+                               '(casino|viagra|xxx|porn|escort)')
+                  as blocked_keyword,
+                regexp_matches(lower(url),
+                  '\\.(jpe?g|png|gif|webp|bmp|tiff?|mp[34]|avi|mkv|mov|wav|flac|zip|rar|7z|tar|gz|bz2|exe|dmg|iso|css|js|ico|svg|woff2?|ttf|pdf)([?#].*)?$')
+                  as nontext_ext
+              from h)
+            select doc_id, url, host, blocked_domain::int as blocked_domain,
+              blocked_keyword::int as blocked_keyword,
+              nontext_ext::int as nontext_ext,
+              (not blocked_domain and not blocked_keyword
+               and not nontext_ext)::int as url_pass
+            from g order by doc_id
+        """,
+        "domain_quota": f"""
+            with u as (
+              select doc_id, {_SYNTH_URL_SQL} as url from documents),
+            d as (
+              select doc_id,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as domain,
+                ('0x' || substr(md5(doc_id::varchar || ':11'),
+                                1, 15))::bigint as rk
+              from u),
+            r as (
+              select doc_id, domain,
+                row_number() over (partition by domain
+                                   order by rk asc, doc_id asc)
+                  as domain_rank
+              from d)
+            select doc_id, domain, domain_rank,
+              (domain_rank <= 20)::int as keep
+            from r order by doc_id
+        """,
         "curation_pipeline": f"""
             with t as (
               select doc_id, text,

@@ -169,3 +169,75 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     cols = pii_cols(F.col(text_col))
     return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])
+
+
+# ---- crawl-frontier URL hygiene (FineWeb-style URL filtering) ----------
+
+# Literal blocklists/patterns so the DuckDB oracle evaluates identical
+# expressions.  Real deployments swap in the full UT1/adult lists; the
+# mechanism (suffix match + keyword + extension gates) is what scales.
+URL_BLOCK_DOMAINS = [
+    "badsite.example", "spam.example", "malware.example",
+]
+URL_BLOCK_KEYWORDS = r"(casino|viagra|xxx|porn|escort)"
+URL_NONTEXT_EXT = (r"\.(jpe?g|png|gif|webp|bmp|tiff?|mp[34]|avi|mkv|mov|"
+                   r"wav|flac|zip|rar|7z|tar|gz|bz2|exe|dmg|iso|css|js|"
+                   r"ico|svg|woff2?|ttf|pdf)([?#].*)?$")
+
+
+def url_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)", 1))
+
+
+def url_filter_cols(url: Column) -> dict[str, Column]:
+    """Per-rule URL gates, all flat string expressions (SQL-mirrorable):
+
+    - ``blocked_domain``  host equals or is a subdomain of a blocklisted
+      registrable domain
+    - ``blocked_keyword`` spam/adult keyword anywhere in the lowered url
+    - ``nontext_ext``     path ends in a non-text media/bundle extension
+    - ``url_pass``        conjunction of the negations
+
+    Runs BEFORE fetch/extraction at crawl scale — a pure-Column pass
+    over the frontier; no shuffle, fully pushdown-friendly."""
+    host = url_host(url)
+    lurl = F.lower(url)
+    blocked_domain = F.exists(
+        F.array(*[F.lit(d) for d in URL_BLOCK_DOMAINS]),
+        lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)))
+    blocked_keyword = lurl.rlike(URL_BLOCK_KEYWORDS)
+    nontext_ext = lurl.rlike(URL_NONTEXT_EXT)
+    return {
+        "host": host,
+        "blocked_domain": blocked_domain,
+        "blocked_keyword": blocked_keyword,
+        "nontext_ext": nontext_ext,
+        "url_pass": ~blocked_domain & ~blocked_keyword & ~nontext_ext,
+    }
+
+
+def domain_quota_sample(docs: DataFrame, max_per_domain: int,
+                        url_col: str = "url", id_col: str = "doc_id",
+                        seed: int = 11) -> DataFrame:
+    """Cap documents per registrable host (anti-spam / diversity quota,
+    the FineWeb per-domain balancing step) -> every input row annotated
+    with (domain, domain_rank, keep).
+
+    Rank order is a deterministic hash of the doc id (md5-derived so an
+    engine-portable oracle replays it) — reproducible across runs,
+    partitionings and cluster sizes; one window shuffle on the host."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash64
+
+    h = md5_hash64(F.concat(F.col(id_col).cast("string"),
+                            F.lit(":%d" % seed)))
+    w = Window.partitionBy("domain").orderBy(F.asc("_rk_hash"),
+                                             F.asc(id_col))
+    return (docs
+            .withColumn("domain", url_host(F.col(url_col)))
+            .withColumn("_rk_hash", h)
+            .withColumn("domain_rank", F.row_number().over(w))
+            .withColumn("keep", F.col("domain_rank") <= max_per_domain)
+            .drop("_rk_hash"))

@@ -93,3 +93,53 @@ def test_url_dedup_groups(spark):
     assert groups["https://a.com/p"] == (2, True)
     assert groups["https://www.a.com/p/?utm_source=t"] == (2, False)
     assert groups["https://b.com/q"] == (1, True)
+
+
+def test_url_filter_cols(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        url_filter_cols,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "https://news.example.com/story/1"),          # pass
+        (2, "https://badsite.example/page"),               # blocked domain
+        (3, "https://cdn.badsite.example/x"),              # blocked subdomain
+        (4, "https://ok.example.com/win-casino-now"),      # keyword
+        (5, "https://ok.example.com/photo.JPG?s=1"),       # extension
+        (6, "https://notbadsite.example.com/a"),           # NOT a subdomain
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    c = url_filter_cols(F.col("url"))
+    out = {r["id"]: r for r in df.select(
+        "id", *[c[k].alias(k) for k in
+                ("blocked_domain", "blocked_keyword", "nontext_ext",
+                 "url_pass")]).collect()}
+    assert out[1]["url_pass"] and out[6]["url_pass"]
+    assert out[2]["blocked_domain"] and out[3]["blocked_domain"]
+    assert not out[6]["blocked_domain"]
+    assert out[4]["blocked_keyword"] and out[5]["nontext_ext"]
+    for i in (2, 3, 4, 5):
+        assert not out[i]["url_pass"]
+
+
+def test_domain_quota_sample(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        domain_quota_sample,
+    )
+
+    rows = [(i, "https://%s.org/p/%d" % ("big" if i < 30 else "small", i))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_quota_sample(df, max_per_domain=10).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert sum(r["keep"] for r in by_dom["big.org"]) == 10
+    assert sum(r["keep"] for r in by_dom["small.org"]) == 10  # all 10 fit
+    # ranks are a permutation 1..n per domain and deterministic
+    ranks = sorted(r["domain_rank"] for r in by_dom["big.org"])
+    assert ranks == list(range(1, 31))
+    again = domain_quota_sample(df, max_per_domain=10).collect()
+    assert sorted((r["doc_id"], r["domain_rank"]) for r in again) == \
+        sorted((r["doc_id"], r["domain_rank"]) for r in out)
