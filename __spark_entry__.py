@@ -1401,6 +1401,23 @@ def _bpe_learn_oracle_sql(n_merges: int = 3) -> str:
     """
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Corpus tokenization with the learned merge table (25 merges,
+    rank-greedy encode in an Arrow-batched pandas UDF with per-batch
+    word cache).  rows-only: greedy min-rank encoding is iterative per
+    word; pytest checks it against an independent reference encoder
+    (tests/test_bpe.py)."""
+    from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
+
+    docs = _docs(spark, sf_dir)
+    merges = BP.learn_bpe(docs, n_merges=25, min_freq=2)
+    enc = BP.bpe_encode(docs, merges)
+    return (enc.select("doc_id", "n_tokens",
+                       F.size(F.array_distinct("tokens"))
+                       .alias("n_unique_tokens"))
+            .orderBy("doc_id"))
+
+
 _BLOOM_M, _BLOOM_K = 1 << 16, 4
 
 
@@ -1484,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_learn_oracle": q_bpe_learn_oracle,
+        "bpe_encode": q_bpe_encode,
         "bloom_probe": q_bloom_probe,
     }
 
