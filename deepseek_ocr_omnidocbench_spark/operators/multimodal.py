@@ -255,3 +255,103 @@ def chunk_audio(media: DataFrame, chunk_sec: float = 30.0,
 
     cols = ["media_id", "data"] + (["meta"] if has_meta else [])
     return media.select(*cols).mapInPandas(_gen, CHUNKS_SCHEMA)
+
+
+# ---- image header sniffing (pure byte parsing — NO imaging libs) --------
+
+def sniff_image_header(data: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) parsed from the container header alone:
+    PNG (IHDR), GIF87a/89a (logical screen), JPEG (first SOFn frame),
+    BMP (BITMAPINFOHEADER) and WebP (VP8/VP8L/VP8X chunks).  Unlike the
+    pixel decode (container-blocked behind ``decode_image``), header
+    geometry needs only struct math, so dimension-dependent pipeline
+    stages — tiling grids, aspect filters, size gates — run for real at
+    scale.  Returns None for unrecognized/truncated bytes."""
+    import struct
+
+    if not data:
+        return None
+    b = bytes(data)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h)
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h))  # negative h = top-down DIB
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+            chunk = b[12:16]
+            if chunk == b"VP8X":
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                return ("webp", w, h)
+            if chunk == b"VP8L" and b[20] == 0x2F:
+                bits = int.from_bytes(b[21:25], "little")
+                return ("webp", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+            if chunk == b"VP8 ":
+                # lossy: frame tag at chunk payload +6
+                w = int.from_bytes(b[26:28], "little") & 0x3FFF
+                h = int.from_bytes(b[28:30], "little") & 0x3FFF
+                return ("webp", w, h)
+            return None
+        if b[:2] == b"\xff\xd8":  # JPEG: scan markers for SOFn
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return ("jpeg", w, h)
+                i += 2 + seglen
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def probe_image_headers(media: DataFrame,
+                        data_col: str = "data") -> DataFrame:
+    """Annotate media rows with (img_format, width, height, n_tiles)
+    from pure header parsing — one Arrow-batched pass, no shuffle; the
+    tiling-grid count composes with count_tiles so downstream crop
+    planning runs without any pixel decode."""
+    out_schema = T.StructType(list(media.schema.fields) + [
+        T.StructField("img_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_tiles", T.IntegerType()),
+    ])
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, ts = [], [], [], []
+            for raw in pdf[data_col]:
+                got = sniff_image_header(raw)
+                if got is None:
+                    fmts.append(None), ws.append(None), hs.append(None)
+                    ts.append(None)
+                else:
+                    f, w, h = got
+                    fmts.append(f), ws.append(w), hs.append(h)
+                    if w and h:
+                        cols, rows_ = count_tiles(w, h)
+                        ts.append(cols * rows_)
+                    else:
+                        ts.append(None)
+            pdf = pdf.copy()
+            pdf["img_format"] = fmts
+            pdf["width"] = pd.array(ws, dtype="Int32")
+            pdf["height"] = pd.array(hs, dtype="Int32")
+            pdf["n_tiles"] = pd.array(ts, dtype="Int32")
+            yield pdf
+
+    return media.mapInPandas(_gen, out_schema)

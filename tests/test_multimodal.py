@@ -123,3 +123,45 @@ def test_probe_stub_is_loud():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         probe_media(b"x")
+
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+
+
+def _webp_vp8x(w, h):
+    return (b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"VP8X"
+            + b"\x0a\x00\x00\x00" + b"\x00\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+
+
+def test_sniff_image_header_webp():
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        sniff_image_header,
+    )
+
+    assert sniff_image_header(_webp_vp8x(1024, 768)) == ("webp", 1024, 768)
+
+
+def test_probe_image_headers_spark(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        count_tiles,
+        probe_image_headers,
+    )
+
+    rows = [
+        ("a", "image", _png(1280, 960)),
+        ("b", "image", _webp_vp8x(640, 640)),
+        ("c", "image", b"not an image"),
+        ("d", "image", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, data binary")
+    out = {r["media_id"]: r for r in probe_image_headers(df).collect()}
+    assert out["a"]["img_format"] == "png" and out["a"]["width"] == 1280
+    cols, rows_ = count_tiles(1280, 960)
+    assert out["a"]["n_tiles"] == cols * rows_
+    assert out["b"]["img_format"] == "webp" and out["b"]["height"] == 640
+    assert out["c"]["img_format"] is None and out["c"]["n_tiles"] is None
+    assert out["d"]["width"] is None
