@@ -1,0 +1,63 @@
+"""robots.txt parsing + crawl gates (operators/robots.py)."""
+
+import pytest
+
+from deepseek_ocr_omnidocbench_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+    robots_gate,
+)
+
+ROBOTS = """
+# comments are ignored
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /admin/
+Disallow: /tmp/*.pdf$
+Allow: /admin/public/
+Disallow:
+"""
+
+
+def test_parse_robots_picks_star_group():
+    rules = parse_robots(ROBOTS, agent="mybot")
+    assert (False, "/admin/") in rules
+    assert (True, "/admin/public/") in rules
+    assert all("/private/" not in p for _, p in rules)
+
+
+def test_parse_robots_specific_agent_wins():
+    rules = parse_robots(ROBOTS, agent="googlebot")
+    assert rules == [(False, "/private/")]
+
+
+def test_robots_allowed_longest_match_and_wildcards():
+    rules = parse_robots(ROBOTS, agent="*")
+    assert robots_allowed("/", rules)
+    assert not robots_allowed("/admin/x", rules)
+    assert robots_allowed("/admin/public/x", rules)  # longer Allow wins
+    assert not robots_allowed("/tmp/a/b.pdf", rules)  # * wildcard
+    assert robots_allowed("/tmp/a/b.pdf?x=1", rules)  # $ anchors at end
+    assert robots_allowed("/anything", [])            # no rules -> allow
+
+
+def test_parse_robots_empty_and_none():
+    assert parse_robots(None) == []
+    assert parse_robots("") == []
+    assert robots_allowed("/x", parse_robots("User-agent: *\nDisallow:\n"))
+
+
+def test_robots_gate_spark(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://a.example/admin/secret"),
+         (2, "https://a.example/admin/public/ok"),
+         (3, "https://a.example/index.html"),
+         (4, "https://norobots.example/anything")],
+        "id long, url string")
+    robots = spark.createDataFrame(
+        [("a.example", ROBOTS)], "host string, robots_txt string")
+    out = {r["id"]: r["robots_allow"]
+           for r in robots_gate(urls, robots).collect()}
+    assert out == {1: False, 2: True, 3: True, 4: True}
