@@ -67,3 +67,36 @@ def test_checkpointed_curation_resumes(spark, docs, tmp_path):
     assert rep["url_unique"]["docs"] == 3     # doc 3 url-deduped
     assert rep["survivors"]["docs"] == 2      # doc 2 near-dup-clustered
     assert rep["packed"]["docs"] == 2
+
+
+def test_partial_failure_resumes_midway(spark, docs, tmp_path, monkeypatch):
+    """Kill the run after the first two stages commit; the retry must
+    skip them (no new lineage rows for committed stages) and only run
+    the remaining stages."""
+    import deepseek_ocr_omnidocbench_spark.plans.curate as C
+    from deepseek_ocr_omnidocbench_spark.sources.lineage import (
+        StageCheckpoint,
+    )
+
+    root = str(tmp_path / "curate_partial")
+
+    def boom(df, **kw):
+        raise RuntimeError("simulated executor loss")
+
+    monkeypatch.setattr(C, "stage_survivors", boom)
+    with pytest.raises(RuntimeError):
+        C.run_curation(spark, docs, root, n_buckets=4, budget=64)
+    monkeypatch.undo()
+
+    ck = StageCheckpoint(spark, root, n_buckets=4)
+    lin_before = ck.lineage().where(
+        F.col("stage").isin("gated", "url_unique")).count()
+    assert lin_before == 8  # 4 buckets x 2 committed stages
+
+    out = C.run_curation(spark, docs, root, n_buckets=4, budget=64)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
+    lin = ck.lineage()
+    # committed stages were NOT recomputed
+    assert lin.where(F.col("stage").isin("gated", "url_unique")).count() == 8
+    assert lin.where(F.col("stage") == "survivors").count() == 1
+    assert lin.where(F.col("stage") == "packed").count() == 1

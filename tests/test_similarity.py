@@ -197,3 +197,20 @@ def test_semdedup_kernels_agree(spark, emb):
          for r in semdedup(e, cents, threshold=0.32, kernel="column").collect()}
     assert a == b
     assert any(not keep for _, keep in a.values())  # threshold does prune
+
+
+def test_semdedup_idempotent_on_survivors(spark, emb):
+    """Running SemDeDup again on its own survivors must drop nothing —
+    every remaining pair is below the threshold by construction."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import semdedup
+
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = [list(r["embedding"]) for r in
+             e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    first = semdedup(e, cents, threshold=0.32)
+    survivors = e.join(first.where("keep").select("vec_id"), "vec_id")
+    n_surv = survivors.count()
+    assert n_surv < e.count()  # the first pass pruned something
+    second = semdedup(survivors, cents, threshold=0.32)
+    assert second.where("keep").count() == n_surv
