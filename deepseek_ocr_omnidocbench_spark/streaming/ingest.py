@@ -189,3 +189,44 @@ def stream_domain_counters(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(spark: SparkSession, input_dir: str, output_dir: str,
+                  checkpoint_dir: str, keep_lang: str = "en",
+                  available_now: bool = True):
+    """Continuous curation: extract each micro-batch, run the composite
+    quality gates (curation_pipeline — stateless Columns, so streaming
+    composition is free), and append only kept docs plus a per-batch
+    drop ledger.
+
+    Near-dup stages stay batch jobs over the accumulated sink (dedup
+    needs cross-batch visibility; the watermarked ``stream_dedup``
+    covers the exact-key case) — this split is the standard
+    lambda-free layering: cheap gates inline, global dedup in the
+    nightly compaction."""
+    from ..operators.curation import curation_pipeline
+
+    pages = read_pages_stream(spark, input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = run_pipeline_inline(batch_df).withColumn(
+            "doc_id", F.xxhash64("url"))
+        verdicts = curation_pipeline(
+            docs.withColumnRenamed("markdown", "text"),
+            keep_lang=keep_lang)
+        annotated = (docs.join(verdicts.select("doc_id", "keep", "reasons"),
+                               "doc_id")
+                     .withColumn("batch_id", F.lit(batch_id)))
+        (annotated.where(F.col("keep") == 1)
+         .drop("keep", "reasons")
+         .write.mode("append").parquet(f"{output_dir}/kept"))
+        (annotated.where(F.col("keep") == 0)
+         .groupBy("batch_id", "reasons")
+         .agg(F.count(F.lit(1)).alias("n_dropped"))
+         .write.mode("append").parquet(f"{output_dir}/drops"))
+
+    writer = (pages.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

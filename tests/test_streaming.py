@@ -159,3 +159,47 @@ def test_stream_domain_counters_stateful(spark, drops):
     got = {r["domain"]: r["total_pages"] for r in last.collect()}
     assert got.get("example.org") == len(rows)
     assert all(r["batches"] >= 1 for r in last.collect())
+
+
+def test_stream_curate_gates_and_ledger(spark, drops):
+    from datetime import datetime
+
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_curate,
+    )
+
+    tmp_path, rows = drops
+    # the synthetic generator emits stopword-free word soup (correctly
+    # gated out as non-English); add a drop of real-English articles so
+    # the keep path is exercised too
+    para = ("The river was quiet in the morning and the light fell on "
+            "the water as the boats moved slowly past the old houses "
+            "of the town, and everyone who walked along the bank could "
+            "see that it was going to be a clear day. ")
+    english = [{
+        "url": f"https://en.example/a{i}", "warc_ts": datetime(2024, 1, 1),
+        "html": (f"<html><body><article><h1>Morning {i}</h1>"
+                 f"<p>{para}</p><p>{para}</p></article></body></html>"
+                 ).encode(),
+        "text": "", "lang": "en", "category": "article"}
+        for i in range(5)]
+    write_drop(english, str(tmp_path / "in" / "drop-002.parquet"))
+    q = stream_curate(spark, str(tmp_path / "in"), str(tmp_path / "cur"),
+                      str(tmp_path / "cur_ck"))
+    q.awaitTermination(180)
+    kept = spark.read.parquet(str(tmp_path / "cur" / "kept"))
+    drops_df = spark.read.parquet(str(tmp_path / "cur" / "drops"))
+    n_kept = kept.count()
+    n_dropped = int(drops_df.agg(F.sum("n_dropped")).collect()[0][0] or 0)
+    assert n_kept > 0 and n_dropped > 0
+    # every drop reason names at least one gate
+    reasons = {r["reasons"] for r in drops_df.select("reasons").collect()}
+    assert all(r for r in reasons)
+    gates = {"gopher", "spam", "runaway", "lang"}
+    assert all(set(r.split(",")) <= gates for r in reasons)
+    # kept docs re-pass the gates when re-evaluated in batch
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        curation_pipeline,
+    )
+    re = curation_pipeline(kept.withColumnRenamed("markdown", "text"))
+    assert re.where(F.col("keep") == 0).count() == 0
