@@ -73,3 +73,60 @@ def test_md5_bucket_range(docs):
            .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
            .collect()[0])
     assert 0 <= out["lo"] and out["hi"] < 128
+
+
+def test_dsir_weights_match_pure_python_reference(spark):
+    """Spark DSIR weights vs an independent pure-Python implementation
+    (same md5 bucket hash, same add-one smoothing) on a random corpus."""
+    import hashlib
+    import math
+    import random
+
+    from deepseek_ocr_omnidocbench_spark.operators.dsir import (
+        dsir_log_weights,
+        md5_bucket,
+    )
+
+    rng = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "theta"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target_ids = {i for i in range(30) if i % 3 == 0}
+    target = docs.where(F.col("doc_id") % 3 == 0)
+    B = 64
+
+    def bucket(feat):
+        return int(hashlib.md5(feat.encode()).hexdigest()[:15], 16) % B
+
+    def feats(text):
+        ws = [w for w in text.lower().split() if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def model(ids):
+        counts = {}
+        for i, text in rows:
+            if i in ids:
+                for f in feats(text):
+                    b = bucket(f)
+                    counts[b] = counts.get(b, 0) + 1
+        total = sum(counts.values())
+        return counts, total
+
+    tc, tt = model(target_ids)
+    rc, rt = model(set(range(30)))
+    want = {}
+    for i, text in rows:
+        lw = 0.0
+        for f in feats(text):
+            b = bucket(f)
+            lp_t = math.log10((tc.get(b, 0) + 1) / (tt + B))
+            lp_r = math.log10((rc[b] + 1) / (rt + B))
+            lw += lp_t - lp_r
+        want[i] = lw
+
+    got = {r["doc_id"]: r["logw"] for r in
+           dsir_log_weights(docs, target, n_buckets=B,
+                            bucket_fn=md5_bucket).collect()}
+    for i in range(30):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])

@@ -214,3 +214,61 @@ def test_semdedup_idempotent_on_survivors(spark, emb):
     assert n_surv < e.count()  # the first pass pruned something
     second = semdedup(survivors, cents, threshold=0.32)
     assert second.where("keep").count() == n_surv
+
+
+def test_semdedup_matches_pure_python_reference(spark):
+    """Randomized parity vs an independent implementation of the
+    SemDeDup spec (assign to nearest centroid, order by (cell_sim, id),
+    drop on any earlier near-dup)."""
+    import random
+
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import semdedup
+
+    rng = random.Random(7)
+    dim, n, thr = 8, 40, 0.9
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    # plant near-dup pairs
+    for src, dst in ((0, 30), (5, 31), (5, 32)):
+        vecs[dst] = [x + rng.uniform(-0.01, 0.01) for x in vecs[src]]
+    cents = [vecs[i] for i in range(3)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    assign = {}
+    for i, v in vecs.items():
+        sims = [cos(v, c) for c in cents]
+        best = max(sims)
+        assign[i] = (sims.index(best), round(best, 6))
+    want = {}
+    for cell in {c for c, _ in assign.values()}:
+        members = sorted((s, i) for i, (c, s) in assign.items() if c == cell)
+        kept = []
+        for s, i in members:
+            dup = any(cos(vecs[i], vecs[j]) >= thr for _, j in kept)
+            want[i] = not dup
+            if not dup:
+                kept.append((s, i))
+    # the python reference drops non-kept; spark drops on ANY earlier
+    # (kept or not) near-dup — align the reference to the spec:
+    want = {}
+    for cell in {c for c, _ in assign.values()}:
+        members = sorted((s, i) for i, (c, s) in assign.items() if c == cell)
+        for k, (s, i) in enumerate(members):
+            want[i] = not any(cos(vecs[i], vecs[j]) >= thr
+                              for _, j in members[:k])
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cell"], bool(r["keep"]))
+           for r in semdedup(emb, cents, threshold=thr).collect()}
+    for i in range(n):
+        assert got[i][0] == assign[i][0], i
+        assert got[i][1] == want[i], (i, got[i], want[i])
+    # exactly one survivor per planted dup group (clone or original)
+    assert sum(1 for i in (0, 30) if want[i]) == 1
+    assert sum(1 for i in (5, 31, 32) if want[i]) == 1
