@@ -564,6 +564,36 @@ def q_domain_quota(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def q_link_graph(spark, sf_dir):
+    """Out-link extraction -> weighted host-graph edges (the input
+    PageRank consumes), value-gated: pages are synthesized as a pure
+    concat expression (3 deterministic <a href> links per doc), so
+    DuckDB replays the regex link pull, host fold and edge aggregation
+    exactly."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        extract_links,
+        host_edges,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+
+    def link(k):
+        return F.concat(F.lit('<a href="https://h'),
+                        ((did * 7 + k * 3) % 9).cast("string"),
+                        F.lit(".example/p/"), did.cast("string"),
+                        F.lit('">anchor %d</a>' % k))
+
+    pages = d.select(
+        F.concat(F.lit("https://h"), (did % 9).cast("string"),
+                 F.lit(".example/d/"), did.cast("string")).alias("url"),
+        F.concat(F.lit("<html><body><p>"), F.substring("text", 1, 40),
+                 F.lit("</p>"), link(0), link(1), link(2),
+                 F.lit("</body></html>")).alias("html_text"))
+    return (host_edges(extract_links(pages))
+            .orderBy("src", "dst"))
+
+
 def q_curate_pipeline(spark, sf_dir):
     """End-to-end curation plan (gate -> url dedup -> minhash survivors
     -> packing) over the documents table with deterministic synthetic
@@ -1476,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "curate_pipeline": q_curate_pipeline,
         "url_filters": q_url_filters,
+        "link_graph": q_link_graph,
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -2125,6 +2156,37 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "link_graph": """
+            with h as (
+              select
+                'https://h' || (doc_id % 9)::varchar || '.example/d/'
+                  || doc_id::varchar as src_url,
+                '<html><body><p>' || substr(text, 1, 40) || '</p>'
+                || '<a href="https://h' || ((doc_id * 7) % 9)::varchar
+                  || '.example/p/' || doc_id::varchar || '">anchor 0</a>'
+                || '<a href="https://h' || ((doc_id * 7 + 3) % 9)::varchar
+                  || '.example/p/' || doc_id::varchar || '">anchor 1</a>'
+                || '<a href="https://h' || ((doc_id * 7 + 6) % 9)::varchar
+                  || '.example/p/' || doc_id::varchar || '">anchor 2</a>'
+                || '</body></html>' as html_text
+              from documents),
+            l as (
+              select src_url,
+                unnest(regexp_extract_all(html_text,
+                  '<a[^>]*href="([^"]*)"', 1)) as dst_url
+              from h),
+            e as (
+              select
+                lower(regexp_extract(src_url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as src,
+                lower(regexp_extract(dst_url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as dst
+              from l)
+            select src, dst, count(*) as weight
+            from e
+            where src != dst and len(src) > 0 and len(dst) > 0
+            group by src, dst order by src, dst
+        """,
         "url_filters": f"""
             with u as (
               select doc_id, {_SYNTH_URL_SQL} as url from documents),

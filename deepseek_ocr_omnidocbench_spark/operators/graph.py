@@ -78,3 +78,38 @@ def host_link_stats(ranks: DataFrame, docs: DataFrame,
     since the rank table is host-cardinality."""
     r = ranks.withColumnRenamed("node", host_col)
     return docs.join(F.broadcast(r), host_col, "left")
+
+
+def extract_links(pages: DataFrame, html_col: str = "html_text",
+                  url_col: str = "url") -> DataFrame:
+    """Out-link extraction -> (src_url, dst_url, anchor_text): the step
+    that turns a page corpus into the link graph PageRank consumes.
+
+    Pure-Column regexes (no UDF): hrefs and anchor texts are pulled with
+    regexp_extract_all and zipped positionally — one codegen pass over
+    the page, one explode; works on the extractor's input html decoded
+    to string.  Anchors with no text pair as NULL."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'<a[^>]*href="([^"]*)"'), 1)
+    anchors = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"<a[^>]*>([^<]*)</a>"), 1)
+    return (pages
+            .select(F.col(url_col).alias("src_url"),
+                    F.explode(F.arrays_zip(hrefs.alias("h"),
+                                           anchors.alias("t"))).alias("l"))
+            .select("src_url", F.col("l.h").alias("dst_url"),
+                    F.col("l.t").alias("anchor_text")))
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Link rows -> weighted host-graph edges (src, dst, weight):
+    self-loops dropped, weight = link count.  The output feeds
+    ``pagerank`` directly; one groupBy shuffle on the host pair."""
+    from .filters import url_host
+
+    e = links.select(url_host(F.col("src_url")).alias("src"),
+                     url_host(F.col("dst_url")).alias("dst"))
+    return (e.where((F.col("src") != F.col("dst"))
+                    & (F.length("src") > 0) & (F.length("dst") > 0))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("weight")))

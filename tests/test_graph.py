@@ -71,3 +71,36 @@ class TestPagerank:
         out = {r["doc_id"]: r["rank"]
                for r in host_link_stats(ranks, docs).collect()}
         assert out == {1: 0.7, 2: 0.3, 3: None}
+
+
+def test_extract_links_and_host_edges(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame([
+        ("https://a.example/1",
+         '<p>x</p><a href="https://b.example/p">to b</a>'
+         '<a href="https://b.example/q">b again</a>'
+         '<a href="https://a.example/self">self</a>'),
+        ("https://b.example/1",
+         '<a class="x" href="https://c.example/">to c</a><a>no href</a>'),
+        ("https://c.example/1", "<p>no links at all</p>"),
+    ], "url string, html_text string")
+    links = extract_links(pages).collect()
+    assert ("https://a.example/1", "https://b.example/p", "to b") in [
+        (r["src_url"], r["dst_url"], r["anchor_text"]) for r in links]
+    edges = {(r["src"], r["dst"]): r["weight"]
+             for r in host_edges(extract_links(pages)).collect()}
+    assert edges[("a.example", "b.example")] == 2   # two links folded
+    assert edges[("b.example", "c.example")] == 1
+    assert ("a.example", "a.example") not in edges  # self-loop dropped
+    # composes with pagerank: b receives from a, c from b
+    e = host_edges(extract_links(pages)).withColumnRenamed("weight", "w")
+    ranks = {r["node"]: r["rank"] for r in
+             pagerank(e.selectExpr("src", "dst", "w as weight"),
+                      iters=5).collect()}
+    assert ranks["b.example"] > ranks["a.example"]
