@@ -690,6 +690,32 @@ _DSIR_LW_CTES = """
 """
 
 
+def q_harmonic(spark, sf_dir):
+    """Hop-truncated harmonic centrality (Common Crawl's companion
+    signal to PageRank) over a deterministic self-linking host graph;
+    the oracle closes shortest distances <= 4 with a recursive CTE and
+    sums the same 1/d contributions."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    links = (docs
+             .select(F.concat(F.lit("h"), (did % 20).cast("string"))
+                     .alias("src"),
+                     F.explode(F.sequence(
+                         F.lit(1), (F.lit(1) + did % 3).cast("int")))
+                     .alias("j"), "doc_id")
+             .select("src",
+                     F.concat(F.lit("h"),
+                              ((did * 7 + F.col("j")) % 20).cast("string"))
+                     .alias("dst")))
+    edges = links.distinct()
+    return (harmonic_centrality(edges, max_hops=4)
+            .orderBy("node"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup-cluster resolution: md5 MinHash-LSH pairs
     (jaccard >= 0.5) -> distributed connected components -> min-id
@@ -1507,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pipeline": q_curate_pipeline,
         "url_filters": q_url_filters,
         "link_graph": q_link_graph,
+        "harmonic": q_harmonic,
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -2156,6 +2183,23 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "harmonic": """
+            with recursive links as (
+              select 'h' || (doc_id % 20)::varchar as src,
+                     'h' || ((doc_id * 7 + j) % 20)::varchar as dst
+              from documents,
+                   unnest(range(1, 2 + (doc_id % 3)::int)) as t(j)),
+            e as (select distinct src, dst from links where src != dst),
+            reach(s, n, dist) as (
+              select src, dst, 1 from e
+              union all
+              select r.s, e.dst, r.dist + 1
+              from reach r join e on e.src = r.n
+              where r.dist < 4 and r.s != e.dst),
+            md as (select s, n, min(dist) as dist from reach group by s, n)
+            select n as node, round(sum(1.0 / dist), 6) as harmonic
+            from md group by n order by node
+        """,
         "link_graph": """
             with h as (
               select

@@ -113,3 +113,47 @@ def host_edges(links: DataFrame) -> DataFrame:
                     & (F.length("src") > 0) & (F.length("dst") > 0))
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
+                        src_col: str = "src",
+                        dst_col: str = "dst") -> DataFrame:
+    """Hop-truncated harmonic centrality -> (node, harmonic):
+    ``sum over reachable u of 1/d(u, node)`` for d <= max_hops, on the
+    INCOMING direction (who can reach me), the convention Common Crawl
+    publishes next to PageRank for its host/domain graphs.
+
+    Exact frontier expansion: hop h joins the hop-(h-1) frontier with
+    the edge table and anti-joins everything already seen, so each
+    (source, node) pair carries its true shortest distance.  Per hop:
+    one join shuffle + one distinct.
+
+    Scale note: exact all-pairs state is O(V·avg-ball-size) — fine for
+    host graphs (10^6-10^7 nodes, small truncated balls), which is the
+    curation use-case.  At the full 10^11-node page-graph scale the
+    published numbers come from HyperBall (Boldi & Vigna 2013):
+    replace the exact ``seen`` set with a per-node HyperLogLog register
+    union per hop; same loop shape, sketched state.  The exact variant
+    is the oracle-checkable ground truth for that upgrade."""
+    fwd = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")) \
+        .where(F.col("s") != F.col("d"))
+    # reach(source=s, node=d, dist): grow from every edge endpoint
+    frontier = fwd.select("s", F.col("d").alias("n")).distinct() \
+        .withColumn("dist", F.lit(1))
+    seen = frontier
+    contrib = frontier
+    for h in range(2, max_hops + 1):
+        nxt = (frontier.join(fwd.withColumnRenamed("s", "n"), "n")
+               .select("s", F.col("d").alias("n"))
+               .where(F.col("s") != F.col("n"))
+               .distinct()
+               .join(seen.select("s", "n"), ["s", "n"], "left_anti")
+               .withColumn("dist", F.lit(h)))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        contrib = contrib.unionByName(nxt)
+        frontier = nxt
+    return (contrib.groupBy(F.col("n").alias("node"))
+            .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic")))

@@ -104,3 +104,22 @@ def test_extract_links_and_host_edges(spark):
              pagerank(e.selectExpr("src", "dst", "w as weight"),
                       iters=5).collect()}
     assert ranks["b.example"] > ranks["a.example"]
+
+
+def test_harmonic_centrality_chain_and_truncation(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    # path graph a -> b -> c -> d -> e -> f, plus a self-loop (ignored)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+         ("a", "a")],
+        "src string, dst string")
+    got = {r["node"]: r["harmonic"]
+           for r in harmonic_centrality(edges, max_hops=4).collect()}
+    # d is reached at dist 1 (c), 2 (b), 3 (a): 1 + 1/2 + 1/3
+    assert abs(got["d"] - round(1 + 0.5 + 1 / 3, 6)) < 1e-6
+    # f is 5 hops from a — truncated at 4: contributions from e,d,c,b only
+    assert abs(got["f"] - round(1 + 0.5 + 1 / 3 + 0.25, 6)) < 1e-6
+    assert "a" not in got  # nothing reaches the chain head
