@@ -594,6 +594,38 @@ def q_link_graph(spark, sf_dir):
             .orderBy("src", "dst"))
 
 
+def q_page_metadata(spark, sf_dir):
+    """Head-metadata extraction (title / meta description / canonical /
+    og:title / lang attr) under the value gate on synthesized page
+    HTML; every doc_id%4==0 page omits the optional tags so the NULL
+    paths are exercised."""
+    from deepseek_ocr_omnidocbench_spark.operators.html_extract import (
+        page_metadata_cols,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    head_opt = F.when(did % 4 == 0, F.lit("")).otherwise(F.concat(
+        F.lit('<meta name="description" content="desc '),
+        did.cast("string"), F.lit('">'),
+        F.lit('<link rel="canonical" href="https://c.example/'),
+        did.cast("string"), F.lit('">'),
+        F.lit('<meta property="og:title" content="og '),
+        did.cast("string"), F.lit('">')))
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>T'),
+        did.cast("string"), F.lit("</title>"), head_opt,
+        F.lit("</head><body><p>"), F.substring("text", 1, 30),
+        F.lit("</p></body></html>"))
+    m = page_metadata_cols(html)
+    return d.select(
+        "doc_id", m["title"].alias("title"),
+        m["meta_description"].alias("meta_description"),
+        m["canonical_href"].alias("canonical_href"),
+        m["og_title"].alias("og_title"),
+        m["html_lang"].alias("html_lang")).orderBy("doc_id")
+
+
 def q_curate_pipeline(spark, sf_dir):
     """End-to-end curation plan (gate -> url dedup -> minhash survivors
     -> packing) over the documents table with deterministic synthetic
@@ -1534,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filters": q_url_filters,
         "link_graph": q_link_graph,
         "harmonic": q_harmonic,
+        "page_metadata": q_page_metadata,
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -2183,6 +2216,37 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "page_metadata": """
+            with h as (
+              select doc_id,
+                '<html lang="' || lang || '"><head><title>T'
+                || doc_id::varchar || '</title>'
+                || (case when doc_id % 4 = 0 then '' else
+                    '<meta name="description" content="desc '
+                    || doc_id::varchar || '">'
+                    || '<link rel="canonical" href="https://c.example/'
+                    || doc_id::varchar || '">'
+                    || '<meta property="og:title" content="og '
+                    || doc_id::varchar || '">' end)
+                || '</head><body><p>' || substr(text, 1, 30)
+                || '</p></body></html>' as html
+              from documents)
+            select doc_id,
+              nullif(regexp_extract(html,
+                '<title[^>]*>([^<]*)</title>', 1), '') as title,
+              nullif(regexp_extract(html,
+                '<meta[^>]*name="description"[^>]*content="([^"]*)"', 1),
+                '') as meta_description,
+              nullif(regexp_extract(html,
+                '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), '')
+                as canonical_href,
+              nullif(regexp_extract(html,
+                '<meta[^>]*property="og:title"[^>]*content="([^"]*)"', 1),
+                '') as og_title,
+              nullif(regexp_extract(html,
+                '<html[^>]*lang="([^"]*)"', 1), '') as html_lang
+            from h order by doc_id
+        """,
         "harmonic": """
             with recursive links as (
               select 'h' || (doc_id % 20)::varchar as src,

@@ -703,3 +703,30 @@ def extract_pages(pages: DataFrame, salt_buckets: int = 0,
     else:
         out = sel(pages)
     return out.withColumn("n_chars", F.length("md"))
+
+
+def page_metadata_cols(html_text: Column) -> dict[str, Column]:
+    """Head-metadata extraction as pure Columns (no UDF, RE2-safe
+    patterns shared verbatim with the SQL oracle): <title>, meta
+    description, rel=canonical href, og:title, and the <html lang>
+    attribute — the fields a crawl index keeps per page alongside the
+    extracted body.
+
+    Simplification (documented): attributes are matched in their
+    conventional order (name/property/rel before content/href), double
+    quoted — the dominant form in served HTML; a full attribute parser
+    lives in the extractor's tokenizer for body work, but index-side
+    metadata wants the cheap single-pass regex."""
+    def rx(pat: str) -> Column:
+        return F.nullif(F.regexp_extract(html_text, pat, 1), F.lit(""))
+
+    return {
+        "title": rx(r"<title[^>]*>([^<]*)</title>"),
+        "meta_description":
+            rx(r'<meta[^>]*name="description"[^>]*content="([^"]*)"'),
+        "canonical_href":
+            rx(r'<link[^>]*rel="canonical"[^>]*href="([^"]*)"'),
+        "og_title":
+            rx(r'<meta[^>]*property="og:title"[^>]*content="([^"]*)"'),
+        "html_lang": rx(r'<html[^>]*lang="([^"]*)"'),
+    }

@@ -152,3 +152,32 @@ def test_spark_extract_pages_byte_identity(spark):
     ).count()
     assert n_bad == 0
     assert out.count() == len(rows)
+
+
+def test_page_metadata_cols(spark):
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_omnidocbench_spark.operators.html_extract import (
+        page_metadata_cols,
+    )
+
+    rows = [
+        (1, '<html lang="en"><head><title>Hello</title>'
+            '<meta name="description" content="a page">'
+            '<link rel="canonical" href="https://x.example/a">'
+            '<meta property="og:title" content="OG Hello">'
+            '</head><body></body></html>'),
+        (2, "<html><head></head><body>no metadata</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    m = page_metadata_cols(F.col("html"))
+    out = {r["id"]: r for r in df.select(
+        "id", *[m[k].alias(k) for k in m]).collect()}
+    assert out[1]["title"] == "Hello"
+    assert out[1]["meta_description"] == "a page"
+    assert out[1]["canonical_href"] == "https://x.example/a"
+    assert out[1]["og_title"] == "OG Hello"
+    assert out[1]["html_lang"] == "en"
+    assert all(out[2][k] is None for k in
+               ("title", "meta_description", "canonical_href",
+                "og_title", "html_lang"))
