@@ -115,6 +115,13 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     semdedup(emb, cents, threshold=0.32).agg(F.sum(F.col("keep").cast("int"))).collect()
     times["semdedup"] = round(time.time() - t0, 3)
 
+    # end-to-end curation composition (gates -> url dedup -> minhash
+    # survivors -> packing) over the documents corpus with synthetic urls
+    t0 = time.time()
+    fn = entry.queries()["curate_pipeline"]
+    fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
+    times["curate_e2e"] = round(time.time() - t0, 3)
+
     for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",

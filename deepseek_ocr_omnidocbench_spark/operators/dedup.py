@@ -636,11 +636,16 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     detected with one count per round (labels only ever decrease, so
     zero changes == fixpoint).
     """
+    # sym joins into EVERY round: materialize it once (narrow 2-long
+    # frame) or the edge list's full upstream plan — at worst an entire
+    # curation pipeline (gates -> url dedup -> minhash) — re-executes
+    # per iteration (measured: 92 s vs 12 s for curate_e2e at sf0.1)
     sym = (edges.select(F.col(a_col).cast("long").alias("src"),
                         F.col(b_col).cast("long").alias("dst"))
            .union(edges.select(F.col(b_col).cast("long").alias("src"),
                                F.col(a_col).cast("long").alias("dst")))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=True))
     labels = (sym.groupBy("src")
               .agg(F.min(F.least(F.col("dst"), F.col("src"))).alias("lbl"))
               .localCheckpoint(eager=True))

@@ -123,9 +123,14 @@ def run_curation_inline(docs: DataFrame, text_col: str = "markdown",
                         jaccard_threshold: float = 0.5,
                         budget: int = 2048,
                         lang_col: str = "lang_pred") -> DataFrame:
-    """Same dataflow without checkpoints (benchmarks, small runs)."""
+    """Same dataflow without checkpoints (benchmarks, small runs).
+
+    The url-unique frame feeds three consumers (pair generation, the
+    survivor join, packing); one lazy localCheckpoint materializes it
+    once — the in-memory analog of the parquet stage boundary the
+    checkpointed ``run_curation`` gets for free."""
     gated = stage_gated(docs, text_col=text_col, keep_lang=keep_lang)
-    uniq = stage_url_unique(gated)
+    uniq = stage_url_unique(gated).localCheckpoint(eager=False)
 
     surv = stage_survivors(uniq, text_col=text_col,
                            jaccard_threshold=jaccard_threshold)
