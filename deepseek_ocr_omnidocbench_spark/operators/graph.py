@@ -41,15 +41,18 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     across nodes at every iteration (dangling mass is redistributed
     uniformly, the standard formulation)."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # loop-invariant inputs join into EVERY iteration: materialize once
+    # or the edge list's upstream plan re-executes per round
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"),
-                     w.alias("w"))
+                     w.alias("w")).localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct()
              .localCheckpoint(eager=True))
     n = nodes.count()  # one driver scalar, fixed for the whole run
-    outdeg = e.groupBy(F.col("src").alias("node")) \
-        .agg(F.sum("w").alias("outw"))
+    outdeg = (e.groupBy(F.col("src").alias("node"))
+              .agg(F.sum("w").alias("outw"))
+              .localCheckpoint(eager=True))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         dang = (ranks.join(outdeg, "node", "left_anti")
@@ -136,7 +139,8 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 4,
     union per hop; same loop shape, sketched state.  The exact variant
     is the oracle-checkable ground truth for that upgrade."""
     fwd = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")) \
-        .where(F.col("s") != F.col("d"))
+        .where(F.col("s") != F.col("d")) \
+        .localCheckpoint(eager=True)  # joins into every hop
     # reach(source=s, node=d, dist): grow from every edge endpoint
     frontier = fwd.select("s", F.col("d").alias("n")).distinct() \
         .withColumn("dist", F.lit(1))
