@@ -594,6 +594,33 @@ def q_link_graph(spark, sf_dir):
             .orderBy("src", "dst"))
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-language corpus health report — the one-screen summary a
+    curation run ends with: volume (docs, whitespace tokens), quality
+    (mean composite score, Gopher pass rate, spam rate) and exact-dup
+    rate (distinct text hashes vs rows), fully value-gated."""
+    docs = _docs(spark, sf_dir)
+    q = TS.quality_cols(F.col("text"))
+    g = TS.gopher_rules_cols(F.col("text"))
+    s = TS.seo_spam_cols(F.col("text"))
+    t = TS.token_count_cols(F.col("text"))
+    base = docs.select(
+        "lang", F.md5("text").alias("h"),
+        t["ws_tokens"].alias("ws_tokens"),
+        q["quality_score"].alias("qs"),
+        g["gopher_pass"].cast("int").alias("gp"),
+        s["is_spam"].cast("int").alias("sp"))
+    return (base.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ws_tokens").alias("total_tokens"),
+                 F.round(F.avg("qs"), R).alias("avg_quality"),
+                 F.round(F.avg("gp"), R).alias("gopher_pass_rate"),
+                 F.round(F.avg("sp"), R).alias("spam_rate"),
+                 F.round(1 - F.countDistinct("h")
+                         / F.count(F.lit(1)), R).alias("exact_dup_rate"))
+            .orderBy("lang"))
+
+
 def q_page_metadata(spark, sf_dir):
     """Head-metadata extraction (title / meta description / canonical /
     og:title / lang attr) under the value gate on synthesized page
@@ -1567,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "harmonic": q_harmonic,
         "page_metadata": q_page_metadata,
+        "corpus_report": q_corpus_report,
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -2216,6 +2244,73 @@ def oracle_sql() -> dict[str, str]:
             order by d.doc_id
         """,
         "classifier_train": _classifier_train_oracle_sql(),
+        "corpus_report": f"""
+            with t as (
+              select doc_id, lang, text, md5(text) as h,
+                length(text) as n,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as alpha,
+                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  as punct,
+                {_WORDS_EXPR} as lwords,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) as wwords,
+                list_filter(string_split_regex(text, '\\n'),
+                            l -> len(trim(l)) > 0) as lines
+              from documents),
+            u as (
+              select doc_id, lang, h,
+                len(wwords) as ws_tokens,
+                (case when n > 0 then alpha / n else 0.0 end) as alpha_ratio,
+                (case when n > 0 then punct / n else 0.0 end) as punct_ratio,
+                (case when len(lwords) > 0
+                   then len(list_filter(lwords,
+                            w -> list_contains({_EN_STOP}, w)))
+                        / len(lwords) else 0.0 end) as stop_ratio,
+                n,
+                (case when len(wwords) > 0
+                  then len(array_to_string(wwords, ''))::double / len(wwords)
+                  else 0.0 end) as mwl,
+                (case when len(wwords) > 0
+                  then ((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)
+                       / len(wwords) else 0.0 end) as sym,
+                (case when len(lines) > 0
+                  then len(list_filter(lines,
+                           l -> regexp_matches(trim(l), '^[-*•]')))::double
+                       / len(lines) else 0.0 end) as bullet,
+                (case when len(wwords) > 0
+                  then len(list_filter(wwords,
+                           w -> regexp_matches(w, '[A-Za-z]')))::double
+                       / len(wwords) else 0.0 end) as alphaw,
+                len(list_filter(wwords,
+                                w -> list_contains({_EN_STOP}, lower(w))))
+                  as stop_hits,
+                (case when len(lwords) > 0
+                   then len(list_filter(lwords,
+                            w -> list_contains({_SEO}, w)))::double
+                        / len(lwords) else 0.0 end > 0.004)::int as sp
+              from t),
+            v as (
+              select lang, h, ws_tokens,
+                least(n / 1000.0, 1.0) * 0.2 + alpha_ratio * 0.4
+                  + least(stop_ratio * 5.0, 1.0) * 0.3
+                  + (1 - least(punct_ratio * 4.0, 1.0)) * 0.1 as qs,
+                ((ws_tokens >= 50 and ws_tokens <= 100000)
+                 and (mwl >= 3.0 and mwl <= 10.0) and (sym <= 0.1)
+                 and (bullet <= 0.9) and (alphaw >= 0.8)
+                 and (stop_hits >= 2))::int as gp,
+                sp
+              from u)
+            select lang, count(*) as n_docs,
+              sum(ws_tokens)::bigint as total_tokens,
+              round(avg(qs), 6) as avg_quality,
+              round(avg(gp), 6) as gopher_pass_rate,
+              round(avg(sp), 6) as spam_rate,
+              round(1 - count(distinct h)::double / count(*), 6)
+                as exact_dup_rate
+            from v group by lang order by lang
+        """,
         "page_metadata": """
             with h as (
               select doc_id,
