@@ -117,36 +117,24 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         F.coalesce("sig", F.array_repeat(empty_sig, k)).alias("sig"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 16,
-                        bands: int = 4, hash_fn=None) -> DataFrame:
-    """MinHash-LSH near-dup candidates -> verified n-gram Jaccard.
+def minhash_band_buckets(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 16,
+                         bands: int = 4, hash_fn=None) -> DataFrame:
+    """MinHash LSH band buckets -> (id, band, bucket) — the compact
+    collision keys every banded dedup consumer joins on.
 
-    -> (doc_a, doc_b, jaccard).  Pairs are emitted once (a < b).
-    ``hash_fn`` swaps both the shingle hash and the band-bucket hash
-    (md5_hash64 gives the DuckDB-replicable variant)."""
+    Carries ONLY (id, band, bucket): the shingle arrays would otherwise
+    ride through the band explode, the pair join, and the dedup shuffle
+    (measured 3x slower at sf0.1).  Bands unroll as flat expressions
+    over Python-literal indices — the nested transform/sequence
+    lambda-tree version of this explode fell out of whole-stage codegen
+    and measured 12.7 s vs 0.6 s for the signature aggregation it
+    wraps."""
     rows_per_band = k // bands
     bucket_hash = hash_fn or F.xxhash64
-    # No cache/checkpoint: the expensive aggregation (shingle rows ->
-    # k min-hashes) feeds ONLY the band explode, used once; verification
-    # re-derives shingles straight from the docs scan, a narrow
-    # transform with no shuffle.  A round-1 cache() leaked across the
-    # session, and its localCheckpoint replacement materialized the
-    # shingle arrays through row serialization (measured the dominant
-    # cost of the query at sf0.1).  Two scans beat one checkpoint write
-    # at any scale, and the verify scan touches only candidate rows
-    # after the join prunes.
     sigs = minhash_signatures(docs, text_col, id_col, k,
                               hash_fn=hash_fn).select(id_col, "sig")
-    # candidate generation carries ONLY (id, band, bucket): the shingle
-    # arrays would otherwise ride through the band explode, the pair
-    # join, and the dedup shuffle (measured 3x slower at sf0.1).
-    # Bands unroll as flat expressions over Python-literal indices —
-    # the nested transform/sequence lambda-tree version of this explode
-    # fell out of whole-stage codegen and measured 12.7 s vs 0.6 s for
-    # the signature aggregation it wraps (same lesson as the flat
-    # min-aggregates above).
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(F.array(*[
             F.struct(
@@ -158,7 +146,28 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 16,
+                        bands: int = 4, hash_fn=None) -> DataFrame:
+    """MinHash-LSH near-dup candidates -> verified n-gram Jaccard.
+
+    -> (doc_a, doc_b, jaccard).  Pairs are emitted once (a < b).
+    ``hash_fn`` swaps both the shingle hash and the band-bucket hash
+    (md5_hash64 gives the DuckDB-replicable variant)."""
+    # No cache/checkpoint: the expensive aggregation (shingle rows ->
+    # k min-hashes) feeds ONLY the band explode, used once; verification
+    # re-derives shingles straight from the docs scan, a narrow
+    # transform with no shuffle.  A round-1 cache() leaked across the
+    # session, and its localCheckpoint replacement materialized the
+    # shingle arrays through row serialization (measured the dominant
+    # cost of the query at sf0.1).  Two scans beat one checkpoint write
+    # at any scale, and the verify scan touches only candidate rows
+    # after the join prunes.
+    banded = minhash_band_buckets(docs, text_col, id_col, k, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

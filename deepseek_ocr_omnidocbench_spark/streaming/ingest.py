@@ -230,3 +230,79 @@ def stream_curate(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_near_dedup(spark: SparkSession, input_dir: str, output_dir: str,
+                      checkpoint_dir: str, k: int = 16, bands: int = 4,
+                      available_now: bool = True,
+                      max_files_per_trigger: int = 4):
+    """Continuous MinHash near-dup dedup across micro-batches.
+
+    Cross-batch state is a parquet signature store of (doc_id, band,
+    bucket) rows; each batch:
+
+    1. drops docs whose any band bucket collides with the STORE
+       (banded-approximate vs history — exact re-verification would
+       need the historical texts; tune k/bands for precision, or layer
+       a doc-store lookup in production),
+    2. resolves within-batch dups exactly (lsh_candidate_pairs verify
+       -> connected components -> min-id survivor),
+    3. appends survivors to ``kept`` and their buckets to the store,
+       both partitioned by batch_id with dynamic partition overwrite —
+       a replayed batch overwrites its own partitions, so the sink and
+       the store stay exactly-once (same idempotency contract as
+       stream_extract).
+
+    The store stays bands*|corpus| rows of three longs — the compact
+    representation that makes streaming dedup feasible at crawl scale;
+    at 10^12 docs it lives bucketed by (band, bucket) so the collision
+    join prunes to matching buckets."""
+    from ..operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_band_buckets,
+    )
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    store = f"{output_dir}/sig_store"
+    kept_dir = f"{output_dir}/kept"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = (batch_df
+                .withColumn("doc_id", F.xxhash64("url"))
+                .where(F.col("text").isNotNull()))
+        buckets = minhash_band_buckets(docs, text_col="text",
+                                       k=k, bands=bands)
+        try:
+            old = spark.read.parquet(store).where(
+                F.col("batch_id") < batch_id)
+        except Exception:
+            old = None
+        if old is not None:
+            hit = (buckets.join(old.select("band", "bucket").distinct(),
+                                ["band", "bucket"], "left_semi")
+                   .select("doc_id").distinct())
+            fresh = docs.join(hit, "doc_id", "left_anti")
+        else:
+            fresh = docs
+        fresh = fresh.localCheckpoint(eager=True)  # feeds 3 consumers
+        pairs = lsh_candidate_pairs(fresh, text_col="text",
+                                    k=k, bands=bands) \
+            .where(F.col("jaccard") >= 0.8)
+        surv = (fresh.join(
+            dedup_clusters(fresh, pairs).where(F.col("is_survivor") == 1)
+            .select("doc_id"), "doc_id")
+            .withColumn("batch_id", F.lit(batch_id)))
+        mode = {"partitionOverwriteMode": "dynamic"}
+        (surv.write.mode("overwrite").options(**mode)
+         .partitionBy("batch_id").parquet(kept_dir))
+        (minhash_band_buckets(surv, text_col="text", k=k, bands=bands)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**mode)
+         .partitionBy("batch_id").parquet(store))
+
+    writer = (pages.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -203,3 +203,48 @@ def test_stream_curate_gates_and_ledger(spark, drops):
     )
     re = curation_pipeline(kept.withColumnRenamed("markdown", "text"))
     assert re.where(F.col("keep") == 0).count() == 0
+
+
+def test_stream_near_dedup_across_batches(spark, tmp_path):
+    from datetime import datetime
+
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_near_dedup,
+    )
+
+    body_a = ("the quick brown fox jumps over the lazy dog near the old "
+              "river bank every single morning without fail ") * 3
+    body_b = ("sailors crossed the wide cold ocean while bright stars "
+              "turned slowly above the silent waves at night ") * 3
+
+    def page(url, text):
+        return {"url": url, "warc_ts": datetime(2024, 1, 1),
+                "html": b"<html></html>", "text": text,
+                "lang": "en", "category": "article"}
+
+    # drop 0: A twice (within-batch dup) + B once
+    write_drop([page("https://x/1", body_a), page("https://x/2", body_a),
+                page("https://x/3", body_b)],
+               str(tmp_path / "in" / "d0.parquet"))
+    # drop 1: A again (cross-batch dup) + a new doc
+    body_c = ("green valleys held small farms where quiet people grew "
+              "tall corn and traded wool at the spring market fair ") * 3
+    write_drop([page("https://x/4", body_a), page("https://x/5", body_c)],
+               str(tmp_path / "in" / "d1.parquet"))
+
+    q = stream_near_dedup(spark, str(tmp_path / "in"),
+                          str(tmp_path / "nd"), str(tmp_path / "nd_ck"),
+                          max_files_per_trigger=1)  # force 2 micro-batches
+    q.awaitTermination(240)
+    kept = spark.read.parquet(str(tmp_path / "nd" / "kept"))
+    urls = {r["url"] for r in kept.select("url").collect()}
+    # within-batch: one of x/1|x/2 survives; cross-batch: x/4 dropped
+    assert len(urls & {"https://x/1", "https://x/2"}) == 1
+    assert "https://x/4" not in urls
+    assert "https://x/3" in urls
+    assert "https://x/5" in urls  # distinct batch-1 doc survives
+    # the signature store accumulated rows for the kept docs only
+    store = spark.read.parquet(str(tmp_path / "nd" / "sig_store"))
+    assert store.select("doc_id").distinct().count() == kept.count()
+    # genuinely two micro-batches: the cross-batch path ran
+    assert kept.select("batch_id").distinct().count() == 2
