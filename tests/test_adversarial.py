@@ -79,3 +79,72 @@ def test_matchers_survive_pathological_pages(spark):
     recs = match_page(gt, md, "p")
     assert recs
     assert all(0.0 <= r["edit"] <= 1.0 for r in recs)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over messy inputs —
+    the property url_dedup's grouping correctness rests on."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        canonical_url,
+    )
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/a/b/?b=2&utm_source=x&a=1#frag",
+        "https://example.com./a/b",
+        "example.com/path/",
+        "https://ex.com/?",
+        "https://ex.com/p?fbclid=abc",
+        "https://ex.com:443/",
+        "   https://pad.example/x  ",
+        "ftp://files.example/data/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], r
+
+
+def test_pack_documents_invariants(spark):
+    """Offsets are a contiguous cumsum per group; bin ids are monotone
+    non-decreasing in the deterministic doc order."""
+    import random
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        pack_documents,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, "w " * rng.randint(1, 50), "g%d" % (i % 3))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pack_documents(df, budget=64)
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r["lang"], []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        prev_bin = 0
+        for r in rs:
+            assert r["start_offset"] == offset, (grp, r)
+            assert r["bin"] == offset // 64
+            assert r["bin"] >= prev_bin
+            offset += r["n_tokens"]
+            prev_bin = r["bin"]
+
+
+def test_gumbel_topk_prefix_consistency(spark):
+    """Gumbel keys are per-row deterministic, so top-k must be a prefix
+    of top-(k+m) under the same seed."""
+    from deepseek_ocr_omnidocbench_spark.operators.dsir import (
+        gumbel_topk_sample,
+    )
+
+    w = spark.createDataFrame([(i, float(i % 7)) for i in range(100)],
+                              "doc_id long, logw double")
+    top5 = [r["doc_id"] for r in gumbel_topk_sample(w, k=5).collect()]
+    top20 = [r["doc_id"] for r in gumbel_topk_sample(w, k=20).collect()]
+    assert top20[:5] == top5
