@@ -135,7 +135,9 @@ def curation_pipeline(docs: DataFrame, text_col: str = "text",
     from .filters import runaway_generation
     from .textstats import gopher_rules_cols, lang_id_col, seo_spam_cols
 
-    text = F.col(text_col)
+    # NULL text must gate out with non-NULL verdicts (a poisoned row at
+    # 10^12 scale must not leave NULL cells in the drop ledger)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     g_gopher = gopher_rules_cols(text)["gopher_pass"]
     g_spam = ~seo_spam_cols(text)["is_spam"]
     g_runaway = ~runaway_generation(text)

@@ -112,3 +112,21 @@ def test_curation_pipeline_reasons(spark):
     # reasons list is fixed-order comma-joined gate names
     for r in out.values():
         assert r["keep"] == (1 if r["reasons"] == "" else 0)
+
+
+def test_curation_pipeline_null_and_garbage_text(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        curation_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "\x00\x01 garbage"), (4, " \n\t ")],
+        "doc_id long, text string")
+    out = curation_pipeline(df).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["keep"] == 0
+        # every gate verdict is non-NULL even for NULL text
+        for g in ("g_gopher", "g_spam", "g_runaway", "g_lang"):
+            assert r[g] is not None, (r["doc_id"], g)
+        assert r["reasons"] != ""
