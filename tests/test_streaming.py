@@ -248,3 +248,27 @@ def test_stream_near_dedup_across_batches(spark, tmp_path):
     assert store.select("doc_id").distinct().count() == kept.count()
     # genuinely two micro-batches: the cross-batch path ran
     assert kept.select("batch_id").distinct().count() == 2
+
+
+def test_stream_near_dedup_restart_is_idempotent(spark, tmp_path):
+    from datetime import datetime
+
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_near_dedup,
+    )
+
+    text = ("calm winds moved across the high plain where herders kept "
+            "their flocks beside slow clear streams all summer long ") * 3
+    write_drop([{"url": "https://r/1", "warc_ts": datetime(2024, 1, 1),
+                 "html": b"x", "text": text, "lang": "en",
+                 "category": "article"}],
+               str(tmp_path / "in" / "d0.parquet"))
+    args = (spark, str(tmp_path / "in"), str(tmp_path / "nd"),
+            str(tmp_path / "nd_ck"))
+    stream_near_dedup(*args).awaitTermination(180)
+    first = spark.read.parquet(str(tmp_path / "nd" / "kept")).count()
+    # restart with the same checkpoint: nothing new -> no re-processing,
+    # and the sink row count is unchanged (no duplicate appends)
+    stream_near_dedup(*args).awaitTermination(120)
+    again = spark.read.parquet(str(tmp_path / "nd" / "kept")).count()
+    assert first == again == 1
