@@ -485,6 +485,43 @@ def q_pagerank(spark, sf_dir):
             .orderBy("node"))
 
 
+def q_crawl_priority(spark, sf_dir):
+    """Crawl-frontier prioritization: PageRank of the host graph joined
+    with per-host content quality (mean composite score, spam share) —
+    priority = rank * quality * (1 - spam).  The composition every
+    curation-driven crawler runs to decide what to fetch next; both
+    inputs reuse value-gated kernels and the join itself sits under the
+    gate (the oracle splices a quality CTE onto the same unrolled
+    PageRank iterations)."""
+    docs = _docs(spark, sf_dir)
+    links = (docs
+             .select("source", "doc_id",
+                     F.explode(F.sequence(
+                         F.lit(1),
+                         (F.lit(1) + F.col("doc_id") % 3).cast("int")))
+                     .alias("j"))
+             .select(F.col("source").alias("src"),
+                     F.concat(F.lit("src"),
+                              ((F.col("doc_id") * 7 + F.col("j")) % 20)
+                              .cast("string")).alias("dst")))
+    edges = (links.groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("double").alias("weight")))
+    ranks = GR.pagerank(edges, iters=10)
+    q = TS.quality_cols(F.col("text"))
+    s = TS.seo_spam_cols(F.col("text"))
+    stats = (docs.select("source", q["quality_score"].alias("qs"),
+                         s["is_spam"].cast("int").alias("sp"))
+             .groupBy("source")
+             .agg(F.avg("qs").alias("aq"), F.avg("sp").alias("asp")))
+    return (ranks.join(stats.withColumnRenamed("source", "node"), "node")
+            .select("node",
+                    F.round("rank", R).alias("rank"),
+                    F.round("aq", R).alias("avg_quality"),
+                    F.round(F.col("rank") * F.col("aq")
+                            * (1 - F.col("asp")), R).alias("priority"))
+            .orderBy(F.desc("priority"), "node"))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality bucketing: train a bigram Stupid-Backoff
     model ON the corpus (two groupBys), score every doc's perplexity,
@@ -1599,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
+        "crawl_priority": q_crawl_priority,
         "classifier_scores": q_classifier_scores,
         "classifier_train": q_classifier_train,
         "embedding_srp_oracle": q_embedding_srp_oracle,
@@ -1747,10 +1785,13 @@ def _classifier_train_oracle_sql(dim: int = 4096, iters: int = 3,
     """
 
 
-def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
+def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85,
+                         tail: str | None = None) -> str:
     """DuckDB mirror of q_pagerank with every iteration unrolled as a
     CTE step (recursive CTEs can't aggregate in the recursive term, so
-    a fixed-iteration power method unrolls instead)."""
+    a fixed-iteration power method unrolls instead).  ``tail`` swaps
+    the final select so compositions (crawl_priority) reuse the same
+    unrolled iterations."""
     steps = []
     prev = "pr0"
     for i in range(iters):
@@ -1791,8 +1832,8 @@ def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
         pr0 as materialized (select node, 1.0 / (select nn from ncount) as rank
                 from nodes),
         {','.join(steps)}
-        select node, round(rank, 6) as rank from pr{iters}
-        order by node
+        {tail or f'''select node, round(rank, 6) as rank from pr{iters}
+        order by node'''}
     """
 
 
@@ -2228,6 +2269,34 @@ def oracle_sql() -> dict[str, str]:
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "crawl_priority": _pagerank_oracle_sql(tail=f"""
+            , qstats as (
+              select source,
+                avg(least(length(text) / 1000.0, 1.0) * 0.2
+                    + (case when length(text) > 0 then
+                        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / length(text) else 0.0 end) * 0.4
+                    + least((case when len({_WORDS_EXPR}) > 0 then
+                        len(list_filter({_WORDS_EXPR},
+                            w -> list_contains({_EN_STOP}, w)))
+                        / len({_WORDS_EXPR}) else 0.0 end) * 5.0, 1.0)
+                      * 0.3
+                    + (1 - least((case when length(text) > 0 then
+                        length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) / length(text)
+                        else 0.0 end) * 4.0, 1.0)) * 0.1) as aq,
+                avg(((case when len({_WORDS_EXPR}) > 0 then
+                      len(list_filter({_WORDS_EXPR},
+                          w -> list_contains({_SEO}, w)))::double
+                      / len({_WORDS_EXPR}) else 0.0 end) > 0.004)::int)
+                  as asp
+              from documents group by source)
+            select p.node, round(p.rank, 6) as rank,
+              round(q.aq, 6) as avg_quality,
+              round(p.rank * q.aq * (1 - q.asp), 6) as priority
+            from pr10 p join qstats q on q.source = p.node
+            order by priority desc, p.node
+        """),
         "classifier_scores": f"""
             with {_classifier_feat_ctes(65536)},
             w as (
