@@ -67,9 +67,13 @@ def _parse_headers(block: bytes) -> dict[str, str]:
 
 def parse_warc_records(blob: bytes) -> list[dict]:
     """Split raw WARC bytes into records -> [{type, url, date, headers,
-    payload}].  Tolerant: a malformed tail stops parsing rather than
-    raising (one truncated segment must not kill a task)."""
-    data = _gunzip_members(bytes(blob))
+    payload}].  Tolerant: a malformed tail stops parsing and CORRUPT
+    gzip yields whatever prefix decompressed (one poisoned segment must
+    not kill a task)."""
+    try:
+        data = _gunzip_members(bytes(blob))
+    except zlib.error:
+        return []
     records = []
     pos = 0
     n = len(data)

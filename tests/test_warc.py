@@ -92,3 +92,38 @@ def test_read_warc_and_extract(spark, tmp_path):
     ok = pages.where(pages.http_status == 200).select("url", "html")
     md = extract_pages(ok).collect()
     assert len(md) == 1 and "Hello WARC" in md[0]["md"]
+
+
+def test_parse_warc_never_raises_on_mutations():
+    """Any truncation or byte flip yields a (possibly shorter) record
+    list, never an exception — one poisoned segment must not kill a
+    task."""
+    import gzip as _gzip
+
+    base = _warc_bytes()
+    for cut in range(0, len(base), 37):
+        assert isinstance(parse_warc_records(base[:cut]), list)
+    mutated = bytearray(base)
+    for pos in range(0, len(mutated), 101):
+        old = mutated[pos]
+        mutated[pos] = (old + 1) % 256
+        assert isinstance(parse_warc_records(bytes(mutated)), list)
+        mutated[pos] = old
+    # truncated gzip members
+    gz = _gzip.compress(base)
+    for cut in (1, 10, len(gz) // 2, len(gz) - 1):
+        try:
+            out = parse_warc_records(gz[:cut])
+            assert isinstance(out, list)
+        except Exception as e:
+            raise AssertionError(f"raised at cut={cut}: {e!r}")
+
+
+def test_parse_warc_corrupt_gzip_returns_empty_or_partial():
+    import gzip as _gzip
+
+    gz = bytearray(_gzip.compress(_warc_bytes()))
+    for pos in range(2, len(gz), 53):
+        m = bytearray(gz)
+        m[pos] = (m[pos] + 1) % 256
+        assert isinstance(parse_warc_records(bytes(m)), list)
