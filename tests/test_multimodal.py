@@ -165,3 +165,20 @@ def test_probe_image_headers_spark(spark):
     assert out["b"]["img_format"] == "webp" and out["b"]["height"] == 640
     assert out["c"]["img_format"] is None and out["c"]["n_tiles"] is None
     assert out["d"]["width"] is None
+
+
+def test_sniff_image_header_never_raises():
+    import random
+
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        sniff_image_header,
+    )
+
+    rng = random.Random(3)
+    magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"RIFF", b"\xff\xd8"]
+    for trial in range(300):
+        m = magics[trial % len(magics)]
+        blob = m + bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 40)))
+        out = sniff_image_header(blob)
+        assert out is None or (len(out) == 3 and isinstance(out[0], str))

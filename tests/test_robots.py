@@ -61,3 +61,20 @@ def test_robots_gate_spark(spark):
     out = {r["id"]: r["robots_allow"]
            for r in robots_gate(urls, robots).collect()}
     assert out == {1: False, 2: True, 3: True, 4: True}
+
+
+def test_parse_robots_never_raises_on_noise():
+    import random
+
+    rng = random.Random(9)
+    fields = ["User-agent", "Disallow", "Allow", "Sitemap", "Crawl-delay",
+              "garbage", ""]
+    for _ in range(100):
+        lines = []
+        for _ in range(rng.randrange(0, 12)):
+            f = rng.choice(fields)
+            v = "".join(rng.choice("/*$ab:#%") for _ in range(rng.randrange(0, 8)))
+            lines.append(f"{f}: {v}" if rng.random() < 0.8 else f + v)
+        rules = parse_robots("\n".join(lines))
+        assert isinstance(rules, list)
+        assert isinstance(robots_allowed("/any/path", rules), bool)
