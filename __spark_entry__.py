@@ -1957,7 +1957,7 @@ def oracle_sql() -> dict[str, str]:
               coalesce(string_agg(para, e'\\n\\n' order by pos)
                        filter (where rk = 1), '') as clean_text,
               count(*) as n_paras,
-              sum((rk > 1)::int) as n_removed_paras
+              cast(sum((rk > 1)::int) as bigint) as n_removed_paras
             from kd group by doc_id order by doc_id
         """,
         "pii_scrub": f"""

@@ -88,20 +88,24 @@ def extract_links(pages: DataFrame, html_col: str = "html_text",
     """Out-link extraction -> (src_url, dst_url, anchor_text): the step
     that turns a page corpus into the link graph PageRank consumes.
 
-    Pure-Column regexes (no UDF): hrefs and anchor texts are pulled with
-    regexp_extract_all and zipped positionally — one codegen pass over
-    the page, one explode; works on the extractor's input html decoded
-    to string.  Anchors with no text pair as NULL."""
-    hrefs = F.regexp_extract_all(
-        F.col(html_col), F.lit(r'<a[^>]*href="([^"]*)"'), 1)
-    anchors = F.regexp_extract_all(
-        F.col(html_col), F.lit(r"<a[^>]*>([^<]*)</a>"), 1)
+    Pure-Column regexes (no UDF): href and anchor text come from the
+    SAME ``<a ... href="..">text</a>`` match — two regexp_extract_all
+    calls over one pattern (group 1 / group 2), so the arrays are
+    always aligned (an href-less ``<a name=..>`` or a dangling href
+    can never shift the zip).  Nested markup inside the anchor body is
+    stripped to best-effort text; elements without an href are not
+    links and are dropped."""
+    pat = F.lit(r'(?s)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a>')
+    hrefs = F.regexp_extract_all(F.col(html_col), pat, 1)
+    anchors = F.regexp_extract_all(F.col(html_col), pat, 2)
     return (pages
             .select(F.col(url_col).alias("src_url"),
                     F.explode(F.arrays_zip(hrefs.alias("h"),
                                            anchors.alias("t"))).alias("l"))
+            .where(F.length("l.h") > 0)
             .select("src_url", F.col("l.h").alias("dst_url"),
-                    F.col("l.t").alias("anchor_text")))
+                    F.regexp_replace(F.col("l.t"), r"<[^>]*>", "")
+                    .alias("anchor_text")))
 
 
 def host_edges(links: DataFrame) -> DataFrame:

@@ -221,7 +221,11 @@ def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
             raw = binascii.unhexlify(hexpart)
         except (binascii.Error, ValueError):
             return None
-    if b"/ASCII85Decode" in head or b"/A85" in head:
+    # ISO 32000 reserves the /A85 and /RL abbreviations for INLINE
+    # images (BI..ID..EI), never for regular stream dicts — probing for
+    # them here would mis-decode a valid stream whose dict merely
+    # contains a name starting with those bytes (e.g. /RLx metadata).
+    if b"/ASCII85Decode" in head:
         import base64
 
         payload = re.sub(rb"\s+", b"", raw)
@@ -240,7 +244,7 @@ def _stream_payload(data: bytes, m: "re.Match[bytes]") -> Optional[bytes]:
             return None
     if b"/LZWDecode" in head:
         return _lzw_decode(raw)
-    if b"/RunLengthDecode" in head or b"/RL" in head:
+    if b"/RunLengthDecode" in head:
         return _rle_decode(raw)
     if b"/ASCIIHexDecode" in head or b"/ASCII85Decode" in head:
         return raw

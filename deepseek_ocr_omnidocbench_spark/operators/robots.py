@@ -70,7 +70,11 @@ def parse_robots(txt: Optional[str], agent: str = "*") -> list[tuple[bool, str]]
         for a in agents:
             if a == "*":
                 spec = 0
-            elif a in agent or agent in a:
+            elif a in agent:
+                # RFC 9309 §2.2.1: the group's product token matches if
+                # it is a (case-insensitive) substring of the crawler's
+                # user-agent — one direction only; matching the other
+                # way would let 'superbot2000' capture agent 'bot'.
                 spec = len(a)
             else:
                 continue

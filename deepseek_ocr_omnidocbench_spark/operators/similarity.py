@@ -24,7 +24,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm embedding yields NULL (filtered by any
+    # >= threshold comparison) instead of an ANSI DIVIDE_BY_ZERO that
+    # would kill a 100 TB job over one degenerate row.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -296,7 +299,11 @@ def semdedup(embeddings: DataFrame, centroids: list[list[float]],
         def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["cell_sim", "vid"]).reset_index(drop=True)
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            # clamp zero norms: a zero vector must score cosine 0 (kept,
+            # never a dup) instead of poisoning the GEMM with NaN rows —
+            # mirrors the column kernel, where 0/0 -> NULL -> not >= t.
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-300)
             S = V @ V.T
             n = len(pdf)
             # dropped iff an EARLIER row (lower cell_sim, tie min id)

@@ -217,13 +217,21 @@ def stream_curate(spark: SparkSession, input_dir: str, output_dir: str,
         annotated = (docs.join(verdicts.select("doc_id", "keep", "reasons"),
                                "doc_id")
                      .withColumn("batch_id", F.lit(batch_id)))
+        # Both sinks partition by batch_id with dynamic partition
+        # overwrite: a replayed micro-batch (failure between write and
+        # offset commit) overwrites its own partition instead of
+        # duplicating rows — the same exactly-once contract as
+        # stream_extract / stream_near_dedup.
+        mode = {"partitionOverwriteMode": "dynamic"}
         (annotated.where(F.col("keep") == 1)
          .drop("keep", "reasons")
-         .write.mode("append").parquet(f"{output_dir}/kept"))
+         .write.mode("overwrite").options(**mode)
+         .partitionBy("batch_id").parquet(f"{output_dir}/kept"))
         (annotated.where(F.col("keep") == 0)
          .groupBy("batch_id", "reasons")
          .agg(F.count(F.lit(1)).alias("n_dropped"))
-         .write.mode("append").parquet(f"{output_dir}/drops"))
+         .write.mode("overwrite").options(**mode)
+         .partitionBy("batch_id").parquet(f"{output_dir}/drops"))
 
     writer = (pages.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir))

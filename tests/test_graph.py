@@ -89,10 +89,20 @@ def test_extract_links_and_host_edges(spark):
         ("https://b.example/1",
          '<a class="x" href="https://c.example/">to c</a><a>no href</a>'),
         ("https://c.example/1", "<p>no links at all</p>"),
+        # href-less anchors and nested markup must not shift the
+        # (href, text) pairing: '<a name=..>skipme</a>' is not a link.
+        ("https://d.example/1",
+         '<a name="top">skipme</a><a href="https://e.example/x">'
+         '<b>bold</b> text</a><a href="https://f.example/y">plain</a>'),
     ], "url string, html_text string")
     links = extract_links(pages).collect()
-    assert ("https://a.example/1", "https://b.example/p", "to b") in [
-        (r["src_url"], r["dst_url"], r["anchor_text"]) for r in links]
+    trips = [(r["src_url"], r["dst_url"], r["anchor_text"]) for r in links]
+    assert ("https://a.example/1", "https://b.example/p", "to b") in trips
+    assert ("https://d.example/1", "https://e.example/x",
+            "bold text") in trips
+    assert ("https://d.example/1", "https://f.example/y", "plain") in trips
+    assert not any(t[2] == "skipme" for t in trips)
+    assert all(t[1] for t in trips)  # no NULL/empty dst_url rows
     edges = {(r["src"], r["dst"]): r["weight"]
              for r in host_edges(extract_links(pages)).collect()}
     assert edges[("a.example", "b.example")] == 2   # two links folded

@@ -174,6 +174,19 @@ def test_runlength_stream_extracts():
     assert extract_pdf_markdown(blob) == "lzw works here"
 
 
+def test_unrelated_rl_name_does_not_trigger_rle_decode():
+    """ISO 32000 reserves /RL and /A85 for inline images; a stream dict
+    carrying an unrelated /RLx key must still decode via its real
+    /Filter instead of being RunLength-mangled."""
+    import zlib as _z
+
+    payload = _z.compress(CONTENT)
+    blob = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(payload)).encode()
+            + b" /RLx 3 /A85meta (x) /Filter /FlateDecode >>\n"
+            + b"stream\n" + payload + b"\nendstream\nendobj\n%%EOF")
+    assert extract_pdf_markdown(blob) == "lzw works here"
+
+
 def test_runlength_roundtrips():
     import random as _r
 

@@ -33,6 +33,17 @@ def test_parse_robots_specific_agent_wins():
     assert rules == [(False, "/private/")]
 
 
+def test_parse_robots_agent_match_is_one_directional():
+    # RFC 9309: the group token must be a substring of OUR agent string,
+    # never the reverse — a 'superbot2000' group must not capture 'bot'.
+    txt = ("User-agent: superbot2000\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /admin/\n")
+    rules = parse_robots(txt, agent="bot")
+    assert rules == [(False, "/admin/")]
+    # ...but a crawler whose UA string contains the token still matches.
+    assert parse_robots(txt, agent="superbot2000/1.1") == [(False, "/")]
+
+
 def test_robots_allowed_longest_match_and_wildcards():
     rules = parse_robots(ROBOTS, agent="*")
     assert robots_allowed("/", rules)

@@ -165,6 +165,27 @@ def test_semdedup_tiny_fixture(spark):
     assert out[2]["cell"] == out[3]["cell"]
 
 
+def test_semdedup_zero_norm_vectors_kept_by_both_kernels(spark):
+    """A zero embedding must not poison the numpy GEMM with NaNs: it is
+    kept (cosine 0 / NULL with everything) and never dominates, in both
+    kernels, and does not change verdicts for its cell-mates."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.08]),   # near-dup of v0
+        (2, [0.0, 0.0]),     # zero vector, lands in some cell
+        (3, [0.0, 0.0]),     # second zero vector — still not a "dup"
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    for kernel in ("numpy", "column"):
+        out = {r["vec_id"]: bool(r["keep"])
+               for r in semdedup(emb, cents, threshold=0.95,
+                                 kernel=kernel).collect()}
+        assert out == {0: False, 1: True, 2: True, 3: True}, kernel
+
+
 def test_semdedup_planted_duplicate(spark, emb):
     from deepseek_ocr_omnidocbench_spark.operators.similarity import (
         semdedup,
