@@ -693,9 +693,10 @@ def q_page_metadata(spark, sf_dir):
 def q_curate_pipeline(spark, sf_dir):
     """End-to-end curation plan (gate -> url dedup -> minhash survivors
     -> packing) over the documents table with deterministic synthetic
-    urls.  rows-only: the plan composes four operators that each hold a
-    green oracle; the composition's iterative dedup-cluster stage keeps
-    it out of single-statement SQL."""
+    urls.  Value-gated as one composition oracle: the four stage
+    oracles (curation_pipeline gates, canonical-url window, MinHash-LSH
+    + recursive-CTE connected components, packing window) spliced into
+    a single DuckDB statement."""
     from deepseek_ocr_omnidocbench_spark.plans.curate import (
         run_curation_inline,
     )
@@ -1125,7 +1126,9 @@ def q_meteor_by_source(spark, sf_dir):
     ])
 
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
-        score = corpus_meteor(list(pdf["text"]), list(pdf["pred"]))
+        # corpus_meteor(preds, refs) — METEOR is asymmetric (alpha=0.9
+        # weights recall), so the stripped prediction goes FIRST
+        score = corpus_meteor(list(pdf["pred"]), list(pdf["text"]))
         return pd.DataFrame([{"source": pdf["source"].iloc[0],
                               "meteor": round(score, 6), "n_docs": len(pdf)}])
 
@@ -1265,6 +1268,63 @@ def _bleu_oracle_sql(max_n: int = 4) -> str:
                 end, 6) as bleu
         from lens {"".join(joins)}
         order by lens.source
+    """
+
+
+def _meteor_oracle_sql() -> str:
+    """DuckDB mirror of the reduced-form (exact-match stage) METEOR in
+    functions/meteor.py for q_meteor_by_source.
+
+    Same tokenization precondition as the BLEU oracle (text is pure
+    ``[a-z0-9 ]`` so 13a degenerates to whitespace split).  The greedy
+    last-occurrence alignment decomposes per word: the i-th-LARGEST hyp
+    position of word w pairs with the i-th-largest ref position of w,
+    for i <= min(count_h, count_r) — two descending row_number windows
+    joined on (word, rank).  Chunks = matched pairs (hi, ri) whose
+    predecessor (hi-1, ri-1) is not itself matched.  The documented
+    stem/synonym divergence vs nltk remains; THIS reduced form is what
+    both sides compute."""
+    return """
+        with d2 as (
+          select doc_id, source,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) as rt,
+            list_filter(string_split(
+              regexp_replace(text, '^\\S+\\s*', ''), ' '),
+              x -> len(x) > 0) as pt
+          from documents),
+        hp as (select doc_id, i as pos, pt[i] as word
+               from d2, unnest(generate_series(1, len(pt))) as u(i)),
+        rp as (select doc_id, i as pos, rt[i] as word
+               from d2, unnest(generate_series(1, len(rt))) as u(i)),
+        hr as (select doc_id, word, pos,
+                 row_number() over (partition by doc_id, word
+                                    order by pos desc) as rk
+               from hp),
+        rr as (select doc_id, word, pos,
+                 row_number() over (partition by doc_id, word
+                                    order by pos desc) as rk
+               from rp),
+        pairs as (select hr.doc_id, hr.pos as hi, rr.pos as ri
+                  from hr join rr on rr.doc_id = hr.doc_id
+                                 and rr.word = hr.word and rr.rk = hr.rk),
+        ch as (select p.doc_id, count(*) as m,
+                 sum(case when q.hi is null then 1 else 0 end) as chunks
+               from pairs p
+               left join pairs q on q.doc_id = p.doc_id
+                                and q.hi = p.hi - 1 and q.ri = p.ri - 1
+               group by p.doc_id),
+        sc as (select d2.source,
+                 case when coalesce(ch.m, 0) = 0 then 0.0
+                   else (1 - 0.5 * pow(ch.chunks::double / ch.m, 3))
+                        * ((ch.m::double / len(pt))
+                           * (ch.m::double / len(rt)))
+                        / (0.9 * (ch.m::double / len(pt))
+                           + 0.1 * (ch.m::double / len(rt)))
+                 end as s
+               from d2 left join ch using (doc_id))
+        select source, round(avg(s), 6) as meteor,
+               count(*)::bigint as n_docs
+        from sc group by source order by source
     """
 
 
@@ -1680,14 +1740,19 @@ _SHINGLES = (
     "for i in range(1, greatest(len(w) - 1, case when len(w) > 0 then 2 else 1 end))])"
 )
 
-# Shared by minhash_lsh_oracle and dedup_clusters: the md5-derived
-# MinHash-LSH pair generation (k=8, bands=4) as a CTE chain ending at
-# `j` (doc_a, doc_b, jaccard).  Spliced after "with recursive" so the
-# clusters oracle can append a recursive reachability CTE.
-_MINHASH_CTES = f"""
+# Shared by minhash_lsh_oracle, dedup_clusters and curate_pipeline: the
+# md5-derived MinHash-LSH pair generation (k=8, bands=4) as a CTE chain
+# ending at `j` (doc_a, doc_b, jaccard).  Spliced after "with recursive"
+# so the clusters oracle can append a recursive reachability CTE.
+# ``src`` parameterizes the input relation (must expose doc_id, text) so
+# the curation composition can run LSH over its gated subset.
+
+
+def _minhash_ctes(src: str = "documents") -> str:
+    return f"""
             base as (
               select doc_id, {_SHINGLES} as sh
-              from (select doc_id, {_AZ09_WORDS} as w, text from documents)
+              from (select doc_id, {_AZ09_WORDS} as w, text from {src})
             ),
             sig as (
               select doc_id, sh,
@@ -1720,6 +1785,71 @@ _MINHASH_CTES = f"""
               join base sa on sa.doc_id = cand.doc_a
               join base sb on sb.doc_id = cand.doc_b
             )"""
+
+
+_MINHASH_CTES = _minhash_ctes("documents")
+
+
+def _gate_ctes(src: str = "documents") -> str:
+    """curation_pipeline's composite-gate computation as a t/u/g CTE
+    chain ending at ``g`` (doc_id + four gate booleans) over ``src``
+    (must expose doc_id, text) — shared by the curation_pipeline oracle
+    and the curate_pipeline composition oracle."""
+    runaway = " or ".join(
+        "(length(text) >= %d and substr(text, -%d, %d)"
+        " = substr(text, -%d, %d))"
+        % (30 * g + g, 30 * g, 30 * g, 30 * g + g, 30 * g)
+        for g in (1, 2, 3))
+    return f"""t as (
+              select doc_id, text,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) as wwords,
+                list_filter(string_split_regex(text, '\\n'),
+                            l -> len(trim(l)) > 0) as lines,
+                {_WORDS_EXPR} as lwords
+              from {src}),
+            u as (
+              select doc_id, text, lwords,
+                len(wwords) as n_words,
+                case when len(wwords) > 0
+                  then len(array_to_string(wwords, ''))::double / len(wwords)
+                  else 0.0 end as mean_word_len,
+                case when len(wwords) > 0
+                  then ((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)
+                       / len(wwords)
+                  else 0.0 end as symbol_word_ratio,
+                case when len(lines) > 0
+                  then len(list_filter(lines,
+                           l -> regexp_matches(trim(l), '^[-*•]')))::double
+                       / len(lines)
+                  else 0.0 end as bullet_line_ratio,
+                case when len(wwords) > 0
+                  then len(list_filter(wwords,
+                           w -> regexp_matches(w, '[A-Za-z]')))::double
+                       / len(wwords)
+                  else 0.0 end as alpha_word_ratio,
+                len(list_filter(wwords,
+                                w -> list_contains({_EN_STOP}, lower(w))))
+                  as stop_hits
+              from t),
+            g as (
+              select doc_id,
+                ((n_words >= 50 and n_words <= 100000)
+                 and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+                 and (symbol_word_ratio <= 0.1)
+                 and (bullet_line_ratio <= 0.9)
+                 and (alpha_word_ratio >= 0.8)
+                 and (stop_hits >= 2)) as g_gopher,
+                (case when len(lwords) > 0
+                   then len(list_filter(lwords,
+                            w -> list_contains({_SEO}, w)))::double
+                        / len(lwords)
+                   else 0.0 end <= 0.004) as g_spam,
+                not ({runaway}) as g_runaway,
+                (({TS.lang_id_oracle_sql("text")}) = 'en') as g_lang
+              from u)"""
 
 
 def _classifier_feat_ctes(dim: int) -> str:
@@ -2068,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
             from rk where r <= 3 order by doc_id, term
         """,
         "bleu_by_source": _bleu_oracle_sql(),
+        "meteor_by_source": _meteor_oracle_sql(),
         "url_dedup": """
             with p as (
               select case when doc_id % 2 = 0
@@ -2509,60 +2640,7 @@ def oracle_sql() -> dict[str, str]:
             from r order by doc_id
         """,
         "curation_pipeline": f"""
-            with t as (
-              select doc_id, text,
-                list_filter(string_split_regex(text, '\\s+'),
-                            x -> len(x) > 0) as wwords,
-                list_filter(string_split_regex(text, '\\n'),
-                            l -> len(trim(l)) > 0) as lines,
-                {_WORDS_EXPR} as lwords
-              from documents),
-            u as (
-              select doc_id, text, lwords,
-                len(wwords) as n_words,
-                case when len(wwords) > 0
-                  then len(array_to_string(wwords, ''))::double / len(wwords)
-                  else 0.0 end as mean_word_len,
-                case when len(wwords) > 0
-                  then ((length(text) - length(replace(text, '#', '')))
-                        + (length(text)
-                           - length(replace(text, '...', ''))) / 3)
-                       / len(wwords)
-                  else 0.0 end as symbol_word_ratio,
-                case when len(lines) > 0
-                  then len(list_filter(lines,
-                           l -> regexp_matches(trim(l), '^[-*•]')))::double
-                       / len(lines)
-                  else 0.0 end as bullet_line_ratio,
-                case when len(wwords) > 0
-                  then len(list_filter(wwords,
-                           w -> regexp_matches(w, '[A-Za-z]')))::double
-                       / len(wwords)
-                  else 0.0 end as alpha_word_ratio,
-                len(list_filter(wwords,
-                                w -> list_contains({_EN_STOP}, lower(w))))
-                  as stop_hits
-              from t),
-            g as (
-              select doc_id,
-                ((n_words >= 50 and n_words <= 100000)
-                 and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
-                 and (symbol_word_ratio <= 0.1)
-                 and (bullet_line_ratio <= 0.9)
-                 and (alpha_word_ratio >= 0.8)
-                 and (stop_hits >= 2)) as g_gopher,
-                (case when len(lwords) > 0
-                   then len(list_filter(lwords,
-                            w -> list_contains({_SEO}, w)))::double
-                        / len(lwords)
-                   else 0.0 end <= 0.004) as g_spam,
-                not ({" or ".join(
-                    "(length(text) >= %d and substr(text, -%d, %d)"
-                    " = substr(text, -%d, %d))"
-                    % (30 * g + g, 30 * g, 30 * g, 30 * g + g, 30 * g)
-                    for g in (1, 2, 3))}) as g_runaway,
-                (({TS.lang_id_oracle_sql("text")}) = 'en') as g_lang
-              from u)
+            with {_gate_ctes("documents")}
             select doc_id, g_gopher::int as g_gopher, g_spam::int as g_spam,
               g_runaway::int as g_runaway, g_lang::int as g_lang,
               (g_gopher and g_spam and g_runaway and g_lang)::int as keep,
@@ -2573,6 +2651,96 @@ def oracle_sql() -> dict[str, str]:
                  case when not g_lang then 'lang' end],
                 x -> x is not null), ','), '') as reasons
             from g order by doc_id
+        """,
+        # The four-stage curation composition: gates -> canonical-url
+        # dedup -> MinHash-LSH + recursive-CTE connected components ->
+        # packing.  Each stage's oracle is green standalone; this
+        # splices them so the COMPOSITION (plans/curate.py dataflow)
+        # sits under the value gate too.
+        "curate_pipeline": f"""
+            with recursive
+            {_gate_ctes("documents")},
+            kept as (
+              select d.doc_id, d.text, d.lang,
+                'https://ex.org/' || d.source || '/' || d.doc_id as url
+              from documents d join g using (doc_id)
+              where g.g_gopher and g.g_spam and g.g_runaway and g.g_lang),
+            c1 as (
+              select doc_id, url,
+                regexp_replace(trim(url), '#.*$', '') as frag
+              from kept),
+            c2 as (
+              select doc_id, url,
+                lower(regexp_extract(frag,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+                regexp_replace(frag,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://', '') as rest
+              from c1),
+            c3 as (
+              select doc_id, url, scheme,
+                regexp_replace(regexp_replace(regexp_replace(
+                  lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                  ':(80|443)$', ''), '^www\\.', ''), '\\.$', '') as host,
+                regexp_replace(rest, '^[^/?]*', '') as pathq
+              from c2),
+            c4 as (
+              select doc_id, url, scheme, host,
+                case when regexp_extract(pathq, '^([^?]*)', 1) = '' then '/'
+                  else regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                      '(.)/$', '\\1') end as path,
+                array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                  q -> len(q) > 0 and not regexp_matches(q,
+                       '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&')
+                  as qnorm
+              from c3),
+            canon as (
+              select doc_id, url,
+                (case when scheme = '' then 'http' else scheme end)
+                || '://' || host || path
+                || (case when len(qnorm) > 0 then '?' || qnorm else '' end)
+                  as canonical_url
+              from c4),
+            uniq as (
+              select k.doc_id, k.text, k.lang
+              from kept k join (
+                select doc_id,
+                  (url = min(url) over (partition by canonical_url))
+                    as is_min
+                from canon) m on m.doc_id = k.doc_id
+              where m.is_min),
+            {_minhash_ctes("uniq")},
+            edges as (
+              select doc_a as a, doc_b as b from j where jaccard >= 0.5
+              union
+              select doc_b, doc_a from j where jaccard >= 0.5
+            ),
+            reach(node, lbl) as (
+              select a, a from edges
+              union
+              select e.a, r.lbl from edges e join reach r on r.node = e.b
+            ),
+            cc as (select node, min(lbl) as cluster_id
+                   from reach group by node),
+            surv as (
+              select u.doc_id, u.text, u.lang
+              from uniq u left join cc on cc.node = u.doc_id
+              where coalesce(cc.cluster_id, u.doc_id) = u.doc_id),
+            tok as (
+              select doc_id, coalesce(lang, 'unknown') as grp,
+                len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as n_tokens
+              from surv),
+            off as (
+              select doc_id, grp, n_tokens,
+                sum(n_tokens) over (partition by grp order by doc_id
+                                    rows unbounded preceding) - n_tokens
+                  as start_offset
+              from tok)
+            select doc_id, grp, n_tokens::int as n_tokens,
+                   start_offset::bigint as start_offset,
+                   (start_offset // 2048)::int as bin
+            from off order by grp, doc_id
         """,
         "dsir_weights": f"""
             with {_DSIR_LW_CTES.format(words=_AZ09_WORDS)}
