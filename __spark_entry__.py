@@ -796,6 +796,11 @@ def q_harmonic(spark, sf_dir):
         harmonic_centrality,
     )
 
+    return (harmonic_centrality(_harmonic_links(spark, sf_dir), max_hops=4)
+            .orderBy("node"))
+
+
+def _harmonic_links(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
     links = (docs
@@ -808,8 +813,23 @@ def q_harmonic(spark, sf_dir):
                      F.concat(F.lit("h"),
                               ((did * 7 + F.col("j")) % 20).cast("string"))
                      .alias("dst")))
-    edges = links.distinct()
-    return (harmonic_centrality(edges, max_hops=4)
+    return links.distinct()
+
+
+def q_harmonic_sketch(spark, sf_dir):
+    """HyperBall-sketched harmonic centrality (the 10^11-node page-graph
+    variant of q_harmonic) on the same deterministic host graph.  The
+    md5-derived register hash and bit-length rho make even this
+    APPROXIMATE operator value-gated: the oracle unrolls the four
+    register-max hops and replays the HLL estimator bit-for-bit;
+    accuracy vs the exact operator is bound separately in
+    tests/test_graph.py."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        harmonic_sketch,
+    )
+
+    return (harmonic_sketch(_harmonic_links(spark, sf_dir),
+                            max_hops=4, p=8)
             .orderBy("node"))
 
 
@@ -1271,6 +1291,74 @@ def _bleu_oracle_sql(max_n: int = 4) -> str:
     """
 
 
+def _harmonic_sketch_oracle_sql(max_hops: int = 4, p: int = 8) -> str:
+    """DuckDB mirror of graph.harmonic_sketch on q_harmonic's synthetic
+    host graph: the register-max hop updates are unrolled (s0..s{H}),
+    and the HLL estimator (bias constant, small-range linear counting)
+    replays with the identical double literals.  The md5 register hash
+    and bin()-length rho are integer-exact in both engines."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import _hll_alpha
+
+    m = 1 << p
+    amm = repr(_hll_alpha(m) * m * m)  # same double literal both sides
+    wp = 60 - p
+    hops = []
+    ests = []
+    est_body = f"""
+              select node, count(*) as np,
+                     sum(pow(2.0, -r)) as sp
+              from {{src}} group by node"""
+    est_sel = f"""
+              select node,
+                case when ({amm} / (sp + ({m} - np))) <= {2.5 * m}
+                      and ({m} - np) > 0
+                  then {float(m)!r} * ln({float(m)!r} / ({m} - np))
+                  else {amm} / (sp + ({m} - np)) end as e
+              from {{agg}}"""
+    for h in range(1, max_hops + 1):
+        hops.append(f"""
+            s{h} as (
+              select node, j, max(r) as r from (
+                select node, j, r from s{h - 1}
+                union all
+                select e.dst as node, s.j, s.r
+                from s{h - 1} s join e on e.src = s.node
+              ) group by node, j)""")
+    for h in range(0, max_hops + 1):
+        ests.append(f"""
+            a{h} as ({est_body.format(src=f's{h}')}),
+            e{h} as ({est_sel.format(agg=f'a{h}')})""")
+    incs = " + ".join(
+        f"greatest(e{h}.e - e{h - 1}.e, 0) / {h}"
+        for h in range(1, max_hops + 1))
+    inc_joins = "".join(
+        f"\n            join e{h} using (node)" for h in range(1, max_hops + 1))
+    return f"""
+        with links as (
+          select 'h' || (doc_id % 20)::varchar as src,
+                 'h' || ((doc_id * 7 + j) % 20)::varchar as dst
+          from documents,
+               unnest(range(1, 2 + (doc_id % 3)::int)) as t(j)),
+        e as (select distinct src, dst from links where src != dst),
+        nodes as (select src as node from e
+                  union select dst from e),
+        h0 as (
+          select node,
+            ('0x' || substr(md5(node), 1, 15))::bigint as h
+          from nodes),
+        s0 as (
+          select node, (h % {m})::int as j,
+            (case when h // {m} = 0 then {wp + 1}
+             else {wp} - (length(bin(h // {m})) - 1) end)::int as r
+          from h0),
+        {",".join(hops)},
+        {",".join(ests)}
+        select e0.node, round({incs}, 6) as harmonic
+        from e0{inc_joins}
+        order by e0.node
+    """
+
+
 def _meteor_oracle_sql() -> str:
     """DuckDB mirror of the reduced-form (exact-match stage) METEOR in
     functions/meteor.py for q_meteor_by_source.
@@ -1690,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filters": q_url_filters,
         "link_graph": q_link_graph,
         "harmonic": q_harmonic,
+        "harmonic_sketch": q_harmonic_sketch,
         "page_metadata": q_page_metadata,
         "corpus_report": q_corpus_report,
         "domain_quota": q_domain_quota,
@@ -2559,6 +2648,7 @@ def oracle_sql() -> dict[str, str]:
             select n as node, round(sum(1.0 / dist), 6) as harmonic
             from md group by n order by node
         """,
+        "harmonic_sketch": _harmonic_sketch_oracle_sql(),
         "link_graph": """
             with h as (
               select

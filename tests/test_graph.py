@@ -133,3 +133,43 @@ def test_harmonic_centrality_chain_and_truncation(spark):
     # f is 5 hops from a — truncated at 4: contributions from e,d,c,b only
     assert abs(got["f"] - round(1 + 0.5 + 1 / 3 + 0.25, 6)) < 1e-6
     assert "a" not in got  # nothing reaches the chain head
+
+
+def test_harmonic_sketch_tracks_exact_within_hll_error(spark):
+    """HyperBall sketch vs the exact operator on a 24-host ring+chords
+    graph: per-node relative error stays inside ~2x the HLL standard
+    error (1.04/sqrt(m) ~ 6.5% at p=8), and the hop-truncation semantics
+    (same max_hops) carry over."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        harmonic_centrality,
+        harmonic_sketch,
+    )
+
+    n = 24
+    rows = []
+    for i in range(n):
+        rows.append((f"n{i}", f"n{(i + 1) % n}"))        # ring
+        rows.append((f"n{i}", f"n{(i + 7) % n}"))        # chord
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    exact = {r["node"]: r["harmonic"]
+             for r in harmonic_centrality(edges, max_hops=3).collect()}
+    approx = {r["node"]: r["harmonic"]
+              for r in harmonic_sketch(edges, max_hops=3, p=8).collect()}
+    assert set(approx) == set(exact)
+    for node, ex in exact.items():
+        assert abs(approx[node] - ex) / ex < 0.15, (node, approx[node], ex)
+
+
+def test_harmonic_sketch_deterministic(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        harmonic_sketch,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    one = sorted(map(tuple, harmonic_sketch(edges, max_hops=4).collect()))
+    two = sorted(map(tuple, harmonic_sketch(edges, max_hops=4).collect()))
+    assert one == two
+    # 3-cycle with a shortcut: every node reachable, all positive
+    assert len(one) == 3 and all(v > 0 for _, v in one)
