@@ -46,6 +46,18 @@ LATIN_PROFILES: list[tuple[str, list[str]]] = [
             "ancak", "yok"]),
     ("id", ["yang", "dan", "dengan", "untuk", "dari", "ini", "itu", "tidak",
             "pada", "adalah"]),
+    ("ro", ["si", "cu", "este", "din", "care", "pentru", "sau", "dupa",
+            "acest", "fost"]),
+    ("da", ["og", "ikke", "jeg", "hvad", "hvor", "skal", "kan", "ogsaa",
+            "hvis", "efter"]),
+    ("fi", ["ei", "mutta", "kun", "oli", "joka", "etta", "ovat", "kuin",
+            "niin", "mita"]),
+    ("cs", ["se", "je", "jsou", "jsem", "byl", "bylo", "ktery", "vsak",
+            "muze", "pouze"]),
+    ("hu", ["hogy", "nem", "egy", "az", "meg", "mar", "csak", "volt",
+            "vagy", "mint"]),
+    ("ca", ["amb", "els", "dels", "aquest", "tambe", "aquesta", "seva",
+            "fins", "aixo", "com"]),
     ("fr", FR_STOPWORDS),
     ("es", ES_STOPWORDS),
     ("de", DE_STOPWORDS),
@@ -62,6 +74,14 @@ SCRIPT_PROFILES: list[tuple[str, int, int, float]] = [
     ("ar", 0x0600, 0x06FF, 0.05),   # arabic
     ("hi", 0x0900, 0x097F, 0.05),   # devanagari
     ("zh", 0x4E00, 0x9FFF, 0.05),   # CJK unified ideographs
+    ("th", 0x0E00, 0x0E7F, 0.05),   # thai
+    ("he", 0x0590, 0x05FF, 0.05),   # hebrew
+    ("el", 0x0370, 0x03FF, 0.05),   # greek + coptic
+    ("bn", 0x0980, 0x09FF, 0.05),   # bengali
+    ("ta", 0x0B80, 0x0BFF, 0.05),   # tamil
+    ("te", 0x0C00, 0x0C7F, 0.05),   # telugu
+    ("ka", 0x10A0, 0x10FF, 0.05),   # georgian
+    ("hy", 0x0530, 0x058F, 0.05),   # armenian
 ]
 SEO_WORDS = ["download", "pdf", "epub", "mobi", "free", "ebook", "file", "save",
              "casino", "viagra", "cialis", "ciprofloxacin"]  # filter.py:36-50
@@ -81,10 +101,11 @@ def token_count_cols(text: Column) -> dict[str, Column]:
 
 def lang_id_col(text: Column) -> Column:
     """Stopword-profile heuristic language ID: non-Latin scripts by
-    codepoint-range density (SCRIPT_PROFILES — ja/ko/ru/ar/hi/zh), then
-    a deterministic strictly-greater hit-count cascade over the
-    LATIN_PROFILES stopword tables (it/pt/nl/sv/pl/tr/id/fr/es/de/en) —
-    the from-scratch stand-in for the reference's lingua detector
+    codepoint-range density (SCRIPT_PROFILES — ja/ko/ru/ar/hi/zh/th/he/
+    el/bn/ta/te/ka/hy), then a deterministic strictly-greater hit-count
+    cascade over the LATIN_PROFILES stopword tables (it/pt/nl/sv/pl/tr/
+    id/ro/da/fi/cs/hu/ca/fr/es/de/en) — the from-scratch stand-in for
+    the reference's lingua detector
     (olmocr/filter/filter.py:101-105).  'unknown' over a wrong guess for
     unprofiled languages.  The oracle SQL is generated from the SAME
     profile tables (lang_id_oracle_sql), so Spark and DuckDB cannot

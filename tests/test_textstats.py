@@ -73,6 +73,32 @@ def test_lang_id_extended_profiles(spark):
     assert rows == [want for _, want in cases]
 
 
+def test_lang_id_round4_profiles(spark):
+    """One unit sentence per round-4 profile (ro/da/fi/cs/hu/ca via
+    stopwords; th/he/el/bn/ta/te/ka/hy via script density)."""
+    cases = [
+        ("acest text este din care pentru sau dupa si cu a fost scris",
+         "ro"),
+        ("jeg kan ikke se hvad der skal ske hvis og hvor vi er efter",
+         "da"),
+        ("ei mutta kun oli joka etta ovat kuin niin mita talo", "fi"),
+        ("je se jsou jsem byl bylo ktery vsak muze pouze dum", "cs"),
+        ("hogy nem egy az meg mar csak volt vagy mint haz", "hu"),
+        ("amb els dels aquest tambe aquesta seva fins aixo com", "ca"),
+        ("ข้อความภาษาไทยสำหรับการทดสอบ", "th"),
+        ("זהו טקסט בעברית לבדיקה", "he"),
+        ("αυτό είναι ένα ελληνικό κείμενο", "el"),
+        ("এটি একটি বাংলা পরীক্ষার বাক্য", "bn"),
+        ("இது ஒரு தமிழ் சோதனை வாக்கியம்", "ta"),
+        ("ఇది ఒక తెలుగు పరీక్ష వాక్యం", "te"),
+        ("ეს არის ქართული ტექსტი", "ka"),
+        ("սա հայերեն տեքստ է", "hy"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    assert rows == [want for _, want in cases]
+
+
 def test_lang_profiles_disjoint():
     """The strictly-greater cascade is order-stable only if no stopword
     appears in two profiles."""
