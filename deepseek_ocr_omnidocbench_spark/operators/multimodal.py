@@ -355,3 +355,61 @@ def probe_image_headers(media: DataFrame,
             yield pdf
 
     return media.mapInPandas(_gen, out_schema)
+
+
+# ---- PDF image placements over a pages table -----------------------------
+
+PDF_IMAGE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("filter", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width_true", T.IntegerType()),
+    T.StructField("height_true", T.IntegerType()),
+    T.StructField("dims_match", T.BooleanType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+])
+
+
+def pdf_image_placements(pages: DataFrame, blob_col: str = "html",
+                         url_col: str = "url") -> DataFrame:
+    """(url, page, name, fmt, filter, dict dims, sniffed true dims,
+    dims_match, CTM bbox) — one row per merged image placement across
+    every %PDF blob in ``pages`` (anchor.py:142-151 page-report
+    semantics, pdf_extract.pdf_image_report kernel).
+
+    One Arrow-batched mapInPandas pass, no shuffle: each input partition
+    emits its own placement rows, so the operator inherits the scan's
+    partitioning and a 10^12-row table never concentrates parse work.
+    Non-PDF and NULL blobs emit nothing."""
+    from .pdf_extract import pdf_image_report
+
+    src = pages.select(url_col, blob_col)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_IMAGE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                report = pdf_image_report(bytes(blob))
+                if not report:
+                    continue
+                for page in report:
+                    for rec in page:
+                        rows.append({"url": url, **rec})
+            out = pd.DataFrame(rows, columns=cols)
+            out["page"] = out["page"].astype("Int32")
+            for c in ("width", "height", "width_true", "height_true"):
+                out[c] = out[c].astype("Int32")
+            out["dims_match"] = out["dims_match"].astype("boolean")
+            yield out
+
+    return src.mapInPandas(_gen, PDF_IMAGE_SCHEMA)

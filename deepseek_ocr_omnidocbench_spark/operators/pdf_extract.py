@@ -284,3 +284,247 @@ def extract_pdf_markdown(data: Optional[bytes]) -> Optional[str]:
     if pages is None:
         return None
     return "\n\n".join(pages)
+
+
+# ---------------------------------------------------------------------------
+# Image XObject placements (anchor.py:142-151 semantics, from scratch)
+# ---------------------------------------------------------------------------
+# The reference's page report records, for every ``Do`` of an /Image
+# XObject, the unit square (0,0)-(1,1) pushed through the current CTM
+# (olmocr/olmocr/prompts/anchor.py:144-151), then union-finds
+# overlapping boxes into merged "[Image x0xy0 to x1xy1]" anchors
+# (anchor.py:162-225, 267-272).  pypdf supplies the CTM there; here a
+# minimal graphics-state walk (q/Q stack + ``cm`` concatenation) does.
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_XOBJ_MAP_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_NAME_REF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R")
+_CM_TOKEN_RE = re.compile(
+    r"(?:(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+cm)"
+    r"|(?:\bq\b)|(?:\bQ\b)"
+    r"|(?:/([^\s/<>\[\]()]+)\s+Do\b)"
+)
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mult(m: tuple, c: tuple) -> tuple:
+    """Matrix whose application equals 'apply m, then c' — PDF ``cm``
+    premultiplies the new matrix onto the CTM (ISO 32000 §8.3.4)."""
+    ma, mb, mc, md, me, mf = m
+    ca, cb, cc, cd, ce, cf = c
+    return (
+        ma * ca + mb * cc, ma * cb + mb * cd,
+        mc * ca + md * cc, mc * cb + md * cd,
+        me * ca + mf * cc + ce, me * cb + mf * cd + cf,
+    )
+
+
+def _transform(x: float, y: float, m: tuple) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+def _int_after(head: bytes, key: bytes) -> Optional[int]:
+    m = re.search(re.escape(key) + rb"\s+(\d+)", head)
+    return int(m.group(1)) if m else None
+
+
+def _image_xobjects(data: bytes) -> dict[int, dict]:
+    """objnum -> {width, height, filter, fmt, width_true, height_true}
+    for every /Subtype /Image stream object.  /DCTDecode (and any other
+    recognizable container) payloads get header-sniffed true dimensions
+    so a lying /Width//Height dict is caught without any pixel decode."""
+    out: dict[int, dict] = {}
+    for m in _STREAM_RE.finditer(data):
+        head = data[max(0, m.start() - 512):m.start()]
+        prev_end = head.rfind(b"endstream")
+        if prev_end != -1:
+            head = head[prev_end:]
+        if not re.search(rb"/Subtype\s*/Image\b", head):
+            continue
+        objm = None
+        for objm in _OBJ_RE.finditer(head):
+            pass  # last "N 0 obj" before the stream keyword owns it
+        if objm is None:
+            continue
+        fm = re.search(rb"/Filter\s*/(\w+)", head)
+        rec = {
+            "width": _int_after(head, b"/Width"),
+            "height": _int_after(head, b"/Height"),
+            "filter": fm.group(1).decode("latin-1") if fm else None,
+            "fmt": None, "width_true": None, "height_true": None,
+        }
+        from .multimodal import sniff_image_header
+
+        sniffed = sniff_image_header(m.group(1))
+        if sniffed is not None:
+            rec["fmt"], rec["width_true"], rec["height_true"] = sniffed
+        out[int(objm.group(1))] = rec
+    return out
+
+
+def _page_xobject_names(data: bytes) -> tuple[dict[int, dict[str, int]], dict[str, int]]:
+    """(content_objnum -> {name: xobject objnum}, global name map).
+
+    Each /Type /Page dict carries its own /Resources /XObject name
+    space; the global union is the fallback for content streams whose
+    page dict we fail to associate (shared /Resources via indirect
+    reference is out of scope for the blob shapes tested here)."""
+    per_content: dict[int, dict[str, int]] = {}
+    global_map: dict[str, int] = {}
+    for pm in re.finditer(rb"/Type\s*/Page\b(?!s)", data):
+        start = data.rfind(b"obj", 0, pm.start())
+        end = data.find(b"endobj", pm.start())
+        page_dict = data[start:end if end != -1 else len(data)]
+        names: dict[str, int] = {}
+        for xm in _XOBJ_MAP_RE.finditer(page_dict):
+            for nm in _NAME_REF_RE.finditer(xm.group(1)):
+                names[nm.group(1).decode("latin-1")] = int(nm.group(2))
+        if not names:
+            continue
+        global_map.update(names)
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page_dict)
+        if cm:
+            per_content[int(cm.group(1))] = names
+    return per_content, global_map
+
+
+def _content_objnum(data: bytes, m: "re.Match[bytes]") -> Optional[int]:
+    head = data[max(0, m.start() - 512):m.start()]
+    objm = None
+    for objm in _OBJ_RE.finditer(head):
+        pass
+    return int(objm.group(1)) if objm else None
+
+
+def _placements_in_stream(stream: str, names: dict[str, int]) -> list[tuple[str, tuple]]:
+    """[(xobject name, bbox)] for each ``/Name Do`` whose name resolves
+    to an image XObject — bbox is the CTM image of the unit square,
+    corner-pair min/max exactly as anchor.py:147-151."""
+    ctm = _IDENTITY
+    stack: list[tuple] = []
+    out: list[tuple[str, tuple]] = []
+    for m in _CM_TOKEN_RE.finditer(stream):
+        if m.group(1) is not None:
+            new = tuple(float(m.group(i)) for i in range(1, 7))
+            ctm = _mat_mult(new, ctm)
+        elif m.group(0) == "q":
+            stack.append(ctm)
+        elif m.group(0) == "Q":
+            ctm = stack.pop() if stack else _IDENTITY
+        elif m.group(7) is not None and m.group(7) in names:
+            x0, y0 = _transform(0.0, 0.0, ctm)
+            x1, y1 = _transform(1.0, 1.0, ctm)
+            out.append((m.group(7),
+                        (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))))
+    return out
+
+
+def _bboxes_overlap(a: tuple, b: tuple, tol: float) -> bool:
+    return (a[0] <= b[2] + tol and b[0] <= a[2] + tol
+            and a[1] <= b[3] + tol and b[1] <= a[3] + tol)
+
+
+def _merge_placements(placed: list[dict], tol: float = 0.5) -> list[dict]:
+    """Union-find merge of overlapping image boxes (anchor.py:162-225):
+    merged bbox is the union, merged name joins members with '+'."""
+    n = len(placed)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            bi = (placed[i]["x0"], placed[i]["y0"], placed[i]["x1"], placed[i]["y1"])
+            bj = (placed[j]["x0"], placed[j]["y0"], placed[j]["x1"], placed[j]["y1"])
+            if _bboxes_overlap(bi, bj, tol):
+                parent[find(j)] = find(i)
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    merged = []
+    for idxs in groups.values():
+        first = placed[idxs[0]]
+        rec = dict(first)
+        for k in idxs[1:]:
+            p = placed[k]
+            rec["name"] += "+" + p["name"]
+            rec["x0"] = min(rec["x0"], p["x0"])
+            rec["y0"] = min(rec["y0"], p["y0"])
+            rec["x1"] = max(rec["x1"], p["x1"])
+            rec["y1"] = max(rec["y1"], p["y1"])
+        merged.append(rec)
+    merged.sort(key=lambda r: (-r["y1"], r["x0"], r["name"]))
+    return merged
+
+
+def pdf_image_report(data: Optional[bytes], merge: bool = True) -> Optional[list[list[dict]]]:
+    """PDF bytes -> per page, one dict per (merged) image placement:
+    ``{page, name, fmt, filter, width, height, width_true, height_true,
+    dims_match, x0, y0, x1, y1}``.
+
+    ``width``/``height`` are the stream dict's claims; ``*_true`` come
+    from header-sniffing the payload (DCTDecode -> JPEG SOFn, plus
+    PNG/GIF/BMP/WebP), and ``dims_match`` flags agreement — NULL when
+    the payload isn't sniffable (synthetic/raw samples)."""
+    if data is None:
+        return None
+    if not data.startswith(b"%PDF"):
+        return []
+    xobjs = _image_xobjects(data)
+    if not xobjs:
+        return []
+    per_content, global_map = _page_xobject_names(data)
+    pages: list[list[dict]] = []
+    page_no = 0
+    for m in _STREAM_RE.finditer(data):
+        objnum = _content_objnum(data, m)
+        if objnum in xobjs:
+            continue  # image payload streams are not content streams
+        raw = _stream_payload(data, m)
+        if raw is None:
+            continue
+        try:
+            stream = raw.decode("latin-1")
+        except Exception:
+            continue
+        names = per_content.get(objnum) if objnum is not None else None
+        if names is None:
+            names = global_map
+        image_names = {k: v for k, v in names.items() if v in xobjs}
+        placed = []
+        for name, bbox in _placements_in_stream(stream, image_names):
+            info = xobjs[image_names[name]]
+            dims_match = None
+            if info["width_true"] is not None and info["width"] is not None:
+                dims_match = (info["width"] == info["width_true"]
+                              and info["height"] == info["height_true"])
+            placed.append({
+                "page": page_no, "name": name, "fmt": info["fmt"],
+                "filter": info["filter"],
+                "width": info["width"], "height": info["height"],
+                "width_true": info["width_true"],
+                "height_true": info["height_true"],
+                "dims_match": dims_match,
+                "x0": bbox[0], "y0": bbox[1], "x1": bbox[2], "y1": bbox[3],
+            })
+        pages.append(_merge_placements(placed) if merge else placed)
+        page_no += 1
+    return pages
+
+
+def image_anchors(data: Optional[bytes]) -> Optional[list[str]]:
+    """Per-page anchor strings in the reference's exact shape —
+    ``[Image x0xy0 to x1xy1]`` per merged placement (anchor.py:270)."""
+    report = pdf_image_report(data)
+    if report is None:
+        return None
+    return [
+        "\n".join("[Image %.0fx%.0f to %.0fx%.0f]"
+                  % (p["x0"], p["y0"], p["x1"], p["y1"]) for p in page)
+        for page in report
+    ]

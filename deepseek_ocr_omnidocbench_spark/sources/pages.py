@@ -161,13 +161,29 @@ def _boilerplate_wrap(rng: random.Random, content: str) -> str:
     )
 
 
-def _mini_pdf(rng: random.Random, compress: bool = False) -> bytes:
+def _mini_jpeg(width: int, height: int) -> bytes:
+    """Header-valid JPEG: SOI + SOF0 carrying true dimensions + EOI.
+    No entropy data — enough for SOFn dimension sniffing (the pixel
+    decode is container-blocked anyway), tiny enough to embed inline."""
+    import struct
+
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width)
+            + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + sof0 + b"\xff\xd9"
+
+
+def _mini_pdf(rng: random.Random, compress: bool = False,
+              with_images: bool = False) -> bytes:
     """1-3 page PDF with Td/Tf/Tj text — parseable by
     pdf_extract.extract_pdf_markdown.  ``compress=True`` Flate-compresses
     the content streams (the real-world CC shape); extraction output must
-    be byte-identical to the uncompressed twin."""
+    be byte-identical to the uncompressed twin.  ``with_images=True``
+    additionally embeds /DCTDecode image XObjects with q/cm/Do
+    placements (opt-in so default pages tables stay byte-stable)."""
     n_pages = rng.randint(1, 3)
     pages_content = []
+    page_images: list[list[tuple[int, int, int, int]]] = []
     for _ in range(n_pages):
         ops = ["BT", "/F1 24 Tf", "72 720 Td", "(%s) Tj" % _sentence(rng, 3, 6).rstrip(".").replace("(", "").replace(")", ""), "ET"]
         y = 680
@@ -176,6 +192,15 @@ def _mini_pdf(rng: random.Random, compress: bool = False) -> bytes:
             y -= 16
             if rng.random() < 0.3:
                 y -= 30  # paragraph gap
+        imgs: list[tuple[int, int, int, int]] = []
+        if with_images:
+            for k in range(rng.randint(1, 2)):
+                w, h = rng.randint(64, 512), rng.randint(64, 512)
+                x, ypos = rng.randint(36, 300), rng.randint(72, 400)
+                imgs.append((w, h, x, ypos))
+                ops += ["q", "%d 0 0 %d %d %d cm" % (w, h, x, ypos),
+                        "/Im%d Do" % k, "Q"]
+        page_images.append(imgs)
         pages_content.append("\n".join(ops))
 
     objs: list[bytes] = []
@@ -196,14 +221,29 @@ def _mini_pdf(rng: random.Random, compress: bool = False) -> bytes:
         else:
             cid = add("<< /Length %d >>\nstream\n%s\nendstream" % (len(pc), pc))
         content_ids.append(cid)
+    image_ids: list[list[int]] = []
+    for imgs in page_images:
+        ids = []
+        for (w, h, _x, _y) in imgs:
+            payload = _mini_jpeg(w, h)
+            ids.append(add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+                % (w, h, len(payload), payload)))
+        image_ids.append(ids)
     font_id = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_ids = []
     pages_id_placeholder = len(objs) + len(pages_content) + 1  # id the Pages obj will get
-    for cid in content_ids:
+    for cid, img_ids in zip(content_ids, image_ids):
+        xobj = ""
+        if img_ids:
+            xobj = " /XObject << %s >>" % " ".join(
+                "/Im%d %d 0 R" % (k, oid) for k, oid in enumerate(img_ids))
         pid = add(
             "<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            "/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-            % (pages_id_placeholder, cid, font_id)
+            "/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >>%s >> >>"
+            % (pages_id_placeholder, cid, font_id, xobj)
         )
         page_ids.append(pid)
         kids.append("%d 0 R" % pid)
