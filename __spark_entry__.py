@@ -631,6 +631,75 @@ def q_link_graph(spark, sf_dir):
             .orderBy("src", "dst"))
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text profile per link target, value-gated: pages carry 3
+    deterministic links whose anchor words come from the linking doc's
+    own text (slices of the lowercase word array), targets collide via
+    doc_id % 50 so each target accumulates anchors from many sources —
+    DuckDB replays the page synthesis, regex zip, term explode,
+    aggregation and top-k window exactly."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        anchor_text_profile,
+        extract_links,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    words = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+
+    def link(k):
+        anchor = F.array_join(F.slice(words, k * 3 + 1, 2), " ")
+        return F.concat(F.lit('<a href="https://h'),
+                        ((did * 7 + k * 3) % 9).cast("string"),
+                        F.lit(".example/p/"), (did % 50).cast("string"),
+                        F.lit('">'), anchor, F.lit("</a>"))
+
+    pages = d.select(
+        F.concat(F.lit("https://h"), (did % 9).cast("string"),
+                 F.lit(".example/d/"), did.cast("string")).alias("url"),
+        F.concat(F.lit("<html><body><p>x</p>"), link(0), link(1), link(2),
+                 F.lit("</body></html>")).alias("html_text"))
+    return (anchor_text_profile(extract_links(pages), top_k=3)
+            .orderBy("dst_url", "rank"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """mT5/Pile temperature mixing rule (alpha=0.3) over per-source
+    whitespace-token mass, with a 1M-token budget allocation — the
+    aggregation, power scaling, normalizer and budget split all mirror
+    exactly in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    return (mixture_weights(_docs(spark, sf_dir), alpha=0.3,
+                            token_budget=1_000_000)
+            .orderBy("source"))
+
+
+def q_latest_revision(spark, sf_dir):
+    """Cross-snapshot revisit dedup: each doc explodes into 1-3
+    deterministic fetch revisions (url, warc_ts); keep the newest per
+    url with the revision count — the Common-Crawl 'latest revision
+    wins' pass that runs before any content-level dedup."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        latest_revision,
+    )
+
+    d = _docs(spark, sf_dir)
+    revs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.pmod("doc_id", F.lit(3))))
+        .alias("rev"))
+    pages = revs.select(
+        F.concat(F.lit("https://r.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 1000 + F.col("rev") * 7).cast("long")
+        .alias("warc_ts"),
+        F.col("rev").cast("long").alias("rev"))
+    return latest_revision(pages, ts_col="warc_ts").orderBy("url")
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -1787,6 +1856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meteor_by_source": q_meteor_by_source,
         "curate_pipeline": q_curate_pipeline,
         "harmonic_sketch": q_harmonic_sketch,
+        "anchor_text": q_anchor_text,
+        "mixture_weights": q_mixture_weights,
+        "latest_revision": q_latest_revision,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -1826,11 +1898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
+        # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
+        # window this round (verified green in r2 and r3) -------------------
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
-        # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
-        # window this round (verified green in r2 and r3) -------------------
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "seo_spam": q_seo_spam,
@@ -2722,6 +2794,89 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "mixture_weights": """
+            with p as (
+              select source, count(*)::bigint as n_docs,
+                sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> len(x) > 0)))::bigint as n_tokens
+              from documents group by source),
+            s as (select *, pow(n_tokens::double, 0.3) as sc from p),
+            z as (select sum(sc) as z from s)
+            select source, n_docs, n_tokens,
+              round(sc / z, 8) as weight,
+              round(sc / z * 1000000)::bigint as budget_tokens
+            from s, z order by source
+        """,
+        "latest_revision": """
+            with r as (
+              select doc_id,
+                unnest(range(0, (doc_id % 3) + 1)) as rev
+              from documents),
+            p as (
+              select 'https://r.example/' || doc_id::varchar as url,
+                (doc_id * 1000 + rev * 7)::bigint as warc_ts,
+                rev::bigint as rev
+              from r),
+            n as (
+              select url, count(*)::bigint as n_revisions,
+                max(warc_ts) as mts
+              from p group by url)
+            select p.url, p.warc_ts, p.rev, n.n_revisions
+            from p join n on p.url = n.url and p.warc_ts = n.mts
+            order by p.url
+        """,
+        "anchor_text": """
+            with h as (
+              select
+                'https://h' || (doc_id % 9)::varchar || '.example/d/'
+                  || doc_id::varchar as src_url,
+                '<html><body><p>x</p>'
+                || '<a href="https://h' || ((doc_id * 7) % 9)::varchar
+                  || '.example/p/' || (doc_id % 50)::varchar || '">'
+                  || coalesce(array_to_string(list_slice(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), 1, 2),
+                       ' '), '') || '</a>'
+                || '<a href="https://h' || ((doc_id * 7 + 3) % 9)::varchar
+                  || '.example/p/' || (doc_id % 50)::varchar || '">'
+                  || coalesce(array_to_string(list_slice(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), 4, 5),
+                       ' '), '') || '</a>'
+                || '<a href="https://h' || ((doc_id * 7 + 6) % 9)::varchar
+                  || '.example/p/' || (doc_id % 50)::varchar || '">'
+                  || coalesce(array_to_string(list_slice(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), 7, 8),
+                       ' '), '') || '</a>'
+                || '</body></html>' as html_text
+              from documents),
+            l as (
+              select src_url,
+                regexp_extract_all(html_text,
+                  '<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) as hs,
+                regexp_extract_all(html_text,
+                  '<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) as ts
+              from h),
+            lz as (
+              select src_url, unnest(hs) as dst_url, unnest(ts) as anchor
+              from l),
+            t as (
+              select dst_url, src_url,
+                unnest(string_split_regex(lower(anchor), '[^a-z0-9]+'))
+                  as term
+              from lz where len(dst_url) > 0),
+            a as (
+              select dst_url, term,
+                count(*)::bigint as n_mentions,
+                count(distinct src_url)::bigint as n_sources
+              from t where len(term) > 1
+              group by dst_url, term),
+            r as (
+              select *, row_number() over (partition by dst_url
+                order by n_mentions desc, n_sources desc, term) as rank
+              from a)
+            select dst_url, term, n_mentions, n_sources, rank
+            from r where rank <= 3
+            order by dst_url, rank
         """,
         "url_filters": f"""
             with u as (

@@ -155,3 +155,38 @@ def curation_pipeline(docs: DataFrame, text_col: str = "text",
         *[g.cast("int").alias("g_" + name) for name, g in gates],
         keep.cast("int").alias("keep"),
         reasons.alias("reasons"))
+
+
+def mixture_weights(docs: DataFrame, alpha: float = 0.3,
+                    source_col: str = "source", text_col: str = "text",
+                    token_budget: int | None = None) -> DataFrame:
+    """Temperature-scaled corpus mixture weights (the mT5/Pile mixing
+    rule): per-source sampling probability p_i = n_i^alpha / sum_j
+    n_j^alpha over whitespace-token mass.  alpha < 1 upsamples tail
+    sources and flattens head domination — the standard knob for
+    balancing a multi-source training mix.  With ``token_budget`` set,
+    also emits each source's expected token allocation.
+
+    Scale shape: one aggregation shuffle at source cardinality (tiny);
+    the normalizer is a 1-row broadcast cross join, so the output plan
+    never reshuffles the corpus itself."""
+    from .textstats import token_count_cols
+
+    toks = token_count_cols(F.col(text_col))["ws_tokens"]
+    per_source = (docs
+                  .select(F.col(source_col).alias("source"),
+                          toks.alias("_t"))
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("_t").cast("long").alias("n_tokens")))
+    scaled = per_source.withColumn(
+        "_scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    total = scaled.agg(F.sum("_scaled").alias("_z"))
+    out = (scaled.crossJoin(F.broadcast(total))
+           .withColumn("weight", F.round(F.col("_scaled") / F.col("_z"), 8))
+           .drop("_scaled", "_z"))
+    if token_budget is not None:
+        out = out.withColumn(
+            "budget_tokens",
+            F.round(F.col("weight") * F.lit(float(token_budget))).cast("long"))
+    return out

@@ -241,3 +241,32 @@ def domain_quota_sample(docs: DataFrame, max_per_domain: int,
             .withColumn("domain_rank", F.row_number().over(w))
             .withColumn("keep", F.col("domain_rank") <= max_per_domain)
             .drop("_rk_hash"))
+
+
+def latest_revision(pages: DataFrame, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Keep the newest fetch of each URL — Common-Crawl-style snapshots
+    refetch the same URL across crawls, and training corpora want
+    exactly one (current) revision before any content-level dedup pays
+    per-byte costs.
+
+    Adds ``n_revisions`` (fetch count for the URL) and keeps the max-ts
+    row.  Exact-ts ties break on md5(``tiebreak_col``) (pass the
+    content column) so the survivor is deterministic under any
+    partitioning; without it, equal-ts duplicates tie arbitrarily.
+    One window shuffle on url — at 10^12 rows this is the same
+    exchange shape as url_dedup and should run FIRST (it cuts revisit
+    mass before canonicalization groups different URLs together)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col)
+    order_keys = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order_keys.append(F.md5(F.col(tiebreak_col).cast("string")))
+    order = Window.partitionBy(url_col).orderBy(*order_keys)
+    return (pages
+            .withColumn("n_revisions", F.count(F.lit(1)).over(w))
+            .withColumn("_rn", F.row_number().over(order))
+            .where(F.col("_rn") == 1)
+            .drop("_rn"))

@@ -108,6 +108,35 @@ def extract_links(pages: DataFrame, html_col: str = "html_text",
                     .alias("anchor_text")))
 
 
+def anchor_text_profile(links: DataFrame, top_k: int = 5,
+                        dst_col: str = "dst_url") -> DataFrame:
+    """Anchor-text aggregation per link target: the classic web-corpus
+    signal that the words OTHER pages use to link to a target describe
+    it better than its own content (search indexing, crawl-priority
+    features, weak labels for page-type classifiers).
+
+    -> (dst_url, term, n_mentions, n_sources, rank) with rank <= top_k
+    per target, ranked by mention count, then distinct linking pages,
+    then term.  Scale shape: anchors are short by construction, so the
+    explode is bounded; one groupBy exchange on (dst_url, term) with
+    map-side partial counts, then the per-target top-k window on the
+    (already aggregated, far smaller) term table."""
+    from pyspark.sql import Window
+
+    terms = (links
+             .select(F.col(dst_col).alias("dst_url"), "src_url",
+                     F.explode(F.split(F.lower(F.col("anchor_text")),
+                                       "[^a-z0-9]+")).alias("term"))
+             .where(F.length("term") > 1))
+    agg = terms.groupBy("dst_url", "term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("src_url").alias("n_sources"))
+    w = (Window.partitionBy("dst_url")
+         .orderBy(F.desc("n_mentions"), F.desc("n_sources"), F.asc("term")))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top_k))
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """Link rows -> weighted host-graph edges (src, dst, weight):
     self-loops dropped, weight = link count.  The output feeds

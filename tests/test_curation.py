@@ -130,3 +130,48 @@ def test_curation_pipeline_null_and_garbage_text(spark):
         for g in ("g_gopher", "g_spam", "g_runaway", "g_lang"):
             assert r[g] is not None, (r["doc_id"], g)
         assert r["reasons"] != ""
+
+
+def test_mixture_weights_alpha(spark):
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [("big", "w " * 900), ("small", "w " * 100)],
+        "source string, text string")
+    # alpha=1 -> proportional to token mass
+    w1 = {r.source: r.weight for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert abs(w1["big"] - 0.9) < 1e-9 and abs(w1["small"] - 0.1) < 1e-9
+    # alpha<1 flattens: the small source gains share
+    w3 = {r.source: r.weight for r in mixture_weights(docs, alpha=0.3).collect()}
+    assert w3["small"] > 0.1 and w3["big"] < 0.9
+    assert abs(sum(w3.values()) - 1.0) < 1e-6
+    # budget split sums (approximately; per-source rounding) to the budget
+    rows = mixture_weights(docs, alpha=0.3, token_budget=10_000).collect()
+    assert abs(sum(r.budget_tokens for r in rows) - 10_000) <= len(rows)
+
+
+def test_latest_revision(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        latest_revision,
+    )
+
+    pages = spark.createDataFrame(
+        [("u1", 10, "old"), ("u1", 30, "new"), ("u1", 20, "mid"),
+         ("u2", 5, "only"),
+         ("u3", 7, "aaa"), ("u3", 7, "bbb")],  # exact-ts tie
+        "url string, warc_ts long, body string")
+    out = {r.url: r for r in
+           latest_revision(pages, tiebreak_col="body").collect()}
+    assert out["u1"].body == "new" and out["u1"].n_revisions == 3
+    assert out["u2"].body == "only" and out["u2"].n_revisions == 1
+    # tie broken by md5(body): deterministic winner across reruns
+    first = out["u3"].body
+    again = {r.url: r for r in
+             latest_revision(pages.repartition(7), tiebreak_col="body")
+             .collect()}
+    assert again["u3"].body == first
+    assert out["u3"].n_revisions == 2

@@ -173,3 +173,38 @@ def test_harmonic_sketch_deterministic(spark):
     assert one == two
     # 3-cycle with a shortcut: every node reachable, all positive
     assert len(one) == 3 and all(v > 0 for _, v in one)
+
+
+def test_anchor_text_profile(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        anchor_text_profile,
+    )
+
+    links = spark.createDataFrame(
+        [("s1", "d1", "Spark engine"), ("s2", "d1", "spark ENGINE!"),
+         ("s3", "d1", "fast engine"), ("s1", "d2", "tiny"),
+         ("s1", "d1", "spark")],
+        "src_url string, dst_url string, anchor_text string")
+    out = {(r.dst_url, r.rank): r for r in anchor_text_profile(links, top_k=2).collect()}
+    # d1: engine x3 (3 sources), spark x3 (2 sources) -> engine first
+    assert out[("d1", 1)].term == "engine"
+    assert out[("d1", 1)].n_mentions == 3 and out[("d1", 1)].n_sources == 3
+    assert out[("d1", 2)].term == "spark"
+    assert out[("d1", 2)].n_mentions == 3 and out[("d1", 2)].n_sources == 2
+    # top_k bounds output; single-char terms dropped
+    assert ("d1", 3) not in out
+    assert out[("d2", 1)].term == "tiny"
+
+
+def test_anchor_text_profile_empty_and_markupless(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        anchor_text_profile,
+        extract_links,
+    )
+
+    pages = spark.createDataFrame(
+        [("u1", '<a href="d">   </a><a href="d">real words</a>'
+          '<a name="x">not a link</a>')],
+        "url string, html_text string")
+    out = anchor_text_profile(extract_links(pages), top_k=5).collect()
+    assert sorted(r.term for r in out) == ["real", "words"]
