@@ -272,3 +272,56 @@ def test_stream_near_dedup_restart_is_idempotent(spark, tmp_path):
     stream_near_dedup(*args).awaitTermination(120)
     again = spark.read.parquet(str(tmp_path / "nd" / "kept")).count()
     assert first == again == 1
+
+
+def test_stream_curate_replayed_batch_is_idempotent(spark, drops):
+    """Exactly-once contract: delete the last offset COMMIT so the
+    restarted stream re-executes that micro-batch (the crash-between-
+    write-and-commit window); batch_id dynamic partition overwrite must
+    leave kept/drop counts unchanged instead of appending duplicates."""
+    import os
+    from datetime import datetime
+
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_curate,
+    )
+
+    tmp_path, rows = drops
+    para = ("The river was quiet in the morning and the light fell on "
+            "the water as the boats moved slowly past the old houses "
+            "of the town, and everyone who walked along the bank could "
+            "see that it was going to be a clear day. ")
+    english = [{
+        "url": f"https://en.example/r{i}", "warc_ts": datetime(2024, 1, 1),
+        "html": (f"<html><body><article><h1>Replay {i}</h1>"
+                 f"<p>{para}</p><p>{para}</p></article></body></html>"
+                 ).encode(),
+        "text": "", "lang": "en", "category": "article"}
+        for i in range(5)]
+    write_drop(english, str(tmp_path / "in" / "drop-replay.parquet"))
+    q = stream_curate(spark, str(tmp_path / "in"), str(tmp_path / "rp"),
+                      str(tmp_path / "rp_ck"))
+    q.awaitTermination(180)
+    q.stop()
+    kept_dir = str(tmp_path / "rp" / "kept")
+    drops_dir = str(tmp_path / "rp" / "drops")
+    n_kept_1 = spark.read.parquet(kept_dir).count()
+    n_drop_rows_1 = spark.read.parquet(drops_dir).count()
+    assert n_kept_1 > 0 and n_drop_rows_1 > 0
+
+    commits = sorted(os.listdir(str(tmp_path / "rp_ck" / "commits")))
+    numeric = [c for c in commits if not c.startswith(".")]
+    last = numeric[-1]
+    os.remove(str(tmp_path / "rp_ck" / "commits" / last))
+    # the local FS keeps a sidecar checksum; a stale one makes Hadoop's
+    # ChecksumFileSystem reject the rewritten commit as concurrent use
+    crc = str(tmp_path / "rp_ck" / "commits" / ("." + last + ".crc"))
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = stream_curate(spark, str(tmp_path / "in"), str(tmp_path / "rp"),
+                       str(tmp_path / "rp_ck"))
+    q2.awaitTermination(180)
+    q2.stop()
+    assert spark.read.parquet(kept_dir).count() == n_kept_1
+    assert spark.read.parquet(drops_dir).count() == n_drop_rows_1
