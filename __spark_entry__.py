@@ -375,6 +375,18 @@ def q_events_running_sum(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (3-hour gap) + per-session stats —
+    lag/running-sum session assignment and the aggregate all mirrored
+    in SQL; event_id breaks exact-ts ties deterministically."""
+    from deepseek_ocr_omnidocbench_spark.operators.sessions import (
+        session_stats,
+    )
+
+    return (session_stats(_events(spark, sf_dir), gap_minutes=180.0)
+            .orderBy("user_id", "session_id"))
+
+
 def q_events_rollup(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -1859,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "mixture_weights": q_mixture_weights,
         "latest_revision": q_latest_revision,
+        "sessionize": q_sessionize,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -1897,9 +1910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
-        "events_running_sum": q_events_running_sum,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
@@ -2794,6 +2807,33 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "sessionize": """
+            with o as (
+              select user_id, event_id, value, ts,
+                lag(ts) over (partition by user_id
+                              order by ts, event_id) as prev
+              from events),
+            m as (
+              select *, case when prev is null
+                or extract(epoch from ts) - extract(epoch from prev)
+                   > 10800
+                then 1 else 0 end as new_s
+              from o),
+            s as (
+              select *, sum(new_s) over (partition by user_id
+                order by ts, event_id
+                rows between unbounded preceding and current row
+                )::bigint as session_id
+              from m)
+            select user_id, session_id,
+              count(*)::bigint as n_events,
+              round(min(extract(epoch from ts)), 3) as start_s,
+              round(max(extract(epoch from ts))
+                    - min(extract(epoch from ts)), 3) as duration_s,
+              round(sum(value), 6) as total_value
+            from s group by user_id, session_id
+            order by user_id, session_id
         """,
         "mixture_weights": """
             with p as (

@@ -1,0 +1,58 @@
+"""Gap-based sessionization: boundary semantics, determinism, stats."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_sessionize_gap_boundary(spark):
+    t = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows = [
+        (0, t(0), 1, 1.0),
+        (1, t(10), 1, 2.0),          # gap exactly 10 min -> SAME session
+        (2, t(20, 1), 1, 3.0),       # 10 min 1 s -> NEW session
+        (3, t(0), 2, 4.0),           # other user independent
+    ]
+    out = sessionize(_events(spark, rows), gap_minutes=10.0).collect()
+    sid = {r.event_id: r.session_id for r in out}
+    assert sid[0] == sid[1] == 1
+    assert sid[2] == 2
+    assert sid[3] == 1
+
+
+def test_sessionize_exact_ts_tie_is_deterministic(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0, 7, 1.0) for i in range(4)]
+    df = _events(spark, rows)
+    a = sessionize(df, gap_minutes=1.0).collect()
+    b = sessionize(df.repartition(5), gap_minutes=1.0).collect()
+    assert {r.event_id: r.session_id for r in a} == \
+        {r.event_id: r.session_id for r in b}
+    assert all(r.session_id == 1 for r in a)  # zero gaps: one session
+
+
+def test_session_stats(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(0, t(0), 1, 1.5), (1, t(5), 1, 2.5),
+            (2, t(30), 1, 4.0)]
+    out = session_stats(_events(spark, rows), gap_minutes=10.0)
+    got = {r.session_id: r for r in out.collect()}
+    assert got[1].n_events == 2 and got[1].duration_s == 300.0
+    assert got[1].total_value == 4.0
+    assert got[2].n_events == 1 and got[2].duration_s == 0.0
+    # one exchange in the whole plan: both windows and the aggregate
+    # reuse the user_id partitioning (inspect pre-execution plan — the
+    # post-AQE string repeats the tree in Final/Initial sections)
+    fresh = session_stats(_events(spark, rows), gap_minutes=10.0)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
