@@ -712,6 +712,39 @@ def q_latest_revision(spark, sf_dir):
     return latest_revision(pages, ts_col="warc_ts").orderBy("url")
 
 
+def q_sitemaps(spark, sf_dir):
+    """Sitemap parsing under the value gate: deterministic sitemap XML
+    per doc (two <url> entries; lastmod/priority/changefreq present on
+    modular subsets so optional-field alignment is actually exercised)
+    -> one parsed row per entry, replayed in DuckDB."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 9).cast("string"), F.lit(".example"))
+    loc1 = F.concat(F.lit("https://"), host, F.lit("/d/"),
+                    did.cast("string"))
+    loc2 = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                    did.cast("string"))
+    lastmod = F.when(did % 3 == 0, F.concat(
+        F.lit("<lastmod>2024-01-0"), (did % 9 + 1).cast("string"),
+        F.lit("</lastmod>"))).otherwise(F.lit(""))
+    priority = F.when(did % 2 == 0, F.concat(
+        F.lit("<priority>0."), (did % 10).cast("string"),
+        F.lit("</priority>"))).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc> "), loc1, F.lit(" </loc>"), lastmod, priority,
+        F.lit("</url>"),
+        F.lit("<url><loc>"), loc2,
+        F.lit("</loc><changefreq>daily</changefreq></url>"),
+        F.lit("</urlset>"))
+    sm = d.select(host.alias("host"), xml.alias("xml"))
+    return parse_sitemaps(sm).orderBy("loc")
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -1872,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "latest_revision": q_latest_revision,
         "sessionize": q_sessionize,
+        "sitemaps": q_sitemaps,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -1909,9 +1943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_metric_by_source": q_edit_metric_by_source,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
-        "embedding_near_dups": q_embedding_near_dups,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
@@ -2807,6 +2841,46 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "sitemaps": """
+            with d as (
+              select doc_id,
+                'h' || (doc_id % 9)::varchar || '.example' as host,
+                '<?xml version="1.0"?><urlset>'
+                || '<url><loc> https://h' || (doc_id % 9)::varchar
+                  || '.example/d/' || doc_id::varchar || ' </loc>'
+                || case when doc_id % 3 = 0
+                   then '<lastmod>2024-01-0'
+                     || (doc_id % 9 + 1)::varchar || '</lastmod>'
+                   else '' end
+                || case when doc_id % 2 = 0
+                   then '<priority>0.' || (doc_id % 10)::varchar
+                     || '</priority>'
+                   else '' end
+                || '</url>'
+                || '<url><loc>https://h' || (doc_id % 9)::varchar
+                  || '.example/p/' || doc_id::varchar
+                  || '</loc><changefreq>daily</changefreq></url>'
+                || '</urlset>' as xml
+              from documents),
+            e as (
+              select host,
+                unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+                  as entry
+              from d),
+            p as (
+              select host,
+                regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) as loc,
+                nullif(regexp_extract(entry,
+                  '<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') as lastmod,
+                nullif(regexp_extract(entry,
+                  '<changefreq>\\s*(.*?)\\s*</changefreq>', 1), '')
+                  as changefreq,
+                try_cast(nullif(regexp_extract(entry,
+                  '<priority>\\s*(.*?)\\s*</priority>', 1), '')
+                  as double) as priority
+              from e)
+            select * from p where len(loc) > 0 order by loc
         """,
         "sessionize": """
             with o as (

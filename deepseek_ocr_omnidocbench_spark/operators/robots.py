@@ -146,3 +146,54 @@ def robots_gate(urls: DataFrame, robots: DataFrame,
             yield pdf
 
     return joined.mapInPandas(_gen, out_schema).drop("_host")
+
+
+# ---- sitemap parsing (crawl-frontier seeding) ----------------------------
+
+def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "xml",
+                   host_col: str = "host") -> DataFrame:
+    """Sitemap XML -> one row per <url> entry: (host, loc, lastmod,
+    changefreq, priority) — the frontier-seeding companion of the
+    robots gate (sitemaps.org protocol, the format Common Crawl's
+    seeders consume).
+
+    Alignment-safe by construction: each <url>...</url> BLOCK is
+    extracted first and exploded, then every optional field is pulled
+    from its own block — per-field regexp_extract_all arrays would
+    shift against each other whenever an entry omits <lastmod> or
+    <priority> (the same positional-zip trap as href/anchor pairs).
+    Pure Columns, no UDF, no shuffle: rows explode in place and the
+    operator inherits the scan's partitioning."""
+    block = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+
+    def field(tag: str) -> "F.Column":
+        return F.regexp_extract(F.col("_entry"),
+                                r"<%s>\s*(.*?)\s*</%s>" % (tag, tag), 1)
+
+    out = (sitemaps
+           .select(F.col(host_col).alias("host"),
+                   F.explode(block).alias("_entry"))
+           .select(
+               "host",
+               field("loc").alias("loc"),
+               F.nullif(field("lastmod"), F.lit("")).alias("lastmod"),
+               F.nullif(field("changefreq"), F.lit("")).alias("changefreq"),
+               F.nullif(field("priority"), F.lit(""))
+               .cast("double").alias("priority")))
+    return out.where(F.length("loc") > 0)
+
+
+def sitemap_index_children(sitemaps: DataFrame,
+                           xml_col: str = "xml",
+                           host_col: str = "host") -> DataFrame:
+    """Sitemap-index XML -> (host, child_loc): the recursion edge a
+    frontier scheduler follows to fetch nested sitemaps."""
+    block = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1)
+    loc = F.regexp_extract(F.col("_entry"), r"<loc>\s*(.*?)\s*</loc>", 1)
+    return (sitemaps
+            .select(F.col(host_col).alias("host"),
+                    F.explode(block).alias("_entry"))
+            .select("host", loc.alias("child_loc"))
+            .where(F.length("child_loc") > 0))

@@ -89,3 +89,46 @@ def test_parse_robots_never_raises_on_noise():
         rules = parse_robots("\n".join(lines))
         assert isinstance(rules, list)
         assert isinstance(robots_allowed("/any/path", rules), bool)
+
+
+def test_parse_sitemaps_optional_field_alignment(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    # entry 1 omits lastmod+priority, entry 2 has everything, entry 3
+    # only changefreq: per-field array zipping would misalign these
+    xml = ("<urlset>"
+           "<url><loc>https://a.example/1</loc></url>"
+           "<url><loc> https://a.example/2 </loc>"
+           "<lastmod>2024-02-01</lastmod>"
+           "<changefreq>weekly</changefreq>"
+           "<priority>0.8</priority></url>"
+           "<url><loc>https://a.example/3</loc>"
+           "<changefreq>daily</changefreq></url>"
+           "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> dropped
+           "</urlset>")
+    df = spark.createDataFrame([("a.example", xml)], "host string, xml string")
+    rows = {r.loc: r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {"https://a.example/1", "https://a.example/2",
+                         "https://a.example/3"}
+    r1, r2, r3 = (rows["https://a.example/%d" % i] for i in (1, 2, 3))
+    assert r1.lastmod is None and r1.priority is None and r1.changefreq is None
+    assert r2.lastmod == "2024-02-01" and r2.priority == 0.8
+    assert r2.changefreq == "weekly"
+    assert r3.changefreq == "daily" and r3.lastmod is None
+
+
+def test_sitemap_index_children(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        sitemap_index_children,
+    )
+
+    xml = ("<sitemapindex>"
+           "<sitemap><loc>https://a.example/s1.xml</loc>"
+           "<lastmod>2024-01-01</lastmod></sitemap>"
+           "<sitemap><loc> https://a.example/s2.xml </loc></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([("a.example", xml)], "host string, xml string")
+    got = sorted(r.child_loc for r in sitemap_index_children(df).collect())
+    assert got == ["https://a.example/s1.xml", "https://a.example/s2.xml"]
