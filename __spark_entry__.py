@@ -1818,9 +1818,15 @@ def _bpe_learn_oracle_sql(n_merges: int = 3) -> str:
 def q_bpe_encode(spark, sf_dir):
     """Corpus tokenization with the learned merge table (25 merges,
     rank-greedy encode in an Arrow-batched pandas UDF with per-batch
-    word cache).  rows-only: greedy min-rank encoding is iterative per
-    word; pytest checks it against an independent reference encoder
-    (tests/test_bpe.py)."""
+    word cache).  Oracle-backed via the classical BPE equivalence:
+    applying the learned merges to each word IN RANK ORDER (each
+    exhaustively, left-to-right) yields the same segmentation as the
+    greedy min-rank loop — a merge's constituent symbols can only be
+    produced by lower-rank merges, so when rank i is the minimum pair
+    present, the word state is identical under both strategies.  The
+    oracle unrolls all 25 learn stages (double-space replace trick)
+    carrying the word key, then joins doc words to their final
+    segmentation."""
     from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
 
     docs = _docs(spark, sf_dir)
@@ -1830,6 +1836,74 @@ def q_bpe_encode(spark, sf_dir):
                        F.size(F.array_distinct("tokens"))
                        .alias("n_unique_tokens"))
             .orderBy("doc_id"))
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 25) -> str:
+    """Word-keyed variant of ``_bpe_learn_oracle_sql``: every merge
+    stage carries the original word, so after the last stage each
+    distinct word maps to its final segmentation; doc token counts
+    come from joining exploded doc words to that table.  Valid at
+    gate scale because all ``n_merges`` learned pairs clear min_freq
+    there (early-stop is not expressible in unrolled SQL)."""
+    stages = []
+    prev = "v0"
+    for i in range(n_merges):
+        stages.append(f"""
+        pc{i} as materialized (
+          select ss[i] as a, ss[i + 1] as b, sum(freq) as cnt
+          from (select string_split(trim(sym), '  ') as ss, freq
+                from {prev}),
+               unnest(range(1, len(ss))) as t(i)
+          group by 1, 2),
+        m{i} as materialized (select a, b, cnt from pc{i}
+                 order by cnt desc, a asc, b asc limit 1),
+        v{i + 1} as materialized (
+          select word,
+                 replace(sym,
+                         ' ' || (select a from m{i}) || '  '
+                             || (select b from m{i}) || ' ',
+                         ' ' || (select a || b from m{i}) || ' ') as sym,
+                 freq
+          from {prev})""")
+        prev = f"v{i + 1}"
+    return f"""
+        with w as materialized (
+          select word, count(*) as freq from (
+            select unnest(list_filter(
+              string_split_regex(trim(text), '\\s+'), x -> x != '')) as word
+            from documents)
+          group by word),
+        v0 as materialized (
+          select word,
+                 ' ' || array_to_string(list_concat(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> word[i]),
+                   ['</w>']), '  ') || ' ' as sym,
+                 freq
+          from w),
+        {",".join(stages)},
+        tok as materialized (
+          select word,
+            list_filter(string_split(trim(sym), '  '), x -> x != '')
+              as toks
+          from {prev}),
+        docw as materialized (
+          select doc_id, unnest(list_filter(
+            string_split_regex(trim(text), '\\s+'), x -> x != '')) as word
+          from documents),
+        flat as materialized (
+          select doc_id, unnest(toks) as tk
+          from docw join tok using (word)),
+        counts as materialized (
+          select doc_id, count(*)::bigint as n_tokens,
+            count(distinct tk)::bigint as n_unique_tokens
+          from flat group by doc_id)
+        select d.doc_id,
+          coalesce(c.n_tokens, 0) as n_tokens,
+          coalesce(c.n_unique_tokens, 0) as n_unique_tokens
+        from documents d left join counts c using (doc_id)
+        order by d.doc_id
+    """
 
 
 _BLOOM_M, _BLOOM_K = 1 << 16, 4
@@ -1906,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_revision": q_latest_revision,
         "sessionize": q_sessionize,
         "sitemaps": q_sitemaps,
+        "bpe_encode": q_bpe_encode,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -1942,9 +2017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
         "knn_bruteforce": q_knn_bruteforce,
-        "label_centroids": q_label_centroids,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
@@ -1969,7 +2044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_fixture_report": q_eval_fixture_report,
         "cdm_match": q_cdm_match,
         "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
         "pdf_images": q_pdf_images,
     }
 
@@ -3315,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
             order by cnt desc, a, b limit 50
         """,
         "bpe_learn_oracle": _bpe_learn_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "bloom_probe": f"""
             with keys as (
               select doc_id,

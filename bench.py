@@ -139,7 +139,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",
                  "rule_checks", "repetition_stats",
-                 "dsir_weights", "pagerank", "curation_pipeline"]:
+                 "dsir_weights", "pagerank", "curation_pipeline",
+                 "sessionize", "anchor_text", "latest_revision"]:
         fn = entry.queries()[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
