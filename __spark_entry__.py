@@ -745,6 +745,27 @@ def q_sitemaps(spark, sf_dir):
     return parse_sitemaps(sm).orderBy("loc")
 
 
+def q_politeness(spark, sf_dir):
+    """Per-host politeness scheduling: deterministic frontier (host,
+    url, priority from doc_id arithmetic) -> priority-ordered fetch
+    slots with a 2-second per-host delay — window assignment mirrored
+    in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        politeness_schedule,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    frontier = d.select(
+        F.concat(F.lit("h"), (did % 9).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("https://h"), (did % 9).cast("string"),
+                 F.lit(".example/p/"), did.cast("string")).alias("url"),
+        (((did * 37) % 100).cast("double") / 100.0).alias("priority"))
+    return (politeness_schedule(frontier, delay_s=2.0)
+            .orderBy("host", "fetch_slot"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -1981,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sitemaps": q_sitemaps,
         "bpe_encode": q_bpe_encode,
+        "politeness": q_politeness,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2016,9 +2038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_presence": q_rule_presence,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
-        "knn_bruteforce": q_knn_bruteforce,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
@@ -2915,6 +2937,23 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "politeness": """
+            with f as (
+              select
+                'h' || (doc_id % 9)::varchar || '.example' as host,
+                'https://h' || (doc_id % 9)::varchar || '.example/p/'
+                  || doc_id::varchar as url,
+                ((doc_id * 37) % 100)::double / 100.0 as priority
+              from documents),
+            s as (
+              select *, (row_number() over (partition by host
+                order by priority desc, url asc) - 1)::bigint
+                as fetch_slot
+              from f)
+            select host, url, priority, fetch_slot,
+              round(fetch_slot * 2.0, 3) as fetch_at_s
+            from s order by host, fetch_slot
         """,
         "sitemaps": """
             with d as (

@@ -132,3 +132,27 @@ def test_sitemap_index_children(spark):
     df = spark.createDataFrame([("a.example", xml)], "host string, xml string")
     got = sorted(r.child_loc for r in sitemap_index_children(df).collect())
     assert got == ["https://a.example/s1.xml", "https://a.example/s2.xml"]
+
+
+def test_politeness_schedule(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        politeness_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [("a", "https://a/x", 0.9), ("a", "https://a/y", 0.5),
+         ("a", "https://a/z", 0.9),  # priority tie -> url order
+         ("b", "https://b/only", 0.1)],
+        "host string, url string, priority double")
+    out = {r.url: r for r in
+           politeness_schedule(frontier, delay_s=2.0).collect()}
+    assert out["https://a/x"].fetch_slot == 0   # tie won by smaller url
+    assert out["https://a/z"].fetch_slot == 1
+    assert out["https://a/y"].fetch_slot == 2
+    assert out["https://a/y"].fetch_at_s == 4.0
+    assert out["https://b/only"].fetch_slot == 0  # hosts independent
+    # deterministic under repartitioning
+    again = {r.url: r.fetch_slot for r in
+             politeness_schedule(frontier.repartition(5), delay_s=2.0)
+             .collect()}
+    assert again == {u: r.fetch_slot for u, r in out.items()}
