@@ -1760,10 +1760,10 @@ def q_bpe_pair_counts(spark, sf_dir):
 
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (25 merges over the documents
-    corpus).  rows-only: the merge loop is inherently iterative (each
-    argmax depends on all prior merges) — not SQL-expressible; pytest
-    checks every merge against an independent reference implementation
-    (tests/test_bpe.py)."""
+    corpus), oracle-backed: all 25 iterations unrolled as MATERIALIZED
+    CTE stages (pair count -> argmax -> double-space merge replace per
+    stage); pytest additionally checks every merge against an
+    independent reference implementation (tests/test_bpe.py)."""
     from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
 
     merges = BP.learn_bpe(_docs(spark, sf_dir), n_merges=25, min_freq=2)
@@ -1787,27 +1787,29 @@ def q_bpe_learn_oracle(spark, sf_dir):
         "rank int, a string, b string, cnt long").orderBy("rank")
 
 
-def _bpe_learn_oracle_sql(n_merges: int = 3) -> str:
+def _bpe_learn_oracle_sql(n_merges: int = 3,
+                          materialized: bool = False) -> str:
     """RE2 has no lookbehind, so the merge replace can't use the Spark
     kernel's boundary-anchored regex.  Instead the vocab symbol string
     lives in a padded DOUBLE-space form (' a  b  c ')): every symbol
     boundary owns two spaces, so plain replace(' a  b ', ' ab ') is
     boundary-anchored AND left-to-right non-overlapping — byte-for-byte
     BPE merge semantics ('a a a' + merge(a,a) -> 'aa a')."""
+    mat = "materialized " if materialized else ""
     stages = []
     prev = "v0"
     out_rows = []
     for i in range(n_merges):
         stages.append(f"""
-        pc{i} as (
-          select ss[i] as a, ss[i + 1] as b, sum(freq) as cnt
+        pc{i} as {mat}(
+          select ss[i] as a, ss[i + 1] as b, sum(freq)::bigint as cnt
           from (select string_split(trim(sym), '  ') as ss, freq
                 from {prev}),
                unnest(range(1, len(ss))) as t(i)
           group by 1, 2),
-        m{i} as (select a, b, cnt from pc{i}
+        m{i} as {mat}(select a, b, cnt from pc{i}
                  order by cnt desc, a asc, b asc limit 1),
-        v{i + 1} as (
+        v{i + 1} as {mat}(
           select replace(sym,
                          ' ' || (select a from m{i}) || '  '
                              || (select b from m{i}) || ' ',
@@ -1871,7 +1873,7 @@ def _bpe_encode_oracle_sql(n_merges: int = 25) -> str:
     for i in range(n_merges):
         stages.append(f"""
         pc{i} as materialized (
-          select ss[i] as a, ss[i + 1] as b, sum(freq) as cnt
+          select ss[i] as a, ss[i + 1] as b, sum(freq)::bigint as cnt
           from (select string_split(trim(sym), '  ') as ss, freq
                 from {prev}),
                unnest(range(1, len(ss))) as t(i)
@@ -3428,6 +3430,7 @@ def oracle_sql() -> dict[str, str]:
             order by cnt desc, a, b limit 50
         """,
         "bpe_learn_oracle": _bpe_learn_oracle_sql(),
+        "bpe_merges": _bpe_learn_oracle_sql(25, materialized=True),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "bloom_probe": f"""
             with keys as (

@@ -56,3 +56,40 @@ def test_session_stats(spark):
     fresh = session_stats(_events(spark, rows), gap_minutes=10.0)
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Randomized parity: sessionize vs an independent single-threaded
+    reference over events with duplicate timestamps and many users."""
+    import random as _r
+    from datetime import datetime, timedelta
+
+    rng = _r.Random(1234)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for eid in range(300):
+        user = rng.randint(1, 8)
+        ts = base + timedelta(seconds=rng.randint(0, 20000))
+        rows.append((eid, ts, user, 1.0))
+    gap_s = 600.0
+
+    # reference: per user, sort by (ts, event_id), split on gap > 600 s
+    ref = {}
+    by_user: dict = {}
+    for eid, ts, user, _v in rows:
+        by_user.setdefault(user, []).append((ts, eid))
+    for user, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                sid += 1
+            ref[eid] = (user, sid)
+            prev = ts
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r.event_id: (r.user_id, r.session_id)
+           for r in sessionize(df, gap_minutes=10.0).collect()}
+    assert got == ref
