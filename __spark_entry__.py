@@ -2005,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemaps": q_sitemaps,
         "bpe_encode": q_bpe_encode,
         "politeness": q_politeness,
+        "bpe_merges": q_bpe_merges,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2038,10 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
         "rule_presence": q_rule_presence,
-        "doc_stats_by_lang": q_doc_stats_by_lang,
         "edit_metric_by_source": q_edit_metric_by_source,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2067,7 +2068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md2md_report": q_md2md_report,
         "eval_fixture_report": q_eval_fixture_report,
         "cdm_match": q_cdm_match,
-        "bpe_merges": q_bpe_merges,
         "pdf_images": q_pdf_images,
     }
 
