@@ -128,6 +128,50 @@ def stream_crawl_rates(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_fetch_sessions(spark: SparkSession, input_dir: str,
+                          output_dir: str, checkpoint_dir: str,
+                          gap: str = "10 minutes",
+                          watermark: str = "30 minutes",
+                          max_files_per_trigger: int = 4,
+                          available_now: bool = True):
+    """Per-host fetch sessions via the native ``session_window``
+    aggregation: consecutive fetches from one host whose gaps stay
+    under ``gap`` merge into one session row (start, end, fetches,
+    bytes) — the streaming twin of operators/sessions.sessionize, but
+    with Spark's own stateful session-merge operator instead of a
+    batch window.
+
+    Append mode + watermark: a session is emitted exactly once, when
+    the event-time watermark passes its close; fetches later than the
+    watermark horizon are dropped rather than corrupting closed
+    sessions.  State per host is one open session — bounded regardless
+    of stream length, which is what a crawl monitor needs at 10^12
+    fetches."""
+    from ..operators.filters import url_host
+
+    stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(url_host(F.col("url")).alias("host"),
+                 F.session_window("warc_ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_fetches"),
+             F.sum(F.length("html")).alias("total_bytes"))
+        .select("host",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_fetches", "total_bytes")
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_domain_counters(spark: SparkSession, input_dir: str,
                            output_dir: str, checkpoint_dir: str,
                            state_timeout_min: int = 60,

@@ -325,3 +325,50 @@ def test_stream_curate_replayed_batch_is_idempotent(spark, drops):
     q2.stop()
     assert spark.read.parquet(kept_dir).count() == n_kept_1
     assert spark.read.parquet(drops_dir).count() == n_drop_rows_1
+
+
+def test_stream_fetch_sessions(spark, tmp_path):
+    """Native session_window: per-host gap sessions emitted once the
+    watermark passes them; a later drop's far-future row advances the
+    watermark and flushes the earlier sessions."""
+    from datetime import datetime, timedelta
+
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_fetch_sessions,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def page(url, ts):
+        return {"url": url, "warc_ts": ts, "html": b"<html>x</html>",
+                "text": "", "lang": "en", "category": "article"}
+
+    # host a: two fetches 5 min apart (one session), then one 30 min
+    # later (second session); host b: single fetch
+    drop0 = [page("https://a.example/1", t0),
+             page("https://a.example/2", t0 + timedelta(minutes=5)),
+             page("https://a.example/3", t0 + timedelta(minutes=35)),
+             page("https://b.example/1", t0 + timedelta(minutes=1))]
+    write_drop(drop0, str(tmp_path / "in" / "d0.parquet"))
+    # watermark pusher: far-future fetch closes everything above
+    write_drop([page("https://c.example/1", t0 + timedelta(hours=6))],
+               str(tmp_path / "in" / "d1.parquet"))
+
+    q = stream_fetch_sessions(spark, str(tmp_path / "in"),
+                              str(tmp_path / "sess"),
+                              str(tmp_path / "sess_ck"),
+                              gap="10 minutes", watermark="30 minutes",
+                              max_files_per_trigger=1)
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.read.parquet(str(tmp_path / "sess")).collect()
+    got = {(r.host, r.session_start.minute): r for r in rows}
+    a1 = got[("a.example", 0)]
+    assert a1.n_fetches == 2
+    assert (a1.session_end - a1.session_start).total_seconds() == 15 * 60
+    a2 = got[("a.example", 35)]
+    assert a2.n_fetches == 1
+    b = got[("b.example", 1)]
+    assert b.n_fetches == 1
+    # c's own session is still pending (nothing advanced past it)
+    assert all(r.host != "c.example" for r in rows)
