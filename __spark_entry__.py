@@ -766,6 +766,33 @@ def q_politeness(spark, sf_dir):
             .orderBy("host", "fetch_slot"))
 
 
+def q_revision_churn(spark, sf_dir):
+    """Refetch change detection: per URL in fetch order, Levenshtein
+    distance (and length-normalized ratio) between consecutive
+    revisions — native levenshtein in BOTH engines, so the whole
+    window + edit-distance chain sits under the value gate."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        revision_churn,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    revs = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.pmod("doc_id", F.lit(3))))
+        .alias("rev"))
+    pages = revs.select(
+        F.concat(F.lit("https://r.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 1000 + F.col("rev") * 7).cast("long")
+        .alias("warc_ts"),
+        F.concat(F.substring("text", 1, 150), F.lit(" v"),
+                 F.col("rev").cast("string")).alias("text"))
+    return (revision_churn(pages)
+            .select("url", "warc_ts", "prev_ts", "churn", "churn_ratio")
+            .orderBy("url", "warc_ts"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -2006,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "politeness": q_politeness,
         "bpe_merges": q_bpe_merges,
+        "revision_churn": q_revision_churn,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2038,10 +2066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
-        "rule_presence": q_rule_presence,
         "edit_metric_by_source": q_edit_metric_by_source,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "rule_presence": q_rule_presence,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
@@ -2939,6 +2967,34 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "revision_churn": """
+            with r as (
+              select doc_id, text,
+                unnest(range(0, (doc_id % 3) + 1)) as rev
+              from documents),
+            p as (
+              select
+                'https://r.example/' || doc_id::varchar as url,
+                (doc_id * 1000 + rev * 7)::bigint as warc_ts,
+                substr(text, 1, 150) || ' v' || rev::varchar as text
+              from r),
+            o as (
+              select url, warc_ts, text,
+                lag(warc_ts) over (partition by url order by warc_ts)
+                  as prev_ts,
+                lag(text) over (partition by url order by warc_ts)
+                  as prev
+              from p)
+            select url, warc_ts, prev_ts,
+              case when prev is null then null
+                   else levenshtein(text, prev) end as churn,
+              case when prev is null then null
+                   when greatest(len(text), len(prev)) = 0 then 0.0
+                   else round(levenshtein(text, prev)::double
+                              / greatest(len(text), len(prev)), 6)
+              end as churn_ratio
+            from o order by url, warc_ts
         """,
         "politeness": """
             with f as (

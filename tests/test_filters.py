@@ -143,3 +143,28 @@ def test_domain_quota_sample(spark):
     again = domain_quota_sample(df, max_per_domain=10).collect()
     assert sorted((r["doc_id"], r["domain_rank"]) for r in again) == \
         sorted((r["doc_id"], r["domain_rank"]) for r in out)
+
+
+def test_revision_churn(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        revision_churn,
+    )
+
+    pages = spark.createDataFrame(
+        [("u", 1, "hello world"), ("u", 2, "hello brave world"),
+         ("u", 3, "hello brave world"),  # unchanged refetch
+         ("v", 1, "only"),
+         ("w", 1, ""), ("w", 2, "")],   # empty both sides
+        "url string, warc_ts long, text string")
+    out = {(r.url, r.warc_ts): r for r in revision_churn(pages).collect()}
+    first = out[("u", 1)]
+    assert first.churn is None and first.churn_ratio is None
+    assert first.prev_ts is None
+    second = out[("u", 2)]
+    assert second.churn == 6 and second.prev_ts == 1  # "brave " inserted
+    assert second.churn_ratio == round(6 / 17, 6)
+    third = out[("u", 3)]
+    assert third.churn == 0 and third.churn_ratio == 0.0
+    assert out[("v", 1)].churn is None
+    w2 = out[("w", 2)]
+    assert w2.churn == 0 and w2.churn_ratio == 0.0
