@@ -766,6 +766,29 @@ def q_politeness(spark, sf_dir):
             .orderBy("host", "fetch_slot"))
 
 
+def q_host_components(spark, sf_dir):
+    """Site clustering: connected components over a deterministic
+    host graph (10-node stars: node k links to its decade head), the
+    same pointer-jumping kernel dedup uses but value-gated on STRING
+    node ids — mirrored in DuckDB as a recursive-CTE closure."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod("doc_id", F.lit(100))
+    edges = (d.select(k.alias("k"))
+             .where(F.pmod("k", F.lit(10)) != 0)
+             .select(F.concat(F.lit("n"), F.col("k").cast("string"))
+                     .alias("a"),
+                     F.concat(F.lit("n"),
+                              (F.col("k") - F.pmod("k", F.lit(10)))
+                              .cast("string")).alias("b"))
+             .distinct())
+    return (connected_components(edges, a_col="a", b_col="b")
+            .orderBy("node"))
+
+
 def q_revision_churn(spark, sf_dir):
     """Refetch change detection: per URL in fetch order, Levenshtein
     distance (and length-normalized ratio) between consecutive
@@ -2034,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness": q_politeness,
         "bpe_merges": q_bpe_merges,
         "revision_churn": q_revision_churn,
+        "host_components": q_host_components,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2066,9 +2090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
-        "edit_metric_by_source": q_edit_metric_by_source,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "edit_metric_by_source": q_edit_metric_by_source,
         "rule_presence": q_rule_presence,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
@@ -2967,6 +2991,24 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "host_components": """
+            with recursive k as (
+              select distinct (doc_id % 100) as k from documents
+              where (doc_id % 100) % 10 != 0),
+            e0 as (
+              select 'n' || k::varchar as a,
+                'n' || (k - (k % 10))::varchar as b
+              from k),
+            edges as (
+              select a, b from e0 union select b, a from e0),
+            reach(node, lbl) as (
+              select a, a from edges
+              union
+              select e.a, r.lbl from edges e join reach r on r.node = e.b
+            )
+            select node, min(lbl) as cluster_id
+            from reach group by node order by node
         """,
         "revision_churn": """
             with r as (

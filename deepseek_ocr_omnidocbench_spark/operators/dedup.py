@@ -649,10 +649,16 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     # frame) or the edge list's full upstream plan — at worst an entire
     # curation pipeline (gates -> url dedup -> minhash) — re-executes
     # per iteration (measured: 92 s vs 12 s for curate_e2e at sf0.1)
-    sym = (edges.select(F.col(a_col).cast("long").alias("src"),
-                        F.col(b_col).cast("long").alias("dst"))
-           .union(edges.select(F.col(b_col).cast("long").alias("src"),
-                               F.col(a_col).cast("long").alias("dst")))
+    # Node ids may be numeric (doc ids — normalized to long) or strings
+    # (hosts/urls — min-label works lexicographically, no cast).
+    from pyspark.sql import types as T
+
+    numeric = isinstance(edges.schema[a_col].dataType, T.NumericType)
+    _id = (lambda c: c.cast("long")) if numeric else (lambda c: c)
+    sym = (edges.select(_id(F.col(a_col)).alias("src"),
+                        _id(F.col(b_col)).alias("dst"))
+           .union(edges.select(_id(F.col(b_col)).alias("src"),
+                               _id(F.col(a_col)).alias("dst")))
            .distinct()
            .localCheckpoint(eager=True))
     labels = (sym.groupBy("src")

@@ -94,3 +94,22 @@ class TestConnectedComponents:
         got = {r["node"]: r["cluster_id"]
                for r in connected_components(df, max_iters=10).collect()}
         assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_string_node_ids(spark):
+    """Node ids need not be numeric: host/url graphs cluster with
+    lexicographic min labels and no silent NULL casts."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("b.example", "a.example"), ("c.example", "b.example"),
+         ("z.example", "y.example")],
+        "a string, b string")
+    got = {r.node: r.cluster_id
+           for r in connected_components(edges, a_col="a", b_col="b")
+           .collect()}
+    assert got == {"a.example": "a.example", "b.example": "a.example",
+                   "c.example": "a.example", "y.example": "y.example",
+                   "z.example": "y.example"}
