@@ -816,6 +816,38 @@ def q_revision_churn(spark, sf_dir):
             .orderBy("url", "warc_ts"))
 
 
+def q_recrawl(spark, sf_dir):
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina change-rate
+    estimator) over the synthesized refetch history: revision text
+    changes only every second revision so the per-URL history mixes
+    changed and unchanged checks; single-fetch URLs exercise the
+    no-evidence branch (max interval)."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        revision_churn,
+    )
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        recrawl_intervals,
+    )
+
+    d = _docs(spark, sf_dir)
+    revs = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.pmod("doc_id", F.lit(4))))
+        .alias("rev"))
+    pages = revs.select(
+        F.concat(F.lit("https://r.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 1000 + F.col("rev") * 3600).cast("long")
+        .alias("warc_ts"),
+        F.concat(F.substring("text", 1, 120), F.lit(" v"),
+                 F.floor(F.col("rev") / 2).cast("string")).alias("text"))
+    return (recrawl_intervals(revision_churn(pages),
+                              target_freshness=0.8,
+                              min_interval_s=600.0,
+                              max_interval_s=86400.0)
+            .orderBy("url"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -2058,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "revision_churn": q_revision_churn,
         "host_components": q_host_components,
+        "recrawl": q_recrawl,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2089,9 +2122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_oracle": q_simhash_oracle,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "simhash_oracle": q_simhash_oracle,
         "edit_metric_by_source": q_edit_metric_by_source,
         "rule_presence": q_rule_presence,
         "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -2991,6 +3024,50 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "recrawl": """
+            with r as (
+              select doc_id, text,
+                unnest(range(0, (doc_id % 4) + 1)) as rev
+              from documents),
+            p as (
+              select
+                'https://r.example/' || doc_id::varchar as url,
+                (doc_id * 1000 + rev * 3600)::bigint as warc_ts,
+                substr(text, 1, 120) || ' v' || (rev // 2)::varchar
+                  as text
+              from r),
+            o as (
+              select url, warc_ts, text,
+                lag(text) over (partition by url order by warc_ts)
+                  as prev
+              from p),
+            c as (
+              select url,
+                case when prev is null then null
+                     else levenshtein(text, prev) end as churn,
+                warc_ts
+              from o),
+            g as (
+              select url,
+                count(churn)::bigint as n_checks,
+                sum((churn > 0)::int)::bigint as n_changed,
+                (max(warc_ts) - min(warc_ts))::double as span_s
+              from c group by url),
+            l as (
+              select *,
+                case when n_checks > 0 and span_s > 0
+                  then -ln((n_checks - n_changed + 0.5)
+                           / (n_checks + 0.5)) / (span_s / n_checks)
+                end as lam
+              from g)
+            select url, n_checks, n_changed,
+              round(span_s, 3) as span_s,
+              round(lam * 1e6, 6) + 0.0 as lambda_per_mega_s,
+              round(case when lam is null or lam <= 0 then 86400.0
+                    else least(greatest(-ln(0.8) / lam, 600.0), 86400.0)
+                    end, 3) as recrawl_interval_s
+            from l order by url
         """,
         "host_components": """
             with recursive k as (

@@ -221,3 +221,48 @@ def politeness_schedule(frontier: DataFrame, host_col: str = "host",
             .withColumn("fetch_slot", slot.cast("long"))
             .withColumn("fetch_at_s",
                         F.round(slot * F.lit(float(delay_s)), 3)))
+
+
+def recrawl_intervals(churn: DataFrame, url_col: str = "url",
+                      ts_col: str = "warc_ts",
+                      churn_col: str = "churn",
+                      target_freshness: float = 0.8,
+                      min_interval_s: float = 3600.0,
+                      max_interval_s: float = 30.0 * 86400.0) -> DataFrame:
+    """Adaptive recrawl scheduling from refetch history (the Poisson
+    change-rate estimator of Cho & Garcia-Molina, "Estimating Frequency
+    of Change", 2003): per URL, estimate the change rate from how many
+    checks saw a changed page, then pick the check interval that keeps
+    P(unchanged at fetch time) >= ``target_freshness``.
+
+    Input is ``filters.revision_churn`` output (one row per fetch,
+    ``churn`` NULL on the first).  lambda_hat uses the bias-corrected
+    estimator -ln((n - x + 0.5) / (n + 0.5)) / mean_gap, where n =
+    rechecks and x = checks that saw a change; the interval is
+    -ln(target) / lambda, clamped to [min, max].  Never-changed pages
+    ride at max_interval; always-changed pages pin to min_interval.
+
+    One aggregation exchange on url — flat aggs over the churn frame,
+    no iteration."""
+    epoch = F.col(ts_col).cast("double")
+    g = (churn.groupBy(url_col)
+         .agg(F.count(F.col(churn_col)).alias("n_checks"),
+              F.sum((F.col(churn_col) > 0).cast("int")).alias("n_changed"),
+              (F.max(epoch) - F.min(epoch)).alias("span_s")))
+    mean_gap = F.when(F.col("n_checks") > 0,
+                      F.col("span_s") / F.col("n_checks"))
+    lam = F.when(
+        (F.col("n_checks") > 0) & (F.col("span_s") > 0),
+        -F.log((F.col("n_checks") - F.col("n_changed") + F.lit(0.5))
+               / (F.col("n_checks") + F.lit(0.5))) / mean_gap)
+    raw = F.lit(-1.0) * F.log(F.lit(float(target_freshness))) / lam
+    interval = F.when(lam.isNull() | (lam <= 0), F.lit(max_interval_s)) \
+        .otherwise(F.least(F.greatest(raw, F.lit(min_interval_s)),
+                           F.lit(max_interval_s)))
+    return g.select(
+        url_col, "n_checks",
+        F.col("n_changed").cast("long").alias("n_changed"),
+        F.round("span_s", 3).alias("span_s"),
+        # + 0.0 canonicalizes IEEE -0.0 (= -ln(1)/gap) to +0.0
+        (F.round(lam * 1e6, 6) + F.lit(0.0)).alias("lambda_per_mega_s"),
+        F.round(interval, 3).alias("recrawl_interval_s"))

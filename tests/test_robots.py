@@ -156,3 +156,35 @@ def test_politeness_schedule(spark):
              politeness_schedule(frontier.repartition(5), delay_s=2.0)
              .collect()}
     assert again == {u: r.fetch_slot for u, r in out.items()}
+
+
+def test_recrawl_intervals(spark):
+    import math
+
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        revision_churn,
+    )
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        recrawl_intervals,
+    )
+
+    pages = spark.createDataFrame(
+        [("hot", 0, "a0"), ("hot", 100, "a1"), ("hot", 200, "a2"),
+         ("cold", 0, "b"), ("cold", 100, "b"), ("cold", 200, "b"),
+         ("single", 0, "c")],
+        "url string, warc_ts long, text string")
+    out = {r.url: r for r in recrawl_intervals(
+        revision_churn(pages), target_freshness=0.8,
+        min_interval_s=10.0, max_interval_s=1000.0).collect()}
+    hot = out["hot"]
+    assert hot.n_checks == 2 and hot.n_changed == 2
+    # lambda = -ln(0.5/2.5)/100; interval = -ln(0.8)/lambda
+    lam = -math.log(0.5 / 2.5) / 100.0
+    want = -math.log(0.8) / lam
+    assert abs(hot.recrawl_interval_s - round(max(want, 10.0), 3)) < 1e-6
+    cold = out["cold"]
+    assert cold.n_changed == 0
+    assert cold.recrawl_interval_s == 1000.0  # lambda 0 -> max interval
+    single = out["single"]
+    assert single.n_checks == 0
+    assert single.recrawl_interval_s == 1000.0  # no evidence -> max
