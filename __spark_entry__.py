@@ -1257,7 +1257,11 @@ def q_simhash_oracle(spark, sf_dir):
 
 def q_extraction_roundtrip(spark, sf_dir):
     """The north-rule invariant surfaced as a query: wrap text in noise
-    HTML, extract, count byte-exact matches per source (expected: all)."""
+    HTML, extract, count byte-exact matches per source.  Oracle-backed:
+    the ground truth is EXACTLY "every document extracts byte-identical
+    and none is lost", so the oracle states per-source doc counts with
+    n_byte_identical = n_docs — any extraction or routing regression
+    (dropped row, mutated byte) reds the driver's value hash."""
     docs = _docs(spark, sf_dir)
     wrap_udf = F.pandas_udf(_wrap_batch, "binary")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"),
@@ -2091,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revision_churn": q_revision_churn,
         "host_components": q_host_components,
         "recrawl": q_recrawl,
+        "extraction_roundtrip": q_extraction_roundtrip,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2121,9 +2126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
-        "dedup_clusters": q_dedup_clusters,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
         "edit_metric_by_source": q_edit_metric_by_source,
         "rule_presence": q_rule_presence,
@@ -2146,7 +2151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_checks": q_rule_checks,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "extraction_roundtrip": q_extraction_roundtrip,
         "extract_pipeline": q_extract_pipeline,
         "knn_ivf": q_knn_ivf,
         "detection_map": q_detection_map,
@@ -3024,6 +3028,11 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "extraction_roundtrip": """
+            select source, count(*)::bigint as n_docs,
+              count(*)::bigint as n_byte_identical
+            from documents group by source order by source
         """,
         "recrawl": """
             with r as (
