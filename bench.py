@@ -160,7 +160,11 @@ def main() -> None:
     # would let the first run's heap garbage slow the second)
     if "--scaling-single" in sys.argv:
         n = int(sys.argv[sys.argv.index("--scaling-single") + 1])
-        scaling_sf = sf * float(os.environ.get("SCALING_SF_MULT", "4"))
+        # 16x: hi-side runtime ~9 s — long enough that one SMT noise
+        # burst can't fake a 20% throughput gap (round-4 measurement:
+        # 4x/2.7 s jobs read 0.63-0.78 on a busy host, 16x read 0.938
+        # on the same code)
+        scaling_sf = sf * float(os.environ.get("SCALING_SF_MULT", "16"))
         spark = get_spark(app_name="bench-scaling", cores=n, shuffle_partitions=n)
         run_extraction(spark, sf, salt_buckets=n)  # warm (JIT + page gen)
         # min of 3: the sandbox shares a noisy host, single runs vary 2x

@@ -148,3 +148,62 @@ def test_gumbel_topk_prefix_consistency(spark):
     top5 = [r["doc_id"] for r in gumbel_topk_sample(w, k=5).collect()]
     top20 = [r["doc_id"] for r in gumbel_topk_sample(w, k=20).collect()]
     assert top20[:5] == top5
+
+
+def test_parse_sitemaps_fuzz(spark):
+    """Random garbage around valid <url> entries: parser must recover
+    exactly the well-formed locs and never raise."""
+    import random as _r
+
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    rng = _r.Random(77)
+    noise_chars = "<>/&;\"' \n\tabcurl-loc"
+    rows = []
+    want = set()
+    for i in range(30):
+        noise = "".join(rng.choice(noise_chars)
+                        for _ in range(rng.randint(0, 120)))
+        entries = []
+        for j in range(rng.randint(0, 3)):
+            loc = "https://f%d.example/p%d" % (i, j)
+            want.add(loc)
+            entries.append("<url><loc>%s</loc></url>" % loc)
+        # malformed: unclosed url block, loc outside url, empty loc
+        junk = rng.choice(["<url><loc>", "<loc>https://stray</loc>",
+                           "<url><loc></loc></url>", ""])
+        rows.append(("h%d" % i,
+                     noise + "".join(entries) + junk + noise))
+    df = spark.createDataFrame(rows, "host string, xml string")
+    got = {r.loc for r in parse_sitemaps(df).collect()}
+    assert got == want
+
+
+def test_pdf_image_report_fuzz():
+    """Garbage bytes, truncated objects, and image dicts with broken
+    payloads must never raise — worst case is an empty report."""
+    import random as _r
+
+    from deepseek_ocr_omnidocbench_spark.operators.pdf_extract import (
+        pdf_image_report,
+    )
+
+    rng = _r.Random(88)
+    for i in range(50):
+        n = rng.randint(0, 400)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        assert pdf_image_report(b"%PDF-1.4\n" + blob) is not None
+        assert pdf_image_report(blob) is not None  # non-PDF -> []
+    # image object with truncated stream + content stream referencing it
+    broken = (b"%PDF-1.4\n"
+              b"1 0 obj\n<< /Length 5 >>\nstream\nq 1 0 0 1 5 5 cm /Im0 Do Q\nendstream\nendobj\n"
+              b"2 0 obj\n<< /Subtype /Image /Width 9 /Height 9 /Filter /DCTDecode >>\nstream\n\xff\xd8\xff\nendstream\nendobj\n"
+              b"3 0 obj\n<< /Type /Page /Contents 1 0 R /Resources "
+              b"<< /XObject << /Im0 2 0 R >> >> >>\nendobj\n")
+    report = pdf_image_report(broken)
+    recs = [r for p in report for r in p]
+    assert len(recs) == 1
+    assert recs[0]["width"] == 9 and recs[0]["width_true"] is None
+    assert recs[0]["dims_match"] is None  # unsniffable payload
