@@ -848,6 +848,50 @@ def q_recrawl(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_frontier(spark, sf_dir):
+    """Frontier-bootstrap composition: sitemap XML -> parse -> URL
+    hygiene gates (blocked domains, non-text extensions) -> exact URL
+    dedup -> deterministic priority -> per-host politeness slots.
+    Every stage holds its own oracle elsewhere; this splices them into
+    one gated dataflow (the crawl-side analog of curate_pipeline).
+    Synthesis plants spam.example hosts (doc_id%20==0) and .jpg locs
+    (doc_id%15==0) so the gates actually cut, and /p/ locs collide
+    across docs so dedup matters."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        url_filter_cols,
+    )
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        parse_sitemaps,
+        politeness_schedule,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host1 = F.concat(F.lit("h"), (did % 9).cast("string"),
+                     F.lit(".example"))
+    host2 = F.when(did % 20 == 0, F.lit("spam.example")).otherwise(
+        F.concat(F.lit("h"), ((did * 3) % 9).cast("string"),
+                 F.lit(".example")))
+    ext = F.when(did % 15 == 0, F.lit(".jpg")).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host1, F.lit("/d/"),
+        did.cast("string"), F.lit("</loc></url>"),
+        F.lit("<url><loc>https://"), host2, F.lit("/p/"),
+        (did % 50).cast("string"), ext,
+        F.lit("</loc></url></urlset>"))
+    sm = d.select(host1.alias("host"), xml.alias("xml"))
+    locs = parse_sitemaps(sm).select(F.col("loc").alias("url"))
+    g = url_filter_cols(F.col("url"))
+    kept = (locs
+            .where(g["url_pass"])
+            .select("url", g["host"].alias("host"))
+            .distinct())
+    frontier = kept.withColumn(
+        "priority", (F.length("url") % 10).cast("double") / 10.0)
+    return (politeness_schedule(frontier, delay_s=1.5)
+            .orderBy("host", "fetch_slot"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -2096,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": q_host_components,
         "recrawl": q_recrawl,
         "extraction_roundtrip": q_extraction_roundtrip,
+        "frontier": q_frontier,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2125,9 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
-        "lm_perplexity": q_lm_perplexity,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
         "edit_metric_by_source": q_edit_metric_by_source,
@@ -3028,6 +3073,57 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "frontier": """
+            with d as (
+              select doc_id,
+                '<urlset><url><loc>https://h' || (doc_id % 9)::varchar
+                  || '.example/d/' || doc_id::varchar || '</loc></url>'
+                || '<url><loc>https://'
+                || case when doc_id % 20 = 0 then 'spam.example'
+                   else 'h' || ((doc_id * 3) % 9)::varchar || '.example'
+                   end
+                || '/p/' || (doc_id % 50)::varchar
+                || case when doc_id % 15 = 0 then '.jpg' else '' end
+                || '</loc></url></urlset>' as xml
+              from documents),
+            e as (
+              select unnest(regexp_extract_all(xml,
+                '(?s)<url>(.*?)</url>', 1)) as entry
+              from d),
+            locs as (
+              select regexp_extract(entry,
+                '<loc>\\s*(.*?)\\s*</loc>', 1) as url
+              from e),
+            h as (
+              select url,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as host
+              from locs where len(url) > 0),
+            kept as (
+              select distinct url, host from h
+              where not (host = 'badsite.example'
+                         or suffix(host, '.badsite.example')
+                         or host = 'spam.example'
+                         or suffix(host, '.spam.example')
+                         or host = 'malware.example'
+                         or suffix(host, '.malware.example'))
+                and not regexp_matches(lower(url),
+                  '(casino|viagra|xxx|porn|escort)')
+                and not regexp_matches(lower(url),
+                  '\\.(jpe?g|png|gif|webp|bmp|tiff?|mp[34]|avi|mkv|mov|wav|flac|zip|rar|7z|tar|gz|bz2|exe|dmg|iso|css|js|ico|svg|woff2?|ttf|pdf)([?#].*)?$')),
+            f as (
+              select url, host,
+                (length(url) % 10)::double / 10.0 as priority
+              from kept),
+            s as (
+              select *, (row_number() over (partition by host
+                order by priority desc, url asc) - 1)::bigint
+                as fetch_slot
+              from f)
+            select host, url, priority, fetch_slot,
+              round(fetch_slot * 1.5, 3) as fetch_at_s
+            from s order by host, fetch_slot
         """,
         "extraction_roundtrip": """
             select source, count(*)::bigint as n_docs,
