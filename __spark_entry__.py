@@ -892,6 +892,37 @@ def q_frontier(spark, sf_dir):
             .orderBy("host", "fetch_slot"))
 
 
+def q_quantization(spark, sf_dir):
+    """int8 embedding quantization audit under the value gate.  The
+    quantized codes are INTEGER-exact across engines (float->double
+    widening, max/abs, one IEEE division and a half-away round are all
+    bit-deterministic), so the gate compares exact integer aggregates
+    of the code vector (sum / L1 / nonzero count) plus the scale; the
+    orig-vs-dequantized cosine is reported at 3 decimals only — the
+    two engines legitimately differ ~1e-7 in summation order, which at
+    6 decimals flips rounding boundaries."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        cosine_sim,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    dv = F.transform(F.col("qvec"),
+                     lambda x: x.cast("double") * F.col("scale"))
+    return (q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.size(F.filter("qvec", lambda x: x != 0)).cast("long")
+        .alias("q_nonzero"),
+        F.round(cosine_sim(F.col("embedding"), dv), 3).alias("cos_q"))
+        .orderBy("vec_id"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -2141,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl": q_recrawl,
         "extraction_roundtrip": q_extraction_roundtrip,
         "frontier": q_frontier,
+        "quantization": q_quantization,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2169,9 +2201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filters": q_url_filters,
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
@@ -3073,6 +3105,30 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "quantization": """
+            with e as (
+              select vec_id, embedding::DOUBLE[] as v from embeddings),
+            s as (
+              select vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 as scale
+              from e),
+            q as (
+              select vec_id, v, scale,
+                case when scale > 0 then list_transform(v,
+                  x -> least(greatest(round(x / scale), -127.0), 127.0))
+                else list_transform(v, x -> 0.0) end as qv
+              from s),
+            d as (
+              select vec_id, scale, v, qv,
+                list_transform(qv, x -> x * scale) as dv
+              from q)
+            select vec_id, round(scale, 6) as scale,
+              list_sum(qv)::bigint as q_sum,
+              list_sum(list_transform(qv, x -> abs(x)))::bigint as q_l1,
+              len(list_filter(qv, x -> x != 0))::bigint as q_nonzero,
+              round(list_cosine_similarity(v, dv), 3) as cos_q
+            from d order by vec_id
         """,
         "frontier": """
             with d as (

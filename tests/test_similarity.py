@@ -293,3 +293,23 @@ def test_semdedup_matches_pure_python_reference(spark):
     # exactly one survivor per planted dup group (clone or original)
     assert sum(1 for i in (0, 30) if want[i]) == 1
     assert sum(1 for i in (5, 31, 32) if want[i]) == 1
+
+
+def test_quantize_embeddings(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        quantization_error,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]),
+         (3, [127.0, -127.0, 63.5])],
+        "vec_id long, embedding array<float>")
+    q = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert q[1].qvec == [127, -64, 32]          # scale = 1/127
+    assert abs(q[1].scale - 1.0 / 127.0) < 1e-12
+    assert q[2].qvec == [0, 0, 0] and q[2].scale == 0.0  # zero vector
+    assert q[3].qvec == [127, -127, 64]         # clamp bounds hold
+    err = {r.vec_id: r for r in quantization_error(emb).collect()}
+    assert err[1].cos_q >= 0.999   # 3-dim roundtrip stays near-parallel
+    assert err[3].cos_q >= 0.999
