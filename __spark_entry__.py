@@ -923,6 +923,39 @@ def q_quantization(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+def q_quantized_recall(spark, sf_dir):
+    """The question int8 quantization must answer before an ANN index
+    swaps storage: does top-k survive?  Exact cosine top-5 vs top-5
+    over dequantized int8 vectors, overlap per query — both retrieval
+    paths and the dequantization replayed in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        knn_bruteforce,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    exact = knn_bruteforce(emb, queries, k=5)
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform("qvec", lambda x: x.cast("double") * F.col("scale"))
+        .alias("embedding"))
+    approx = knn_bruteforce(deq, queries, k=5)
+    overlap = (exact.select("query_id", "neighbor_id")
+               .join(approx.select("query_id", "neighbor_id"),
+                     ["query_id", "neighbor_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    (F.coalesce("n_common", F.lit(0)) / 5.0)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus health report — the one-screen summary a
     curation run ends with: volume (docs, whitespace tokens), quality
@@ -2173,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_roundtrip": q_extraction_roundtrip,
         "frontier": q_frontier,
         "quantization": q_quantization,
+        "quantized_recall": q_quantized_recall,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2200,9 +2234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "url_filters": q_url_filters,
         "domain_quota": q_domain_quota,
-        "dsir_weights": q_dsir_weights,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
@@ -3105,6 +3139,49 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "quantized_recall": """
+            with e as (
+              select vec_id, embedding::DOUBLE[] as v from embeddings),
+            s as (
+              select vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 as scale
+              from e),
+            dq as (
+              select vec_id,
+                case when scale > 0 then list_transform(
+                  list_transform(v, x -> least(greatest(
+                    round(x / scale), -127.0), 127.0)),
+                  x -> x * scale)
+                else list_transform(v, x -> 0.0) end as v
+              from s),
+            q as (select vec_id as query_id, v as qvec from e
+                  where vec_id < 5),
+            ex as (
+              select query_id, neighbor_id from (
+                select query_id, e.vec_id as neighbor_id,
+                  row_number() over (partition by query_id
+                    order by list_cosine_similarity(qvec, e.v) desc,
+                             e.vec_id) as rank
+                from q join e on e.vec_id != query_id)
+              where rank <= 5),
+            ap as (
+              select query_id, neighbor_id from (
+                select query_id, d.vec_id as neighbor_id,
+                  row_number() over (partition by query_id
+                    order by list_cosine_similarity(qvec, d.v) desc,
+                             d.vec_id) as rank
+                from q join dq d on d.vec_id != query_id)
+              where rank <= 5),
+            o as (
+              select ex.query_id, count(*)::bigint as n_common
+              from ex join ap using (query_id, neighbor_id)
+              group by ex.query_id)
+            select q.query_id,
+              coalesce(o.n_common, 0)::bigint as n_common,
+              coalesce(o.n_common, 0) / 5.0 as recall_at_5
+            from q left join o using (query_id)
+            order by q.query_id
         """,
         "quantization": """
             with e as (
