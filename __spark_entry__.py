@@ -225,6 +225,25 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", R).alias("jaccard"))
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment dedup: every 5th doc spawns a 33-word
+    excerpt twin (doc_id + 100000) whose shingles are a strict subset
+    of its source — containment on the excerpt side is ~1.0 where
+    symmetric Jaccard would stay far below threshold.  Candidate
+    generation, exact verify and both containment directions replay in
+    SQL."""
+    d = _docs(spark, sf_dir)
+    words = D.normalized_words(F.col("text"))
+    excerpts = (d.where(F.pmod("doc_id", F.lit(5)) == 0)
+                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                        "lang",
+                        F.array_join(F.slice(words, 1, 33), " ")
+                        .alias("text")))
+    corpus = d.select("doc_id", "lang", "text").unionByName(excerpts)
+    return (D.containment_pairs(corpus, threshold=0.9)
+            .orderBy("doc_a", "doc_b"))
+
+
 _BOILER = ("all rights reserved contact us for more information "
            "about our terms of service")
 
@@ -2207,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": q_frontier,
         "quantization": q_quantization,
         "quantized_recall": q_quantized_recall,
+        "containment": q_containment,
         # --- tier 2: changed this round / red last round -------------------
         "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
@@ -2233,9 +2253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "page_metadata": q_page_metadata,
         "url_filters": q_url_filters,
-        "domain_quota": q_domain_quota,
         # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
         # window this round (verified green in r2 and r3) -------------------
+        "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
@@ -3139,6 +3159,35 @@ def oracle_sql() -> dict[str, str]:
             from e
             where src != dst and len(src) > 0 and len(dst) > 0
             group by src, dst order by src, dst
+        """,
+        "containment": f"""
+            with base as (
+              select doc_id, lang, text from documents
+              union all
+              select doc_id + 100000 as doc_id, lang,
+                array_to_string(list_slice({_AZ09_WORDS}, 1, 33), ' ')
+                  as text
+              from documents where doc_id % 5 = 0),
+            d as (
+              select doc_id, lang, {_SHINGLES} as sh
+              from (select doc_id, lang, {_AZ09_WORDS} as w, text
+                    from base)),
+            p as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                len(list_intersect(a.sh, b.sh))::double as inter,
+                len(a.sh) as na, len(b.sh) as nb
+              from d a join d b
+                on a.lang = b.lang and a.doc_id < b.doc_id),
+            c as (
+              select doc_a, doc_b,
+                round(case when na > 0 then inter / na else 0.0 end, 6)
+                  as containment_a,
+                round(case when nb > 0 then inter / nb else 0.0 end, 6)
+                  as containment_b
+              from p)
+            select * from c
+            where greatest(containment_a, containment_b) >= 0.9
+            order by doc_a, doc_b
         """,
         "quantized_recall": """
             with e as (

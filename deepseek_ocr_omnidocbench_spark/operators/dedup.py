@@ -710,3 +710,48 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     return out.withColumn(
         "is_survivor",
         (F.col("cluster_id") == F.col(id_col)).cast("int"))
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      block_col: str = "lang", threshold: float = 0.9,
+                      df_cap: int | None | str = "derived",
+                      candidates: DataFrame | None = None) -> DataFrame:
+    """Asymmetric shingle containment C(a|b) = |S(a) ∩ S(b)| / |S(a)|
+    (Broder's resemblance companion): a short excerpt inside a longer
+    page scores ~1.0 on the excerpt side while symmetric Jaccard
+    dilutes below any useful threshold — the signal for
+    quote-inclusion and boilerplate-extended near-dups.
+
+    Candidate generation reuses ngram_jaccard_pairs' bounded inverted
+    index (any pair sharing one surviving shingle is a candidate);
+    survivors are verified exactly on the full hashed-shingle arrays
+    with BOTH directions reported, kept when either containment
+    reaches ``threshold``.  Same 100 TB story as the Jaccard verifier:
+    posting lists capped in-plan, verification touches candidates
+    only."""
+    sh = word_shingles(F.col(text_col), n)
+    base = docs.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("sh"))
+    if candidates is None:
+        candidates = (ngram_jaccard_pairs(
+            docs, text_col=text_col, id_col=id_col, n=n,
+            block_col=block_col, threshold=0.0, df_cap=df_cap)
+            .select("doc_a", "doc_b"))
+    pairs = (candidates
+             .join(base.withColumnRenamed(id_col, "doc_a")
+                   .withColumnRenamed("sh", "sh_a"), "doc_a")
+             .join(base.withColumnRenamed(id_col, "doc_b")
+                   .withColumnRenamed("sh", "sh_b"), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_a = F.when(F.size("sh_a") > 0,
+                 inter / F.size("sh_a")).otherwise(F.lit(0.0))
+    c_b = F.when(F.size("sh_b") > 0,
+                 inter / F.size("sh_b")).otherwise(F.lit(0.0))
+    return (pairs.select(
+        "doc_a", "doc_b",
+        F.round(c_a, 6).alias("containment_a"),
+        F.round(c_b, 6).alias("containment_b"))
+        .where(F.greatest(F.col("containment_a"),
+                          F.col("containment_b")) >= threshold))

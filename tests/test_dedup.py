@@ -141,3 +141,28 @@ def test_ngram_jaccard_pair_count_matches_duckdb(docs):
               / len(list_distinct(a.sh || b.sh)) > 0.2
     """).fetchone()[0]
     assert got == want
+
+
+def test_containment_pairs_asymmetric(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    long_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lamda mu nu xi omicron pi rho sigma tau upsilon")
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame(
+        [(1, "en", long_text), (2, "en", excerpt), (3, "en", other)],
+        "doc_id long, lang string, text string")
+    out = {(r.doc_a, r.doc_b): r
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    pair = out[(1, 2)]
+    assert pair.containment_b == 1.0          # excerpt fully inside
+    assert pair.containment_a < 0.5           # long side far below
+    # symmetric jaccard on the same pair would sit below 0.5: the
+    # asymmetric direction is what finds it
+    strict = containment_pairs(docs, threshold=0.999).collect()
+    assert {(r.doc_a, r.doc_b) for r in strict} == {(1, 2)}
