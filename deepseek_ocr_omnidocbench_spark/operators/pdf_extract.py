@@ -359,8 +359,94 @@ def _image_xobjects(data: bytes) -> dict[int, dict]:
         sniffed = sniff_image_header(m.group(1))
         if sniffed is not None:
             rec["fmt"], rec["width_true"], rec["height_true"] = sniffed
+        elif rec["filter"] == "CCITTFaxDecode":
+            # G3/G4 payloads carry no header: true width is the decode
+            # parameter /Columns (spec default 1728), height /Rows when
+            # stated (G4 height is otherwise implicit in the coded data)
+            rec["fmt"] = "ccitt"
+            dp = re.search(rb"/DecodeParms\s*<<(.*?)>>", head, re.DOTALL)
+            if dp:
+                rec["width_true"] = _int_after(dp.group(1), b"/Columns")
+                rec["height_true"] = _int_after(dp.group(1), b"/Rows")
+            if rec["width_true"] is None:
+                rec["width_true"] = 1728
+        elif rec["filter"] == "JBIG2Decode":
+            dims = _jbig2_dims(m.group(1))
+            if dims is not None:
+                rec["fmt"] = "jbig2"
+                rec["width_true"], rec["height_true"] = dims
         out[int(objm.group(1))] = rec
     return out
+
+
+def _jbig2_dims(payload: bytes) -> Optional[tuple[int, int]]:
+    """(width, height) from an embedded-JBIG2 page-information segment
+    (type 48), walking the segment headers per the public JBIG2 spec
+    (ITU-T T.88 §7.2): number(4) flags(1) referred-to(var)
+    page-assoc(1|4) data-length(4), page-info data = width(4) height(4)."""
+    i = 0
+    n = len(payload)
+    while i + 11 <= n:
+        seg_num = int.from_bytes(payload[i:i + 4], "big")
+        flags = payload[i + 4]
+        stype = flags & 0x3F
+        rts = payload[i + 5]
+        cnt = (rts >> 5) & 0x7
+        if cnt == 7:
+            cnt = int.from_bytes(payload[i + 5:i + 9], "big") & 0x1FFFFFFF
+            j = i + 9 + (cnt + 8) // 8  # long form + retain-bit bytes
+        else:
+            j = i + 6
+        ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
+        j += cnt * ref_size
+        j += 4 if flags & 0x40 else 1
+        if j + 4 > n:
+            return None
+        data_len = int.from_bytes(payload[j:j + 4], "big")
+        j += 4
+        if stype == 48 and j + 8 <= n:
+            return (int.from_bytes(payload[j:j + 4], "big"),
+                    int.from_bytes(payload[j + 4:j + 8], "big"))
+        if data_len == 0xFFFFFFFF:
+            return None  # unknown-length segment: cannot skip safely
+        i = j + data_len
+    return None
+
+
+_INLINE_IMG_RE = re.compile(r"\bBI\b(.*?)\bID[ \r\n](.*?)\sEI\b", re.DOTALL)
+_INLINE_KEY_RES = {
+    "width": re.compile(r"/(?:W|Width)\s+(\d+)"),
+    "height": re.compile(r"/(?:H|Height)\s+(\d+)"),
+    "filter": re.compile(r"/(?:F|Filter)\s*/(\w+)"),
+}
+
+
+def _rewrite_inline_images(stream: str) -> tuple[str, dict[str, dict]]:
+    """Replace each ``BI <dict> ID <bytes> EI`` inline image with a
+    synthetic ``/__iiK Do`` so the CTM placement walk treats it exactly
+    like an XObject; returns (rewritten stream, synthetic name -> info).
+    Payloads that carry a sniffable container (inline DCT) get true
+    dimensions; raw samples stay None."""
+    infos: dict[str, dict] = {}
+
+    def _sub(m: "re.Match[str]") -> str:
+        name = "__ii%d" % len(infos)
+        d = m.group(1)
+        rec = {"fmt": "inline", "width_true": None, "height_true": None}
+        for key in ("width", "height"):
+            km = _INLINE_KEY_RES[key].search(d)
+            rec[key] = int(km.group(1)) if km else None
+        fm = _INLINE_KEY_RES["filter"].search(d)
+        rec["filter"] = fm.group(1) if fm else None
+        from .multimodal import sniff_image_header
+
+        sniffed = sniff_image_header(m.group(2).encode("latin-1"))
+        if sniffed is not None:
+            rec["fmt"], rec["width_true"], rec["height_true"] = sniffed
+        infos[name] = rec
+        return " /%s Do " % name
+
+    return _INLINE_IMG_RE.sub(_sub, stream), infos
 
 
 def _page_xobject_names(data: bytes) -> tuple[dict[int, dict[str, int]], dict[str, int]]:
@@ -387,6 +473,44 @@ def _page_xobject_names(data: bytes) -> tuple[dict[int, dict[str, int]], dict[st
         if cm:
             per_content[int(cm.group(1))] = names
     return per_content, global_map
+
+
+def _page_content_order(data: bytes) -> list[Optional[int]]:
+    """Ordered /Contents object numbers, one slot per /Type /Page dict.
+
+    Page order follows the /Pages tree's /Kids arrays when every found
+    page dict is covered by them (the reader order anchor.py sees);
+    otherwise byte order of the page dicts.  A page whose /Contents is
+    missing or an unsupported shape (array of refs) gets None — its
+    report slot stays an empty list rather than shifting later pages."""
+    by_objnum: dict[int, Optional[int]] = {}
+    byte_order: list[int] = []
+    for pm in re.finditer(rb"/Type\s*/Page\b(?!s)", data):
+        start = data.rfind(b"obj", 0, pm.start())
+        end = data.find(b"endobj", pm.start())
+        page_dict = data[max(0, start - 16):end if end != -1 else len(data)]
+        objm = None
+        for objm in _OBJ_RE.finditer(data[max(0, start - 16):pm.start()]):
+            pass  # last "N 0 obj" before the /Type /Page marker owns it
+        if objm is None:
+            continue
+        objnum = int(objm.group(1))
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page_dict)
+        by_objnum[objnum] = int(cm.group(1)) if cm else None
+        byte_order.append(objnum)
+    kid_order: list[int] = []
+    for tm in re.finditer(rb"/Type\s*/Pages\b", data):
+        end = data.find(b"endobj", tm.start())
+        tree_dict = data[data.rfind(b"obj", 0, tm.start()):
+                         end if end != -1 else len(data)]
+        km = re.search(rb"/Kids\s*\[(.*?)\]", tree_dict, re.DOTALL)
+        if km:
+            kid_order.extend(int(r.group(1)) for r in
+                             re.finditer(rb"(\d+)\s+0\s+R", km.group(1)))
+    order = byte_order
+    if kid_order and all(o in kid_order for o in byte_order):
+        order = [k for k in kid_order if k in by_objnum]
+    return [by_objnum[o] for o in order]
 
 
 def _content_objnum(data: bytes, m: "re.Match[bytes]") -> Optional[int]:
@@ -476,29 +600,27 @@ def pdf_image_report(data: Optional[bytes], merge: bool = True) -> Optional[list
     if not data.startswith(b"%PDF"):
         return []
     xobjs = _image_xobjects(data)
-    if not xobjs:
-        return []
+    # no early exit on empty xobjs: inline images (BI/ID/EI) live inside
+    # content streams and need no XObject dictionary at all
     per_content, global_map = _page_xobject_names(data)
-    pages: list[list[dict]] = []
-    page_no = 0
-    for m in _STREAM_RE.finditer(data):
-        objnum = _content_objnum(data, m)
-        if objnum in xobjs:
-            continue  # image payload streams are not content streams
+
+    def _place(m: "Optional[re.Match[bytes]]", objnum: Optional[int],
+               page_no: int) -> list[dict]:
+        if m is None:
+            return []
         raw = _stream_payload(data, m)
         if raw is None:
-            continue
-        try:
-            stream = raw.decode("latin-1")
-        except Exception:
-            continue
+            return []
+        stream = raw.decode("latin-1")
         names = per_content.get(objnum) if objnum is not None else None
         if names is None:
             names = global_map
-        image_names = {k: v for k, v in names.items() if v in xobjs}
+        stream, inline = _rewrite_inline_images(stream)
+        lookup = {k: xobjs[v] for k, v in names.items() if v in xobjs}
+        lookup.update(inline)
         placed = []
-        for name, bbox in _placements_in_stream(stream, image_names):
-            info = xobjs[image_names[name]]
+        for name, bbox in _placements_in_stream(stream, lookup):
+            info = lookup[name]
             dims_match = None
             if info["width_true"] is not None and info["width"] is not None:
                 dims_match = (info["width"] == info["width_true"]
@@ -512,6 +634,36 @@ def pdf_image_report(data: Optional[bytes], merge: bool = True) -> Optional[list
                 "dims_match": dims_match,
                 "x0": bbox[0], "y0": bbox[1], "x1": bbox[2], "y1": bbox[3],
             })
+        return placed
+
+    pages: list[list[dict]] = []
+    content_order = _page_content_order(data)
+    if content_order:
+        # one report slot per /Type /Page dict, in reader (Kids) order —
+        # font/metadata streams can't become phantom pages, and a content
+        # stream that fails to decode leaves an empty slot instead of
+        # shifting every later page index (matches anchor.py's
+        # reader.pages indexing)
+        streams_by_obj: dict[int, "re.Match[bytes]"] = {}
+        for m in _STREAM_RE.finditer(data):
+            objnum = _content_objnum(data, m)
+            if objnum is not None and objnum not in streams_by_obj:
+                streams_by_obj[objnum] = m
+        for page_no, cobj in enumerate(content_order):
+            placed = _place(streams_by_obj.get(cobj) if cobj is not None
+                            else None, cobj, page_no)
+            pages.append(_merge_placements(placed) if merge else placed)
+        return pages
+    # no /Type /Page dicts at all (truncated/fuzzed blobs): fall back to
+    # encounter order over decodable non-image streams
+    page_no = 0
+    for m in _STREAM_RE.finditer(data):
+        objnum = _content_objnum(data, m)
+        if objnum in xobjs:
+            continue  # image payload streams are not content streams
+        if _stream_payload(data, m) is None:
+            continue
+        placed = _place(m, objnum, page_no)
         pages.append(_merge_placements(placed) if merge else placed)
         page_no += 1
     return pages

@@ -133,7 +133,10 @@ def test_compressed_content_stream_placements():
 
 def test_no_images_and_non_pdf():
     rng = random.Random("img:1")
-    assert pdf_image_report(_mini_pdf(rng)) == []
+    # page-slot contract: one (empty) slot per /Type /Page dict, so
+    # imageless pages keep later page indices aligned with reader pages
+    report = pdf_image_report(_mini_pdf(rng))
+    assert report and all(p == [] for p in report)
     assert pdf_image_report(b"<html></html>") == []
     assert pdf_image_report(None) is None
     assert image_anchors(None) is None
@@ -172,3 +175,124 @@ def test_spark_pdf_image_placements(spark):
         assert r.width == r.width_true and r.height == r.height_true
         assert r.x1 > r.x0 and r.y1 > r.y0
         assert r.fmt == "jpeg" and r.filter == "DCTDecode"
+
+
+def _raw_pdf(objs, root=None):
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size %d /Root %d 0 R >>\n%%EOF\n" % (
+        len(objs) + 1, root or len(objs))
+    return bytes(out)
+
+
+def test_phantom_streams_do_not_shift_page_indices():
+    """A font-file stream and an undecodable stream must not become
+    pages, and a two-page doc places page-2 images at page index 1
+    (ADVICE r4: page slots come from /Type /Page dicts, not from
+    encounter order of decodable streams)."""
+    jpeg = _mini_jpeg(64, 64)
+    content1 = b"BT /F1 12 Tf 72 700 Td (page one) Tj ET"
+    content2 = (b"BT /F1 12 Tf 72 700 Td (page two) Tj ET\n"
+                b"q\n64 0 0 64 100 200 cm\n/Im0 Do\nQ")
+    fontfile = b"\x80\x01binaryfontbytes" * 8  # decodable non-content stream
+    objs = [
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(fontfile), fontfile),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content1), content1),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content2), content2),
+        b"<< /Type /XObject /Subtype /Image /Width 64 /Height 64 "
+        b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(jpeg), jpeg),
+        b"<< /Type /Page /Parent 7 0 R /Contents 2 0 R >>",
+        b"<< /Type /Page /Parent 7 0 R /Contents 3 0 R "
+        b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+        b"<< /Type /Pages /Kids [5 0 R 6 0 R] /Count 2 >>",
+        b"<< /Type /Catalog /Pages 7 0 R >>",
+    ]
+    report = pdf_image_report(_raw_pdf(objs))
+    assert len(report) == 2           # exactly the two /Type /Page dicts
+    assert report[0] == []
+    (rec,) = report[1]
+    assert rec["page"] == 1 and rec["name"] == "Im0"
+    assert (rec["x0"], rec["y0"], rec["x1"], rec["y1"]) == (100, 200, 164, 264)
+
+
+def test_kids_order_overrides_byte_order():
+    """Pages appear in /Kids order even when the page dicts are stored
+    in reversed byte order in the file."""
+    jpeg = _mini_jpeg(32, 32)
+    c_first = (b"q\n32 0 0 32 10 20 cm\n/Im0 Do\nQ")  # reader page 0
+    c_second = b"BT (later page, no image) Tj ET"
+    objs = [
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c_second), c_second),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c_first), c_first),
+        b"<< /Type /XObject /Subtype /Image /Width 32 /Height 32 "
+        b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(jpeg), jpeg),
+        # byte order: the /Contents 1 page first — but /Kids lists 5 before 4
+        b"<< /Type /Page /Parent 6 0 R /Contents 1 0 R >>",
+        b"<< /Type /Page /Parent 6 0 R /Contents 2 0 R "
+        b"/Resources << /XObject << /Im0 3 0 R >> >> >>",
+        b"<< /Type /Pages /Kids [5 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Catalog /Pages 6 0 R >>",
+    ]
+    report = pdf_image_report(_raw_pdf(objs))
+    assert len(report) == 2
+    (rec,) = report[0]                # image page is reader page 0 via Kids
+    assert rec["page"] == 0 and report[1] == []
+
+
+def test_inline_image_placement():
+    """BI/ID/EI inline images place under the current CTM like XObjects
+    and sniff inline-DCT true dimensions."""
+    jpeg = _mini_jpeg(48, 24)
+    content = (b"BT (x) Tj ET\nq\n48 0 0 24 60 80 cm\n"
+               b"BI /W 48 /H 24 /F /DCTDecode ID " + jpeg + b" EI\nQ")
+    objs = [
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>",
+        b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 3 0 R >>",
+    ]
+    report = pdf_image_report(_raw_pdf(objs))
+    (rec,) = report[0]
+    assert (rec["x0"], rec["y0"], rec["x1"], rec["y1"]) == (60, 80, 108, 104)
+    assert rec["width"] == 48 and rec["height"] == 24
+    assert rec["fmt"] == "jpeg"       # payload sniff beats the 'inline' tag
+    assert rec["width_true"] == 48 and rec["height_true"] == 24
+    assert rec["dims_match"] is True
+
+
+def test_ccitt_and_jbig2_dimension_probes():
+    from deepseek_ocr_omnidocbench_spark.operators.pdf_extract import (
+        _image_xobjects,
+        _jbig2_dims,
+    )
+
+    ccitt_payload = b"\x00\x01" * 40  # G4 coded data carries no header
+    # embedded-JBIG2 page-information segment (type 48): header then
+    # width=640 height=480 as big-endian u32s
+    seg = (b"\x00\x00\x00\x01"      # segment number 1
+           b"\x30"                   # flags: type 48, 1-byte page assoc
+           b"\x00"                   # no referred-to segments
+           b"\x01"                   # page association 1
+           b"\x00\x00\x00\x13"      # data length 19
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x00" * 11)
+    assert _jbig2_dims(seg) == (640, 480)
+    objs = [
+        b"<< /Type /XObject /Subtype /Image /Width 1728 /Height 1100 "
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 1728 "
+        b"/Rows 1100 >> /Length %d >>\nstream\n%s\nendstream"
+        % (len(ccitt_payload), ccitt_payload),
+        b"<< /Type /XObject /Subtype /Image /Width 640 /Height 480 "
+        b"/Filter /JBIG2Decode /Length %d >>\nstream\n%s\nendstream"
+        % (len(seg), seg),
+    ]
+    xobjs = _image_xobjects(_raw_pdf(objs))
+    ccitt = xobjs[1]
+    assert ccitt["fmt"] == "ccitt"
+    assert (ccitt["width_true"], ccitt["height_true"]) == (1728, 1100)
+    jb = xobjs[2]
+    assert jb["fmt"] == "jbig2"
+    assert (jb["width_true"], jb["height_true"]) == (640, 480)
