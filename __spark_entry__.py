@@ -240,7 +240,11 @@ def q_containment(spark, sf_dir):
                         F.array_join(F.slice(words, 1, 33), " ")
                         .alias("text")))
     corpus = d.select("doc_id", "lang", "text").unionByName(excerpts)
-    return (D.containment_pairs(corpus, threshold=0.9)
+    # df_cap=None: exhaustive candidate generation so Spark enumerates
+    # exactly the pairs the oracle's within-block quadratic scan does
+    # (the production default caps posting lists and requires 2 shared
+    # shingles — both can drop pairs the exhaustive oracle reports)
+    return (D.containment_pairs(corpus, threshold=0.9, df_cap=None)
             .orderBy("doc_a", "doc_b"))
 
 
@@ -954,12 +958,15 @@ def q_quantized_recall(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding")
-    exact = knn_bruteforce(emb, queries, k=5)
+    # rank on round(cosine, 3): a ~1e-7 summation-order divergence
+    # between engines can flip a near-tied rank-5 boundary (ADVICE r4);
+    # coarse-rounded ranking with the vec_id tiebreak is stable on both
+    exact = knn_bruteforce(emb, queries, k=5, rank_precision=3)
     deq = quantize_embeddings(emb).select(
         "vec_id",
         F.transform("qvec", lambda x: x.cast("double") * F.col("scale"))
         .alias("embedding"))
-    approx = knn_bruteforce(deq, queries, k=5)
+    approx = knn_bruteforce(deq, queries, k=5, rank_precision=3)
     overlap = (exact.select("query_id", "neighbor_id")
                .join(approx.select("query_id", "neighbor_id"),
                      ["query_id", "neighbor_id"])
@@ -3210,16 +3217,16 @@ def oracle_sql() -> dict[str, str]:
               select query_id, neighbor_id from (
                 select query_id, e.vec_id as neighbor_id,
                   row_number() over (partition by query_id
-                    order by list_cosine_similarity(qvec, e.v) desc,
-                             e.vec_id) as rank
+                    order by round(list_cosine_similarity(qvec, e.v), 3)
+                             desc, e.vec_id) as rank
                 from q join e on e.vec_id != query_id)
               where rank <= 5),
             ap as (
               select query_id, neighbor_id from (
                 select query_id, d.vec_id as neighbor_id,
                   row_number() over (partition by query_id
-                    order by list_cosine_similarity(qvec, d.v) desc,
-                             d.vec_id) as rank
+                    order by round(list_cosine_similarity(qvec, d.v), 3)
+                             desc, d.vec_id) as rank
                 from q join dq d on d.vec_id != query_id)
               where rank <= 5),
             o as (

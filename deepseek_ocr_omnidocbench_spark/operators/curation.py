@@ -182,11 +182,14 @@ def mixture_weights(docs: DataFrame, alpha: float = 0.3,
     scaled = per_source.withColumn(
         "_scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
     total = scaled.agg(F.sum("_scaled").alias("_z"))
-    out = (scaled.crossJoin(F.broadcast(total))
-           .withColumn("weight", F.round(F.col("_scaled") / F.col("_z"), 8))
-           .drop("_scaled", "_z"))
+    out = scaled.crossJoin(F.broadcast(total)) \
+        .withColumn("weight", F.round(F.col("_scaled") / F.col("_z"), 8))
     if token_budget is not None:
+        # budget from the UNROUNDED ratio: rounding weight first can
+        # flip round() at a .5 boundary vs an oracle that scales the
+        # raw ratio (ADVICE r4)
         out = out.withColumn(
             "budget_tokens",
-            F.round(F.col("weight") * F.lit(float(token_budget))).cast("long"))
-    return out
+            F.round(F.col("_scaled") / F.col("_z")
+                    * F.lit(float(token_budget))).cast("long"))
+    return out.drop("_scaled", "_z")

@@ -197,7 +197,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         block_col: str = "lang",
                         threshold: float = 0.0,
                         df_cap: int | None | str = "derived",
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        min_shared: int = 1) -> DataFrame:
     """Blocked n-gram Jaccard verification (the exact verifier; SQL-parity
     with the DuckDB oracle).  Blocking on ``block_col`` bounds the
     quadratic term per block.
@@ -255,12 +256,21 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                     .select("block", "s"))
         ex = ex.join(keep, ["block", "s"])
         a, b = ex.alias("a"), ex.alias("b")
+        # min_shared > 1 prunes pairs linked only by a single (viral)
+        # shingle at GENERATION time — the candidate set a hot stock
+        # phrase emits is postings^2 even under the cap.  least(na, nb)
+        # keeps tiny docs exact: a 1-shingle excerpt can never share 2.
         cand = (
             a.join(b, ["block", "s"])
             .where(F.col("a.%s" % id_col) < F.col("b.%s" % id_col))
-            .select(F.col("a.%s" % id_col).alias("doc_a"),
-                    F.col("b.%s" % id_col).alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"])
+            .groupBy(F.col("a.%s" % id_col).alias("doc_a"),
+                     F.col("b.%s" % id_col).alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("_shared"),
+                 F.first("a.n_sh").alias("_na"),
+                 F.first("b.n_sh").alias("_nb"))
+            .where(F.col("_shared") >= F.least(
+                F.lit(min_shared), F.col("_na"), F.col("_nb")))
+            .select("doc_a", "doc_b")
         )
         # capped postings under-count intersections, so re-verify
         # survivors on the full arrays — exact jaccard for every pair
@@ -716,7 +726,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       block_col: str = "lang", threshold: float = 0.9,
                       df_cap: int | None | str = "derived",
-                      candidates: DataFrame | None = None) -> DataFrame:
+                      candidates: DataFrame | None = None,
+                      min_shared: int = 2) -> DataFrame:
     """Asymmetric shingle containment C(a|b) = |S(a) ∩ S(b)| / |S(a)|
     (Broder's resemblance companion): a short excerpt inside a longer
     page scores ~1.0 on the excerpt side while symmetric Jaccard
@@ -724,12 +735,18 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     quote-inclusion and boilerplate-extended near-dups.
 
     Candidate generation reuses ngram_jaccard_pairs' bounded inverted
-    index (any pair sharing one surviving shingle is a candidate);
-    survivors are verified exactly on the full hashed-shingle arrays
-    with BOTH directions reported, kept when either containment
-    reaches ``threshold``.  Same 100 TB story as the Jaccard verifier:
-    posting lists capped in-plan, verification touches candidates
-    only."""
+    index, by default requiring ``min_shared=2`` surviving shingles per
+    pair (relaxed to the doc's own shingle count for 1-shingle
+    excerpts) — one viral shingle shared by k docs would otherwise
+    emit all k^2/2 pairs into exact verification.  Survivors are
+    verified exactly on the full hashed-shingle arrays with BOTH
+    directions reported, kept when either containment reaches
+    ``threshold``.  Same 100 TB story as the Jaccard verifier: posting
+    lists capped in-plan, verification touches candidates only.  A
+    pair whose shared shingles number below ``min_shared`` after
+    capping can be missed; for the oracle-exhaustive variant pass
+    ``df_cap=None`` (uncapped co-count generation, min_shared
+    inapplicable)."""
     sh = word_shingles(F.col(text_col), n)
     base = docs.select(
         F.col(id_col),
@@ -737,7 +754,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     if candidates is None:
         candidates = (ngram_jaccard_pairs(
             docs, text_col=text_col, id_col=id_col, n=n,
-            block_col=block_col, threshold=0.0, df_cap=df_cap)
+            block_col=block_col, threshold=0.0, df_cap=df_cap,
+            min_shared=min_shared)
             .select("doc_a", "doc_b"))
     pairs = (candidates
              .join(base.withColumnRenamed(id_col, "doc_a")

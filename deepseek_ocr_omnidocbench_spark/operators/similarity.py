@@ -31,7 +31,8 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 
 def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   rank_precision: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     -> (query_id, neighbor_id, cosine, rank).  Two-stage top-k:
@@ -40,17 +41,25 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     query BEFORE any shuffle (global top-k ⊆ union of local top-k's, so
     this is exact), and the final window ranks only P*k rows per query.
     A single window over the raw scores would drag every corpus score
-    for one query into one task — the 100 TB killer this avoids."""
+    for one query into one task — the 100 TB killer this avoids.
+
+    ``rank_precision`` rounds the cosine BEFORE ranking (ties then
+    break on neighbor_id): summation order makes float cosines differ
+    ~1e-7 across engines, which can flip a near-tied rank-k boundary —
+    cross-engine comparisons should rank on a coarse fixed precision."""
     import pandas as pd
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cos = cosine_sim(F.col("qvec"), F.col(vec_col))
+    if rank_precision is not None:
+        cos = F.round(cos, rank_precision)
     scored = (
         embeddings.alias("c")
         .join(F.broadcast(q), F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine_sim(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+            cos.alias("cosine"),
         )
     )
 

@@ -7,7 +7,9 @@ and an order-insensitive value compare (columns sorted by name, rows
 sorted, floats rounded).  Queries without an oracle get a rows-only
 check (runs, returns a stable row count >= 0).
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+(with query names given, only those queries run — and the entry()
+smoke is skipped)
 """
 
 from __future__ import annotations
@@ -77,6 +79,13 @@ def main() -> int:
             pass
 
     qs = entry.queries()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print("unknown queries:", sorted(unknown))
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -104,9 +113,10 @@ def main() -> int:
                 print(f"OK   {name}: {len(sdf)} rows match ({time.time() - t0:.1f}s)")
         else:
             print(f"OK   {name}: rows-only, {len(sdf)} rows ({time.time() - t0:.1f}s)")
-    print("entry() smoke:", end=" ")
-    edf = entry.entry(spark).toPandas()
-    print(f"{len(edf)} rows, cols={list(edf.columns)}")
+    if not only:
+        print("entry() smoke:", end=" ")
+        edf = entry.entry(spark).toPandas()
+        print(f"{len(edf)} rows, cols={list(edf.columns)}")
     return 1 if failures else 0
 
 

@@ -166,3 +166,43 @@ def test_containment_pairs_asymmetric(spark):
     # asymmetric direction is what finds it
     strict = containment_pairs(docs, threshold=0.999).collect()
     assert {(r.doc_a, r.doc_b) for r in strict} == {(1, 2)}
+
+
+def test_containment_viral_shingle_candidate_guard(spark):
+    """150 docs share exactly ONE stock shingle; min_shared=2 (default)
+    prunes the k^2/2 single-link candidates at GENERATION time while a
+    genuine excerpt pair (2 shared shingles) and a 1-shingle tiny doc
+    (relaxed to its own shingle count) both survive — and the pruned
+    result equals the exhaustive one, because 1-of-4 shared shingles is
+    containment 0.25, far below any useful threshold."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    k = 150
+    rows = [(i, "en", "alpha beta gamma u%d v%d w%d" % (i, i, i))
+            for i in range(k)]
+    rows.append((500, "en", "alpha beta gamma u0"))  # excerpt of doc 0
+    rows.append((600, "en", "alpha beta gamma"))     # single-shingle doc
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # generation-side pruning: single-link pairs never reach verification
+    n_guarded = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10**6,
+                                    min_shared=2).count()
+    n_all = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10**6,
+                                min_shared=1).count()
+    assert n_all > k * (k - 1) // 2          # viral shingle links all pairs
+    assert n_guarded < 3 * k                 # guard kills the quadratic set
+
+    got = {(r.doc_a, r.doc_b): r for r in
+           containment_pairs(docs, threshold=0.9, df_cap=10**6).collect()}
+    exhaustive = {(r.doc_a, r.doc_b): r for r in
+                  containment_pairs(docs, threshold=0.9, df_cap=None).collect()}
+    assert set(got) == set(exhaustive)
+    assert (0, 500) in got                   # 2-shared-shingle excerpt
+    assert got[(0, 500)].containment_b == 1.0
+    # tiny doc: 1 shingle, shared by every corpus doc -> min_shared
+    # relaxes to least(2, 1) = 1 and the pair still surfaces
+    assert all(p[1] == 600 or p[0] == 600 for p in got
+               if p not in {(0, 500)}) or (0, 600) in got
