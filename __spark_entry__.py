@@ -666,15 +666,11 @@ def q_link_graph(spark, sf_dir):
             .orderBy("src", "dst"))
 
 
-def q_anchor_text(spark, sf_dir):
-    """Anchor-text profile per link target, value-gated: pages carry 3
-    deterministic links whose anchor words come from the linking doc's
-    own text (slices of the lowercase word array), targets collide via
-    doc_id % 50 so each target accumulates anchors from many sources —
-    DuckDB replays the page synthesis, regex zip, term explode,
-    aggregation and top-k window exactly."""
+def _anchor_links(spark, sf_dir):
+    """Deterministic anchor-link corpus shared by q_anchor_text and the
+    approx-path tests: 3 links per doc, anchor words sliced from the
+    linking doc's own text, targets colliding via doc_id % 50."""
     from deepseek_ocr_omnidocbench_spark.operators.graph import (
-        anchor_text_profile,
         extract_links,
     )
 
@@ -694,7 +690,24 @@ def q_anchor_text(spark, sf_dir):
                  F.lit(".example/d/"), did.cast("string")).alias("url"),
         F.concat(F.lit("<html><body><p>x</p>"), link(0), link(1), link(2),
                  F.lit("</body></html>")).alias("html_text"))
-    return (anchor_text_profile(extract_links(pages), top_k=3)
+    return extract_links(pages)
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text profile per link target, value-gated: pages carry 3
+    deterministic links whose anchor words come from the linking doc's
+    own text (slices of the lowercase word array), targets collide via
+    doc_id % 50 so each target accumulates anchors from many sources —
+    DuckDB replays the page synthesis, regex zip, term explode,
+    aggregation and top-k window exactly.  n_sources stays EXACT here
+    for the value gate; anchor_text_profile(n_sources_rsd=...) is the
+    single-pass HLL production path (plan- and error-tested in
+    tests/test_graph.py)."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        anchor_text_profile,
+    )
+
+    return (anchor_text_profile(_anchor_links(spark, sf_dir), top_k=3)
             .orderBy("dst_url", "rank"))
 
 

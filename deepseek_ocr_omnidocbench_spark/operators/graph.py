@@ -109,7 +109,8 @@ def extract_links(pages: DataFrame, html_col: str = "html_text",
 
 
 def anchor_text_profile(links: DataFrame, top_k: int = 5,
-                        dst_col: str = "dst_url") -> DataFrame:
+                        dst_col: str = "dst_url",
+                        n_sources_rsd: float | None = None) -> DataFrame:
     """Anchor-text aggregation per link target: the classic web-corpus
     signal that the words OTHER pages use to link to a target describe
     it better than its own content (search indexing, crawl-priority
@@ -120,7 +121,16 @@ def anchor_text_profile(links: DataFrame, top_k: int = 5,
     then term.  Scale shape: anchors are short by construction, so the
     explode is bounded; one groupBy exchange on (dst_url, term) with
     map-side partial counts, then the per-target top-k window on the
-    (already aggregated, far smaller) term table."""
+    (already aggregated, far smaller) term table.
+
+    ``n_sources_rsd`` is the 100 TB knob: the default exact
+    countDistinct makes Spark pre-aggregate on (dst_url, term, src_url)
+    — an extra full-width pass whose state carries every distinct
+    linking url per term.  Passing an rsd (e.g. 0.05) swaps in
+    HyperLogLog++ approx_count_distinct: single-pass, partial-
+    aggregable, constant ~kB state per group.  n_sources is the
+    rank-2 TIEBREAK only, so a small relative error can at most swap
+    near-tied terms; keep exact for value-gated comparisons."""
     from pyspark.sql import Window
 
     terms = (links
@@ -128,9 +138,11 @@ def anchor_text_profile(links: DataFrame, top_k: int = 5,
                      F.explode(F.split(F.lower(F.col("anchor_text")),
                                        "[^a-z0-9]+")).alias("term"))
              .where(F.length("term") > 1))
+    n_sources = (F.countDistinct("src_url") if n_sources_rsd is None
+                 else F.approx_count_distinct("src_url", n_sources_rsd))
     agg = terms.groupBy("dst_url", "term").agg(
         F.count(F.lit(1)).alias("n_mentions"),
-        F.countDistinct("src_url").alias("n_sources"))
+        n_sources.alias("n_sources"))
     w = (Window.partitionBy("dst_url")
          .orderBy(F.desc("n_mentions"), F.desc("n_sources"), F.asc("term")))
     return (agg.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -208,3 +208,45 @@ def test_anchor_text_profile_empty_and_markupless(spark):
         "url string, html_text string")
     out = anchor_text_profile(extract_links(pages), top_k=5).collect()
     assert sorted(r.term for r in out) == ["real", "words"]
+
+
+def test_anchor_text_approx_sources_path(spark):
+    """The 100 TB path: n_sources_rsd swaps exact countDistinct for
+    HyperLogLog++ — one fewer Exchange in the executed plan (the exact
+    distinct pre-shuffle on (dst_url, term, src_url) disappears), and
+    the estimate stays within a bounded relative error of exact on the
+    sf0.1 anchor corpus the gated query synthesizes."""
+    import os
+
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        anchor_text_profile,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("sf0.1 tables not present")
+    import __spark_entry__ as entry
+
+    links = entry._anchor_links(spark, sf_dir)
+    exact = anchor_text_profile(links, top_k=5)
+    approx = anchor_text_profile(links, top_k=5, n_sources_rsd=0.05)
+    assert exact._jdf.queryExecution().executedPlan().toString() \
+        .count("Exchange hashpartitioning") == 3
+    assert approx._jdf.queryExecution().executedPlan().toString() \
+        .count("Exchange hashpartitioning") == 2
+
+    e = {(r.dst_url, r.term): r.n_sources for r in exact.collect()}
+    a = {(r.dst_url, r.term): r.n_sources for r in approx.collect()}
+    shared = set(e) & set(a)
+    assert len(shared) > 100
+    # HLL++ is within rsd relatively at scale but can wobble +/-1 in
+    # absolute terms at tiny cardinalities — bound both regimes
+    assert all(abs(a[k] - e[k]) <= max(1, 0.15 * e[k]) for k in shared)
+    # ranking is mention-count-first: the approx tiebreak leaves the
+    # top-1 term per target essentially unchanged
+    e1 = {r.dst_url: r.term for r in exact.where("rank = 1").collect()}
+    a1 = {r.dst_url: r.term for r in approx.where("rank = 1").collect()}
+    agree = sum(e1[d] == a1[d] for d in e1) / len(e1)
+    assert agree >= 0.95
