@@ -32,6 +32,45 @@ FR_STOPWORDS = ["le", "les", "des", "et", "est", "pour", "avec", "dans", "du", "
 # flip with list order.  From-scratch extension toward the reference's
 # ~75-language lingua detector (olmocr/filter/filter.py:101-105).
 LATIN_PROFILES: list[tuple[str, list[str]]] = [
+    # round-5 widening (31 -> 48 langs): distinctive ASCII-only words,
+    # pairwise-disjoint with every other profile (tested).  Closely
+    # related pairs (ms/id, hr/sr, no/da) rely on words the sibling
+    # does NOT use; ms sits before id so the strictly-greater rule can
+    # ever pick it.
+    ("vi", ["khong", "nguoi", "trong", "duoc", "nhung", "cung", "ngay",
+            "viec", "truoc", "hoac"]),
+    ("no", ["noen", "bare", "vaere", "hvordan", "mye", "denne", "selv",
+            "etter", "blir", "noe"]),
+    ("sk", ["alebo", "bolo", "ktore", "potom", "teda", "vsetko", "mozno",
+            "tiez", "preto", "ked"]),
+    ("hr", ["nije", "koji", "koja", "ili", "samo", "vrlo", "jos", "moze",
+            "biti", "sve"]),
+    ("sr", ["takodje", "gde", "posle", "ovde", "uvek", "nesto", "veoma",
+            "zbog", "sada", "bez"]),
+    ("lt", ["kad", "yra", "buvo", "kaip", "taip", "labai", "dar", "jau",
+            "tik", "bet"]),
+    ("lv", ["nav", "tikai", "ari", "gan", "tapec", "kur", "vel", "pec",
+            "lidz", "vini"]),
+    ("et", ["ning", "kui", "aga", "seda", "voi", "koik", "ainult",
+            "samuti", "juba", "siis"]),
+    ("sl", ["tudi", "lahko", "vendar", "zelo", "kjer", "nekaj", "veliko",
+            "torej", "zdaj", "brez"]),
+    ("ms", ["anda", "boleh", "kerana", "sahaja", "tetapi", "iaitu",
+            "hendak", "amat", "pula", "sebab"]),
+    ("af", ["ons", "hierdie", "baie", "want", "hulle", "geword", "sodat",
+            "daardie", "asook", "vir"]),
+    ("sw", ["kwamba", "lakini", "wakati", "sana", "pia", "hivyo", "kama",
+            "yake", "katika", "mwaka"]),
+    ("tl", ["ang", "mga", "ito", "hindi", "naman", "lang", "kung", "ako",
+            "siya", "ngayon"]),
+    ("eu", ["eta", "dira", "izan", "ere", "baina", "egin", "duela",
+            "horrek", "gabe", "oso"]),
+    ("sq", ["dhe", "sepse", "nuk", "jane", "kjo", "nga", "edhe", "sipas",
+            "ketu", "shume"]),
+    ("cy", ["bod", "wedi", "ond", "mae", "hyn", "iawn", "eto", "rhai",
+            "dim", "hefyd"]),
+    ("is", ["sem", "hann", "eru", "vera", "einnig", "fyrir", "milli",
+            "sidan", "verid", "honum"]),
     ("it", ["che", "il", "di", "sono", "della", "gli", "anche", "questo",
             "nella", "ma"]),
     ("pt", ["uma", "mais", "foi", "pelo", "isso", "os", "da", "em", "ele",
@@ -103,8 +142,9 @@ def lang_id_col(text: Column) -> Column:
     """Stopword-profile heuristic language ID: non-Latin scripts by
     codepoint-range density (SCRIPT_PROFILES — ja/ko/ru/ar/hi/zh/th/he/
     el/bn/ta/te/ka/hy), then a deterministic strictly-greater hit-count
-    cascade over the LATIN_PROFILES stopword tables (it/pt/nl/sv/pl/tr/
-    id/ro/da/fi/cs/hu/ca/fr/es/de/en) — the from-scratch stand-in for
+    cascade over the 34 LATIN_PROFILES stopword tables (vi/no/sk/hr/sr/
+    lt/lv/et/sl/ms/af/sw/tl/eu/sq/cy/is/it/pt/nl/sv/pl/tr/id/ro/da/fi/
+    cs/hu/ca/fr/es/de/en) — the from-scratch stand-in for
     the reference's lingua detector
     (olmocr/filter/filter.py:101-105).  'unknown' over a wrong guess for
     unprofiled languages.  The oracle SQL is generated from the SAME
@@ -151,18 +191,25 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
             "when length(regexp_replace(%s, '[^%s-%s]', '', 'g'))"
             " / length(%s) > %s then '%s'"
             % (text_expr, chr(lo), chr(hi), text_expr, thr, lang))
-    hits = {
-        lang: ("len(list_filter(%s, w -> list_contains([%s], w)))"
-               % (words, ",".join("'%s'" % w for w in ws)))
-        for lang, ws in LATIN_PROFILES
-    }
-    langs = [lang for lang, _ in LATIN_PROFILES]
-    for i, lang in enumerate(langs[:-1]):
-        rest = ", ".join(hits[l] for l in langs[i + 1:])
-        bar = rest if i == len(langs) - 2 else "greatest(%s)" % rest
-        parts.append("when %s > %s then '%s'" % (hits[lang], bar, lang))
-    parts.append("when %s > 0 then '%s'" % (hits[langs[-1]], langs[-1]))
-    parts.append("else 'unknown' end")
+    # Same LAST-argmax form as the Spark side (the strictly-greater
+    # cascade is exactly the last argmax when the max is > 0 — proved
+    # in lang_id_col).  The old explicit-cascade SQL re-evaluated every
+    # later profile's hit count per branch (O(k^2) list_filters, each
+    # re-splitting the words) — quadratic death at 34 profiles.  The
+    # two nested single-element list_transform lambdas factor ``words``
+    # and the hits list so each is computed ONCE per row.
+    hits = ", ".join(
+        "len(list_filter(w, x -> list_contains([%s], x)))"
+        % ",".join("'%s'" % t for t in ws)
+        for _, ws in LATIN_PROFILES)
+    langs = ", ".join("'%s'" % lang for lang, _ in LATIN_PROFILES)
+    k = len(LATIN_PROFILES)
+    parts.append(
+        "else list_transform([%s], w -> "
+        "list_transform([[%s]], H -> case when list_max(H) > 0 "
+        "then ([%s])[%d + 1 - list_position(list_reverse(H), list_max(H))] "
+        "else 'unknown' end)[1])[1] end"
+        % (words, hits, langs, k))
     return "\n".join(parts)
 
 

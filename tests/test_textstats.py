@@ -250,3 +250,38 @@ def test_pack_documents_layout(spark):
     assert out[2]["start_offset"] == 10 and out[2]["bin"] == 0  # straddles
     assert out[3]["start_offset"] == 20 and out[3]["bin"] == 1
     assert out[4]["start_offset"] == 0 and out[4]["bin"] == 0  # own group
+
+
+def test_lang_id_round5_profiles(spark):
+    """One unit sentence per round-5 profile (vi/no/sk/hr/sr/lt/lv/et/
+    sl/ms/af/sw/tl/eu/sq/cy/is) — toneless web Vietnamese and Latin
+    Serbian included, since the ASCII word splitter drops diacritics."""
+    cases = [
+        ("khong co nguoi nao trong nha duoc nhung ngay truoc viec hoac",
+         "vi"),
+        ("noen ganger vil bare vaere hvordan mye denne selv etter blir noe",
+         "no"),
+        ("alebo to bolo ktore potom teda vsetko mozno tiez preto ked",
+         "sk"),
+        ("to nije dom koji ili koja samo vrlo jos moze biti sve", "hr"),
+        ("takodje gde je posle ovde uvek nesto veoma zbog sada bez", "sr"),
+        ("kad yra buvo kaip taip labai dar jau tik bet namas", "lt"),
+        ("nav tikai ari gan tapec kur vel pec lidz vini maja", "lv"),
+        ("ning kui aga seda voi koik ainult samuti juba siis maja", "et"),
+        ("tudi lahko vendar zelo kjer nekaj veliko torej zdaj brez", "sl"),
+        ("anda boleh kerana sahaja tetapi iaitu hendak amat pula sebab",
+         "ms"),
+        ("ons het hierdie baie want hulle geword sodat daardie asook vir",
+         "af"),
+        ("kwamba lakini wakati sana pia hivyo kama yake katika mwaka",
+         "sw"),
+        ("ang mga ito hindi naman lang kung ako siya ngayon bahay", "tl"),
+        ("eta dira izan ere baina egin duela horrek gabe oso etxe", "eu"),
+        ("dhe sepse nuk jane kjo nga edhe sipas ketu shume shtepi", "sq"),
+        ("bod wedi ond mae hyn iawn eto rhai dim hefyd ty", "cy"),
+        ("sem hann eru vera einnig fyrir milli sidan verid honum hus",
+         "is"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    assert rows == [want for _, want in cases]
