@@ -1834,8 +1834,11 @@ def q_knn_ivf(spark, sf_dir):
 def q_detection_map(spark, sf_dir):
     """COCO-style layout-detection mAP (A11) on deterministic synthetic
     detections derived from events: view events are ground truth, click
-    events are predictions (score from value).  Rows-only: the greedy
-    COCO matching + interpolated AP isn't SQL-expressible."""
+    events are predictions (score from value).  VALUE-GATED (round-5
+    conversion from rows-only): the greedy matcher replays in DuckDB as
+    a recursive CTE over best-first candidate lists and the 101-point
+    AP as window math (_detection_map_oracle_sql); the operator sorts
+    groups deterministically so both engines break ties identically."""
     from deepseek_ocr_omnidocbench_spark.operators.detection import detection_map
 
     ev = _events(spark, sf_dir)
@@ -1885,10 +1888,18 @@ def q_recognition_report(spark, sf_dir):
 
 
 def q_md2md_report(spark, sf_dir):
-    """md2md task end-to-end: both sides are markdown folders
-    (deterministic, derived from documents.text), span-parsed and
-    stream-matched.  Rows-only."""
+    """md2md task end-to-end, VALUE-GATED (round-5 conversion from
+    rows-only): both sides are markdown folders written from
+    documents.text (sanitized to one title + one plain paragraph per
+    page so the span inventory is deterministic), scanned, span-parsed
+    and stream-matched, then reported.  On this fixture the pipeline's
+    arithmetic reduces exactly in SQL: 1:1 title/paragraph pairing,
+    the text normalizer = drop-non-word-chars (same reduction the
+    recognition_report oracle pinned), levenshtein, and the per-page
+    ratio average — DuckDB replays all of it from the documents
+    table."""
     import os
+    import re
     import tempfile
 
     from deepseek_ocr_omnidocbench_spark.plans.md2md import md2md_evaluate
@@ -1898,7 +1909,10 @@ def q_md2md_report(spark, sf_dir):
     gt_dir, pred_dir = os.path.join(base, "gt"), os.path.join(base, "pred")
     os.makedirs(gt_dir), os.makedirs(pred_dir)
     for r in docs:
-        body = "# Doc %d\n\n%s\n" % (r["doc_id"], r["text"])
+        # sanitize so the body stays ONE text paragraph (no markdown
+        # metacharacters / blank lines that would change the span count)
+        para = re.sub(r"[^A-Za-z0-9 .,]+", " ", r["text"])
+        body = "# Doc %d\n\n%s\n" % (r["doc_id"], para)
         with open(os.path.join(gt_dir, "d%04d.md" % r["doc_id"]), "w") as f:
             f.write(body)
         pred = body if r["doc_id"] % 2 == 0 else body.replace("a", "e", 3)
@@ -2553,6 +2567,150 @@ def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85,
         {','.join(steps)}
         {tail or f'''select node, round(rank, 6) as rank from pr{iters}
         order by node'''}
+    """
+
+
+def _detection_map_oracle_sql() -> str:
+    """DuckDB mirror of q_detection_map (round-5 conversion of A11 from
+    rows-only to a full value oracle): the COCO greedy matcher runs as
+    a recursive CTE — one step per prediction in (score desc, bbox)
+    order, the taken-GT set carried as a list, the best free GT chosen
+    by a correlated LATERAL (iou desc, gi) — and the 101-point
+    interpolated AP as window math (cumulative TP/FP, right-to-left
+    precision envelope, first-k-at-recall lookup).  Exactly the
+    arithmetic of operators/detection.py, which sorts groups
+    deterministically for this purpose."""
+    from deepseek_ocr_omnidocbench_spark.operators.detection import (
+        IOU_THRESHOLDS,
+    )
+
+    thr_list = ", ".join(repr(t) for t in IOU_THRESHOLDS)
+    ti_list = ", ".join(str(i) for i in range(len(IOU_THRESHOLDS)))
+    return f"""
+        with recursive base as (
+          select event_id, event_type,
+            (user_id % 10)::varchar as img_id,
+            case when event_id % 3 = 0 then 'text' else 'figure' end
+              as category,
+            [value, (event_id % 50)::double,
+             value + 40.0, (event_id % 50)::double + 40.0] as bbox,
+            (event_id % 100) / 100.0 as score
+          from events),
+        gt as materialized (
+          select img_id, category, bbox,
+            row_number() over (partition by img_id, category
+              order by bbox[1], bbox[2], bbox[3], bbox[4]) as gi
+          from base where event_type = 'view'),
+        pr as materialized (
+          select img_id, category, bbox, score,
+            row_number() over (partition by img_id, category
+              order by score desc, bbox[1], bbox[2], bbox[3], bbox[4]) as pi
+          from base where event_type = 'click'),
+        iou as materialized (
+          select g.img_id, g.category, g.gi, p.pi,
+            case when (x.ga + x.pa - x.inter) > 0
+              then x.inter / (x.ga + x.pa - x.inter) else 0.0 end as iou
+          from gt g
+          join pr p on g.img_id = p.img_id and g.category = p.category
+          cross join lateral (select
+            greatest(least(g.bbox[3], p.bbox[3])
+                     - greatest(g.bbox[1], p.bbox[1]), 0.0)
+            * greatest(least(g.bbox[4], p.bbox[4])
+                       - greatest(g.bbox[2], p.bbox[2]), 0.0) as inter,
+            greatest(g.bbox[3] - g.bbox[1], 0.0)
+            * greatest(g.bbox[4] - g.bbox[2], 0.0) as ga,
+            greatest(p.bbox[3] - p.bbox[1], 0.0)
+            * greatest(p.bbox[4] - p.bbox[2], 0.0) as pa) x),
+        npred as materialized (
+          select img_id, category, count(*) as np from pr group by 1, 2),
+        thrs as (select unnest([{thr_list}]) as thr,
+                        unnest([{ti_list}]) as ti),
+        ngt as materialized (
+          select category, count(*)::bigint as n_gt from gt group by 1),
+        -- per (group, threshold, prediction): GTs above the threshold,
+        -- best-first.  The recursion then just takes the first not-yet-
+        -- taken entry via a row-local lambda — a correlated LATERAL in
+        -- the recursive term silently mis-correlates in DuckDB 1.0
+        cand as materialized (
+          select i.img_id, i.category, t.ti, i.pi,
+            list(i.gi order by i.iou desc, i.gi) as cands
+          from iou i join thrs t on i.iou >= t.thr
+          group by i.img_id, i.category, t.ti, i.pi),
+        rec as (
+          select n.img_id, n.category, t.ti, 0::bigint as pi,
+                 []::bigint[] as taken, []::int[] as tps
+          from npred n cross join thrs t
+          union all
+          select r.img_id, r.category, r.ti, r.pi + 1,
+            case when len(coalesce(list_filter(c.cands,
+                   g -> not list_contains(r.taken, g)), [])) > 0
+              then list_append(r.taken, list_filter(c.cands,
+                     g -> not list_contains(r.taken, g))[1])
+              else r.taken end,
+            list_append(r.tps,
+              case when len(coalesce(list_filter(c.cands,
+                     g -> not list_contains(r.taken, g)), [])) > 0
+                then 1 else 0 end)
+          from rec r
+          join npred n on n.img_id = r.img_id and n.category = r.category
+          left join cand c on c.img_id = r.img_id
+            and c.category = r.category and c.ti = r.ti
+            and c.pi = r.pi + 1
+          where r.pi < n.np),
+        fin as materialized (
+          select r.img_id, r.category, r.ti, r.tps
+          from rec r
+          join npred n on n.img_id = r.img_id and n.category = r.category
+          where r.pi = n.np),
+        det as (
+          select f.category, f.ti, f.img_id,
+            unnest(range(1, len(f.tps) + 1)) as pi,
+            unnest(f.tps) as tp
+          from fin f),
+        ordered as (
+          select d.category, d.ti, d.tp, p.score, d.img_id, d.pi,
+            row_number() over (partition by d.category, d.ti
+              order by p.score desc, d.img_id, d.pi) as k
+          from det d
+          join pr p on p.img_id = d.img_id and p.category = d.category
+                   and p.pi = d.pi),
+        curve as (
+          select o.category, o.ti, o.k,
+            (sum(o.tp) over (partition by o.category, o.ti order by o.k)
+             )::double / g.n_gt as recall,
+            (sum(o.tp) over (partition by o.category, o.ti order by o.k)
+             )::double / o.k as prec
+          from ordered o join ngt g using (category)),
+        env as materialized (
+          select category, ti, k, recall,
+            max(prec) over (partition by category, ti order by k
+              rows between current row and unbounded following) as prec_env
+          from curve),
+        rp as (select unnest(range(101)) / 100.0 as r),
+        apr as (
+          select ct.category, ct.ti, rp.r,
+            (select e.prec_env from env e
+              where e.category = ct.category and e.ti = ct.ti
+                and e.recall >= rp.r
+              order by e.k limit 1) as p
+          from (select g.category, t.ti from ngt g cross join thrs t) ct
+          cross join rp),
+        ap as (
+          select category, ti, avg(coalesce(p, 0.0)) as ap
+          from apr group by 1, 2),
+        percat as materialized (
+          select g.category, g.n_gt,
+            round(max(case when a.ti = 0 then a.ap end), 6) as ap50,
+            round(max(case when a.ti = 5 then a.ap end), 6) as ap75,
+            round(avg(a.ap), 6) as map
+          from ap a join ngt g using (category)
+          group by g.category, g.n_gt)
+        select category, n_gt, ap50, ap75, map from percat
+        union all
+        select 'ALL', (select sum(n_gt) from percat),
+          round((select avg(ap50) from percat), 6),
+          round((select avg(ap75) from percat), 6),
+          round((select avg(map) from percat), 6)
     """
 
 
@@ -3938,6 +4096,47 @@ def oracle_sql() -> dict[str, str]:
               from probe)
             select url, cast(min(bit_set) = 1 as int) as maybe_seen
             from hit group by url order by url
+        """,
+        "detection_map": _detection_map_oracle_sql(),
+        "md2md_report": """
+            -- replay of the md2md fixture pipeline: sanitize (as the md
+            -- writer does), three records per page (title, paragraph,
+            -- reading order), text normalizer = drop non-word chars,
+            -- levenshtein, per-page ratio then class average
+            with d as (
+              select doc_id,
+                regexp_replace(text, '[^A-Za-z0-9 .,]+', ' ', 'g') as para
+              from documents order by doc_id limit 12),
+            recs as (
+              select doc_id, 'text_block' as element_class,
+                     0 as edit_num,
+                     length('Doc' || doc_id) as upper_len
+              from d
+              union all
+              select doc_id, 'text_block',
+                levenshtein(ng, np), greatest(length(ng), length(np))
+              from (
+                select doc_id,
+                  regexp_replace(para, '[^a-zA-Z0-9_]+', '', 'g') as ng,
+                  regexp_replace(
+                    case when doc_id % 2 = 0 then para
+                    else regexp_replace(regexp_replace(regexp_replace(
+                           para, 'a', 'e'), 'a', 'e'), 'a', 'e') end,
+                    '[^a-zA-Z0-9_]+', '', 'g') as np
+                from d)
+              union all
+              select doc_id, 'reading_order', 0, 1 from d),
+            per_page as (
+              select element_class, doc_id,
+                sum(edit_num)::double / sum(upper_len) as page_ratio,
+                count(*) as n_samples
+              from recs where upper_len > 0
+              group by element_class, doc_id)
+            select element_class,
+              sum(n_samples)::bigint as n_samples,
+              round(avg(page_ratio), 6) as page_avg_edit
+            from per_page group by element_class
+            order by element_class
         """,
         "recognition_report": """
             with p as (

@@ -91,6 +91,8 @@ def average_precision(scores: np.ndarray, tps: np.ndarray, n_gt: int) -> float:
 
 MATCH_SCHEMA = T.StructType([
     T.StructField("category", T.StringType()),
+    T.StructField("img_id", T.StringType()),
+    T.StructField("pred_idx", T.LongType()),
     T.StructField("score", T.DoubleType()),
     T.StructField("tp", T.ArrayType(T.IntegerType())),
     T.StructField("n_gt_here", T.LongType()),
@@ -105,14 +107,27 @@ def detection_map(gt: DataFrame, preds: DataFrame) -> pd.DataFrame:
     records aggregate driver-side for the global PR curve."""
 
     def _match(key, gt_pdf: pd.DataFrame, pr_pdf: pd.DataFrame) -> pd.DataFrame:
-        cat = key[1]
+        img, cat = str(key[0]), key[1]
+        # deterministic tie-breaks: cogroup delivers rows in shuffle
+        # arrival order, so "stable" sorts alone would make equal-score
+        # preds (and equal-IoU gts) nondeterministic across runs — sort
+        # gts by bbox and preds by (-score, bbox) so ties break
+        # lexicographically, replayable by the SQL oracle
         gtb = np.asarray(list(gt_pdf["bbox"]), dtype=float) if len(gt_pdf) else np.zeros((0, 4))
         prb = np.asarray(list(pr_pdf["bbox"]), dtype=float) if len(pr_pdf) else np.zeros((0, 4))
         scores = np.asarray(pr_pdf["score"], dtype=float) if len(pr_pdf) else np.zeros(0)
+        if len(gtb):
+            gtb = gtb[np.lexsort(gtb.T[::-1])]
+        if len(prb):
+            p_order = sorted(range(len(prb)),
+                             key=lambda i: (-scores[i], tuple(prb[i])))
+            prb, scores = prb[p_order], scores[p_order]
         recs = match_image_class(gtb, prb, scores)
-        rows = [{"category": cat, "score": r["score"], "tp": r["tp"],
-                 "n_gt_here": 0} for r in recs]
-        rows.append({"category": cat, "score": float("nan"), "tp": None,
+        rows = [{"category": cat, "img_id": img, "pred_idx": pi + 1,
+                 "score": r["score"], "tp": r["tp"], "n_gt_here": 0}
+                for pi, r in enumerate(recs)]
+        rows.append({"category": cat, "img_id": img, "pred_idx": 0,
+                     "score": float("nan"), "tp": None,
                      "n_gt_here": len(gt_pdf)})
         return pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA.fields])
 
@@ -133,7 +148,12 @@ def detection_map(gt: DataFrame, preds: DataFrame) -> pd.DataFrame:
     report = []
     for cat, grp in matched.groupby("category"):
         n_gt = int(grp["n_gt_here"].sum())
-        dets = grp[grp["tp"].notna()]
+        # deterministic global PR order: toPandas() row order is a
+        # shuffle artifact, so tie-break equal scores on (img, pred_idx)
+        dets = (grp[grp["tp"].notna()]
+                .sort_values(["score", "img_id", "pred_idx"],
+                             ascending=[False, True, True],
+                             kind="mergesort"))
         scores = dets["score"].to_numpy(dtype=float)
         aps = []
         for t in range(len(IOU_THRESHOLDS)):
