@@ -2228,67 +2228,30 @@ def q_pdf_images(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
-    # 50 entries only.  Order: (1) oracle-backed queries never driver-verified
-    # (new this round or previously outside the window), (2) oracle-backed
-    # queries whose implementation changed this round or that were red last
-    # round, (3) stable oracle-backed greens, (4) long-stable pure-Column
-    # greens sacrificed past slot 50, (5) rows-only queries.
+    # 50 entries only.  Round-5 rotation (VERDICT r4 "Next round" #2):
+    # (1) never-driver-verified rows-only queries (cdm_match, pdf_images)
+    # and this round's rows-only -> value-oracle conversions, (2) queries
+    # whose implementation or oracle changed this round, (3) the 23
+    # r3-verified queries due on the two-round re-verification cadence,
+    # (4) r4-green re-confirmations filling the window, (5) r4-green
+    # stable oracles beyond the window (every one has a driver row dated
+    # r4), (6) remaining rows-only queries (all driver-executed r4).
     return {
-        # --- tier 1: oracle-backed, never driver-verified -----------------
-        "fingerprints": q_fingerprints,
-        "recognition_report": q_recognition_report,
-        "contamination": q_contamination,
-        "stratified_sample": q_stratified_sample,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_learn_oracle": q_bpe_learn_oracle,
-        "bloom_probe": q_bloom_probe,
-        "meteor_by_source": q_meteor_by_source,
-        "curate_pipeline": q_curate_pipeline,
-        "harmonic_sketch": q_harmonic_sketch,
-        "anchor_text": q_anchor_text,
-        "mixture_weights": q_mixture_weights,
-        "latest_revision": q_latest_revision,
-        "sessionize": q_sessionize,
-        "sitemaps": q_sitemaps,
-        "bpe_encode": q_bpe_encode,
-        "politeness": q_politeness,
-        "bpe_merges": q_bpe_merges,
-        "revision_churn": q_revision_churn,
-        "host_components": q_host_components,
-        "recrawl": q_recrawl,
-        "extraction_roundtrip": q_extraction_roundtrip,
-        "frontier": q_frontier,
-        "quantization": q_quantization,
-        "quantized_recall": q_quantized_recall,
+        # --- tier 1: never driver-verified / converted this round ---------
+        "md2md_report": q_md2md_report,
+        "detection_map": q_detection_map,
+        "cdm_match": q_cdm_match,
+        "pdf_images": q_pdf_images,
+        # --- tier 2: implementation or oracle changed this round ----------
         "containment": q_containment,
-        # --- tier 2: changed this round / red last round -------------------
-        "paragraph_dedup": q_paragraph_dedup,
+        "quantized_recall": q_quantized_recall,
+        "mixture_weights": q_mixture_weights,
         "lang_id": q_lang_id,
-        "link_graph": q_link_graph,
-        "semdedup": q_semdedup,
-        "harmonic": q_harmonic,
-        "pagerank": q_pagerank,
-        "crawl_priority": q_crawl_priority,
-        "curation_pipeline": q_curation_pipeline,
-        # --- tier 3: stable oracle-backed greens ---------------------------
-        "exact_dedup_groups": q_exact_dedup_groups,
+        "anchor_text": q_anchor_text,
         "ngram_jaccard": q_ngram_jaccard,
-        "substring_spans": q_substring_spans,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bleu_by_source": q_bleu_by_source,
-        "url_dedup": q_url_dedup,
-        "pack_documents": q_pack_documents,
-        "repetition_stats": q_repetition_stats,
-        "embedding_srp_oracle": q_embedding_srp_oracle,
-        "knn_ivf_oracle": q_knn_ivf_oracle,
-        "minhash_lsh_oracle": q_minhash_lsh_oracle,
-        "classifier_scores": q_classifier_scores,
-        "classifier_train": q_classifier_train,
-        "corpus_report": q_corpus_report,
-        "page_metadata": q_page_metadata,
-        "url_filters": q_url_filters,
-        # --- tier 4: oracle-backed, multi-round-stable, past the 50-slot
-        # window this round (verified green in r2 and r3) -------------------
+        "curation_pipeline": q_curation_pipeline,
+        "curate_pipeline": q_curate_pipeline,
+        # --- tier 3: r3-verified, due on the 2-round cadence ---------------
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -2312,17 +2275,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "c4_clean": q_c4_clean,
         "domain_stats": q_domain_stats,
-        # --- tier 5: rows-only (no SQL-expressible oracle) ------------------
+        # --- tier 4: r4-green re-confirmations filling the window ----------
+        "extraction_roundtrip": q_extraction_roundtrip,
+        "paragraph_dedup": q_paragraph_dedup,
+        "minhash_lsh_oracle": q_minhash_lsh_oracle,
+        "substring_spans": q_substring_spans,
+        "semdedup": q_semdedup,
+        "pagerank": q_pagerank,
+        "harmonic_sketch": q_harmonic_sketch,
+        "sessionize": q_sessionize,
+        "latest_revision": q_latest_revision,
+        "frontier": q_frontier,
+        "host_components": q_host_components,
+        "bpe_learn_oracle": q_bpe_learn_oracle,
+        "bloom_probe": q_bloom_probe,
+        "politeness": q_politeness,
+        "recrawl": q_recrawl,
+        # --- tier 5: r4-green stable oracles past the 50-slot window -------
+        "fingerprints": q_fingerprints,
+        "recognition_report": q_recognition_report,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "meteor_by_source": q_meteor_by_source,
+        "sitemaps": q_sitemaps,
+        "bpe_encode": q_bpe_encode,
+        "bpe_merges": q_bpe_merges,
+        "revision_churn": q_revision_churn,
+        "quantization": q_quantization,
+        "link_graph": q_link_graph,
+        "harmonic": q_harmonic,
+        "crawl_priority": q_crawl_priority,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bleu_by_source": q_bleu_by_source,
+        "url_dedup": q_url_dedup,
+        "pack_documents": q_pack_documents,
+        "repetition_stats": q_repetition_stats,
+        "embedding_srp_oracle": q_embedding_srp_oracle,
+        "knn_ivf_oracle": q_knn_ivf_oracle,
+        "classifier_scores": q_classifier_scores,
+        "classifier_train": q_classifier_train,
+        "corpus_report": q_corpus_report,
+        "page_metadata": q_page_metadata,
+        "url_filters": q_url_filters,
+        # --- tier 6: rows-only (no SQL-expressible oracle; r4-executed) ----
         "rule_checks": q_rule_checks,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "extract_pipeline": q_extract_pipeline,
         "knn_ivf": q_knn_ivf,
-        "detection_map": q_detection_map,
-        "md2md_report": q_md2md_report,
         "eval_fixture_report": q_eval_fixture_report,
-        "cdm_match": q_cdm_match,
-        "pdf_images": q_pdf_images,
     }
 
 
