@@ -151,10 +151,7 @@ def lang_id_col(text: Column) -> Column:
     profile tables (lang_id_oracle_sql), so Spark and DuckDB cannot
     drift."""
     n = F.length(text)
-    words = _word_array(text)
-
-    def _hits(ws: list[str]) -> Column:
-        return F.size(F.filter(words, lambda w: w.isin(ws)))
+    low = F.lower(text)
 
     # The cascade ("language i wins iff its hit count strictly beats
     # every LATER profile's; en, last, needs only > 0") is exactly the
@@ -165,14 +162,52 @@ def lang_id_col(text: Column) -> Column:
     # the same blow-up the round-3 ivf_assign fix removed.  Semantics
     # are identical (tested against the SQL oracle, which keeps the
     # explicit cascade form).
+    #
+    # Hit counting is ONE codegen'd JVM regex pass over the whole
+    # 340-stopword alternation, NOT a words-array lambda filter per
+    # profile: higher-order functions are interpreted, so 34 list
+    # filters re-tokenized the document per profile and paid
+    # interpreter overhead per word (~10x the factored form at sf0.1;
+    # 34 separate regex passes were still ~3.5x).  The alternation
+    # with ASCII lookarounds extracts exactly the tokens the oracle's
+    # split-on-[^a-z]+ / list_contains form counts: every stopword is
+    # pure [a-z]+, a token is a maximal [a-zA-Z]+ run of lower(text)
+    # (Java character classes are ASCII-only by default, same boundary
+    # the split uses), and the lookarounds force whole-run equality —
+    # a shorter alternative matching a prefix of a run fails the
+    # lookahead and backtracks, and a run suffix fails the lookbehind,
+    # so match iff run == stopword regardless of alternation order
+    # (longest-first kept for matcher speed).  Per-profile counts then
+    # come from the TINY matched-token array (avg ~a dozen elements),
+    # where the 34 interpreted filters cost ~nothing; both the matched
+    # array and the hits array are bound once per row via
+    # single-element transform() lambdas (the Spark analog of the
+    # oracle SQL's list_transform factoring).
     k = len(LATIN_PROFILES)
-    hits_arr = F.array(*[_hits(ws) for _, ws in LATIN_PROFILES])
     lang_arr = F.array(*[F.lit(lang) for lang, _ in LATIN_PROFILES])
-    mx = F.array_max(hits_arr)
-    last_idx = (F.lit(k + 1)
-                - F.array_position(F.reverse(hits_arr), mx)).cast("int")
-    expr = F.when(mx > 0, F.element_at(lang_arr, last_idx)) \
-        .otherwise(F.lit("unknown"))
+    all_stop = sorted({w for _, ws in LATIN_PROFILES for w in ws},
+                      key=lambda w: (-len(w), w))
+    pat = "(?<![a-zA-Z])(?:%s)(?![a-zA-Z])" % "|".join(all_stop)
+    matched = F.regexp_extract_all(low, F.lit(pat), 0)
+
+    def _hits_arr(m: Column) -> Column:
+        return F.array(*[
+            F.size(F.filter(m, lambda x: x.isin(ws)))
+            for _, ws in LATIN_PROFILES])
+
+    def _argmax_of(hits: Column) -> Column:
+        mx = F.array_max(hits)
+        last_idx = (F.lit(k + 1)
+                    - F.array_position(F.reverse(hits), mx)).cast("int")
+        return F.when(mx > 0, F.element_at(lang_arr, last_idx)) \
+            .otherwise(F.lit("unknown"))
+
+    expr = F.element_at(
+        F.transform(
+            F.array(matched),
+            lambda m: F.element_at(
+                F.transform(F.array(_hits_arr(m)), _argmax_of), 1)),
+        1)
     for lang, lo, hi, thr in reversed(SCRIPT_PROFILES):
         dens = F.length(
             F.regexp_replace(text, "[^%s-%s]" % (chr(lo), chr(hi)), ""))
