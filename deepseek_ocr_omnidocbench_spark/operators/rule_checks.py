@@ -560,11 +560,14 @@ def rule_checks(docs: DataFrame, rules: DataFrame,
     def _run(it):
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                params = json.loads(row["params"]) if row["params"] else {}
-                passed, why = run_check(row["rule_type"], row["_content"], params)
-                out.append((row["url"], row["rule_id"], row["rule_type"],
-                            passed, why))
+            # itertuples, not iterrows: iterrows builds a Series per row
+            # (~10x the iteration overhead on a 4-rules-per-doc batch)
+            for url, content, rule_id, rule_type, params_js in zip(
+                    pdf["url"], pdf["_content"], pdf["rule_id"],
+                    pdf["rule_type"], pdf["params"]):
+                params = json.loads(params_js) if params_js else {}
+                passed, why = run_check(rule_type, content, params)
+                out.append((url, rule_id, rule_type, passed, why))
             yield pd.DataFrame(out, columns=[f.name for f in RULE_RESULT_SCHEMA])
 
     return joined.mapInPandas(_run, RULE_RESULT_SCHEMA)
