@@ -2275,23 +2275,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "c4_clean": q_c4_clean,
         "domain_stats": q_domain_stats,
-        # --- tier 4: r4-green re-confirmations filling the window ----------
+        # --- tier 4: rows-only queries with no r4 driver row (verified
+        # r1-r3; in-window so every queries() entry has a driver row
+        # dated r4 or r5 — VERDICT r4 "Next round" #2's done-criterion) --
+        "rule_checks": q_rule_checks,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "extract_pipeline": q_extract_pipeline,
+        "knn_ivf": q_knn_ivf,
+        "eval_fixture_report": q_eval_fixture_report,
+        # --- tier 4b: r4-green re-confirmations filling the window ---------
         "extraction_roundtrip": q_extraction_roundtrip,
-        "paragraph_dedup": q_paragraph_dedup,
-        "minhash_lsh_oracle": q_minhash_lsh_oracle,
-        "substring_spans": q_substring_spans,
-        "semdedup": q_semdedup,
         "pagerank": q_pagerank,
-        "harmonic_sketch": q_harmonic_sketch,
         "sessionize": q_sessionize,
         "latest_revision": q_latest_revision,
         "frontier": q_frontier,
         "host_components": q_host_components,
         "bpe_learn_oracle": q_bpe_learn_oracle,
-        "bloom_probe": q_bloom_probe,
         "politeness": q_politeness,
         "recrawl": q_recrawl,
         # --- tier 5: r4-green stable oracles past the 50-slot window -------
+        "paragraph_dedup": q_paragraph_dedup,
+        "minhash_lsh_oracle": q_minhash_lsh_oracle,
+        "substring_spans": q_substring_spans,
+        "semdedup": q_semdedup,
+        "harmonic_sketch": q_harmonic_sketch,
+        "bloom_probe": q_bloom_probe,
         "fingerprints": q_fingerprints,
         "recognition_report": q_recognition_report,
         "contamination": q_contamination,
@@ -2319,13 +2328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "page_metadata": q_page_metadata,
         "url_filters": q_url_filters,
-        # --- tier 6: rows-only (no SQL-expressible oracle; r4-executed) ----
-        "rule_checks": q_rule_checks,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "extract_pipeline": q_extract_pipeline,
-        "knn_ivf": q_knn_ivf,
-        "eval_fixture_report": q_eval_fixture_report,
     }
 
 
