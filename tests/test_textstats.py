@@ -112,6 +112,17 @@ def test_lang_profiles_disjoint():
             seen[w] = lang
 
 
+def test_lang_id_single_regex_pass(spark):
+    """Hit counting must stay ONE combined-alternation regex pass over
+    the text: a per-profile regexp (34 passes) or per-profile lambda
+    filter over the words array (34 interpreted re-tokenizations) is
+    the measured 3.5x-10x regression the round-5 rewrite removed."""
+    df = spark.createDataFrame([("the and of to in is that",)], "text string")
+    plan = (df.select(lang_id_col(F.col("text")).alias("l"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("regexp_extract_all") == 1, plan
+
+
 def test_lang_id_oracle_sql_matches_spark(spark):
     """The generated DuckDB CASE must agree with lang_id_col on mixed
     multilingual rows (the same-table guarantee, checked end to end)."""
