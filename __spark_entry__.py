@@ -2712,7 +2712,7 @@ def _detection_map_oracle_sql() -> str:
           group by g.category, g.n_gt)
         select category, n_gt, ap50, ap75, map from percat
         union all
-        select 'ALL', (select sum(n_gt) from percat),
+        select 'ALL', (select sum(n_gt)::bigint from percat),
           round((select avg(ap50) from percat), 6),
           round((select avg(ap75) from percat), 6),
           round((select avg(map) from percat), 6)
