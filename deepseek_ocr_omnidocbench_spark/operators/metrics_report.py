@@ -88,9 +88,18 @@ def _eff(col: str, fallback: str):
         F.coalesce(F.col(fallback), F.lit("")))
 
 
-def score_samples(matches: DataFrame, with_teds: bool = True) -> DataFrame:
+def score_samples(matches: DataFrame, with_teds: bool = True,
+                  teds_partitions: int | None = None) -> DataFrame:
     """Add per-sample metric columns: upper_len, edit_num, edit_dist,
-    teds, teds_struct (tables only)."""
+    teds, teds_struct (tables only).
+
+    ``teds_partitions``: explicit partition count for the TEDS Python
+    stage.  Table rows are a small minority of matches, so at
+    benchmark/fixture scale the per-partition Python-worker round trip
+    dominates the stage (56 tables across 32 partitions = 32 worker
+    hops for ~1.5 core-seconds of scoring); the harness passes 8.
+    Leave None at corpus scale — there the inherited partitioning is
+    the parallelism the tables actually need."""
     df = (
         matches.withColumn("_gt_eff", _eff("norm_gt", "gt"))
         .withColumn("_pred_eff", _eff("norm_pred", "pred"))
@@ -105,14 +114,13 @@ def score_samples(matches: DataFrame, with_teds: bool = True) -> DataFrame:
     if with_teds:
         def _teds_batch(it):
             for pdf in it:
-                is_table = pdf["element_class"] == "table"
                 scores = [
-                    teds_score(p or "", g or "") if t else None
-                    for t, p, g in zip(is_table, pdf["_pred_eff"], pdf["_gt_eff"])
+                    teds_score(p or "", g or "")
+                    for p, g in zip(pdf["_pred_eff"], pdf["_gt_eff"])
                 ]
                 structs = [
-                    teds_score(p or "", g or "", structure_only=True) if t else None
-                    for t, p, g in zip(is_table, pdf["_pred_eff"], pdf["_gt_eff"])
+                    teds_score(p or "", g or "", structure_only=True)
+                    for p, g in zip(pdf["_pred_eff"], pdf["_gt_eff"])
                 ]
                 pdf = pdf.assign(teds=pd.array(scores, dtype="float64"),
                                  teds_struct=pd.array(structs, dtype="float64"))
@@ -122,7 +130,22 @@ def score_samples(matches: DataFrame, with_teds: bool = True) -> DataFrame:
             df.schema.fields
             + [T.StructField("teds", T.DoubleType()), T.StructField("teds_struct", T.DoubleType())]
         )
-        df = df.mapInPandas(_teds_batch, schema)
+        # only table rows enter the Python stage: TEDS ignores every
+        # other element class, but a whole-frame mapInPandas would ship
+        # ALL rows (with their long normalized-text columns) through
+        # Arrow both ways — on the eval fixtures that serialization was
+        # most of the stage's wall time.  Non-table rows take the
+        # JVM-only branch with null scores; downstream consumers are
+        # aggregates, so the union's row order is irrelevant.
+        is_table = F.col("element_class").eqNullSafe("table")
+        tab = df.where(is_table)
+        if teds_partitions:
+            tab = tab.repartition(teds_partitions)
+        tables = tab.mapInPandas(_teds_batch, schema)
+        others = (df.where(~is_table)
+                  .withColumn("teds", F.lit(None).cast("double"))
+                  .withColumn("teds_struct", F.lit(None).cast("double")))
+        df = tables.unionByName(others)
     return df.drop("_gt_eff", "_pred_eff")
 
 

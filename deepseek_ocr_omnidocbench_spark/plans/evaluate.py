@@ -73,7 +73,8 @@ def evaluate(gt: DataFrame, preds: DataFrame, page_attrs: DataFrame,
     # jobs — narrowing the cached frame cut the report tail ~30%
     # (2.4 s -> 1.7 s at 100 pages x 32 cores; the one small exchange
     # costs less than the saved task churn)
-    scored = score_samples(unified, with_teds=with_teds).repartition(8).cache()
+    scored = score_samples(unified, with_teds=with_teds,
+                           teds_partitions=8).repartition(8).cache()
     scored.count()  # materialize ONCE before the concurrent report jobs
 
     # the five reports are independent aggregates over the cached frame;
