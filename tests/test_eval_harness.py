@@ -144,3 +144,41 @@ def test_quick_beats_simple_on_truncated_blocks(spark):
     quick = evaluate_fixtures(spark, n_pages=6, seed=2, perturb=0.0,
                               method="quick_match")
     assert quick["edit_dist"]["text_block"]["page_avg_edit"] == 0.0
+
+
+def test_score_samples_table_split_edges(spark):
+    """The round-5 TEDS split (tables -> Python stage, everything else
+    a JVM null branch) must handle zero-table frames, all-table frames
+    and NULL element_class without dropping or duplicating rows."""
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_omnidocbench_spark.operators.metrics_report import (
+        score_samples,
+    )
+
+    rows = [
+        ("table", "<table><tr><td>a</td></tr></table>",
+         "<table><tr><td>a</td></tr></table>"),
+        ("text_block", "hello world", "hello world"),
+        (None, "x", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "element_class string, norm_gt string, norm_pred string"
+    ).withColumn("gt", F.col("norm_gt")).withColumn("pred", F.col("norm_pred"))
+
+    out = score_samples(df, with_teds=True, teds_partitions=2).collect()
+    assert len(out) == 3
+    by_class = {r["element_class"]: r for r in out}
+    assert by_class["table"]["teds"] == 1.0
+    assert by_class["text_block"]["teds"] is None
+    assert by_class[None]["teds"] is None
+
+    # zero tables: the Python branch is empty, union must still work
+    no_tab = df.where(F.col("element_class").eqNullSafe("text_block"))
+    out2 = score_samples(no_tab, with_teds=True, teds_partitions=2).collect()
+    assert len(out2) == 1 and out2[0]["teds"] is None
+
+    # all tables
+    all_tab = df.where(F.col("element_class").eqNullSafe("table"))
+    out3 = score_samples(all_tab, with_teds=True).collect()
+    assert len(out3) == 1 and out3[0]["teds"] == 1.0

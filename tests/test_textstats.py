@@ -296,3 +296,33 @@ def test_lang_id_round5_profiles(spark):
     df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
     rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
     assert rows == [want for _, want in cases]
+
+
+def test_lang_id_adversarial_inputs(spark):
+    """The combined-alternation regex must survive degenerate inputs
+    (empty, punctuation-only, huge token, regex-hostile bytes, long
+    repetitive doc) without raising, agreeing with the DuckDB oracle."""
+    import duckdb
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        lang_id_oracle_sql,
+    )
+
+    texts = [
+        "",
+        "!!! ??? ... ###",
+        "a" * 50_000,
+        "the " * 20_000,
+        "((((between|the|and))))" * 50,
+        "thė anḋ of to in is that",   # combining marks
+        "éé the café and of to in is that",
+        "der die das und ist nicht mit ein eine zu den",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"text": texts}))
+    want = [r[0] for r in con.execute(
+        "select %s from t" % lang_id_oracle_sql("text")).fetchall()]
+    assert got == want, list(zip(got, want))
