@@ -87,9 +87,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     # spin-up and Janino codegen so the timed number is the steady-state
     # cost a long-running cluster job actually sees
     evaluate_fixtures(spark, n_pages=4, seed=42, perturb=1.0)
-    t0 = time.time()
-    evaluate_fixtures(spark, n_pages=n_eval, seed=42, perturb=1.0)
-    times["eval_harness"] = round(time.time() - t0, 3)
+    _, times["eval_harness"] = _steady(
+        lambda: evaluate_fixtures(spark, n_pages=n_eval, seed=42, perturb=1.0))
     times["_eval_pages"] = n_eval
 
     # production-path dedup kernels (xxhash64 keys, not the md5 oracle
