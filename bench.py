@@ -166,11 +166,11 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
     times["curate_e2e"] = round(time.time() - t0, 3)
 
-    # queries whose steady-state exceeds ~2 s get the same min-of-2
-    # treatment; sub-second queries are timed single-shot (cold cost is
-    # already below the noise floor there)
-    warm = {"simhash_pairs", "ngram_jaccard", "rule_checks",
-            "repetition_stats", "pagerank"}
+    # EVERY loop query gets the min-of-2 treatment: a round-5 sample
+    # caught an end-of-run host-noise burst reading sub-second queries
+    # at 9-18 s single-shot (sessionize 0.9 -> 12.0, anchor_text
+    # 1.2 -> 18.2 on identical code); the second run costs ~the steady
+    # sum (~25 s) and makes the driver-recorded numbers reproducible
     for name in ["exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
                  "ngram_jaccard", "knn_bruteforce", "label_centroids",
                  "quality_scores", "lang_id", "events_running_sum",
@@ -179,12 +179,7 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                  "sessionize", "anchor_text", "latest_revision"]:
         fn = entry.queries()[name]
         act = lambda: fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()  # noqa: E731
-        if name in warm:
-            _, times[name] = _steady(act)
-        else:
-            t0 = time.time()
-            act()
-            times[name] = round(time.time() - t0, 3)
+        _, times[name] = _steady(act)
     return times
 
 
