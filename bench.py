@@ -60,13 +60,21 @@ def _steady(action) -> tuple[float, float]:
     and lm_perplexity at 10.7 s where fresh-process steady state is
     1.8-4.3 s — this split stops cold-plan cost masquerading as a
     regression (VERDICT r4 "What's wrong" #1).
+
+    SPARK_GRAFT_BENCH_REPS (default 2) sets the total run count; a
+    noise burst spanning both default runs still inflates the min, so
+    min-of-3 is one env var away when a reading looks off.
     """
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     t0 = time.time()
     action()
     cold = time.time() - t0
-    t0 = time.time()
-    action()
-    return round(cold, 3), round(min(cold, time.time() - t0), 3)
+    best = cold
+    for _ in range(reps - 1):
+        t0 = time.time()
+        action()
+        best = min(best, time.time() - t0)
+    return round(cold, 3), round(best, 3)
 
 
 def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
