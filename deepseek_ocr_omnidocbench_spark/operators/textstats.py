@@ -32,6 +32,17 @@ FR_STOPWORDS = ["le", "les", "des", "et", "est", "pour", "avec", "dans", "du", "
 # flip with list order.  From-scratch extension toward the reference's
 # ~75-language lingua detector (olmocr/filter/filter.py:101-105).
 LATIN_PROFILES: list[tuple[str, list[str]]] = [
+    # round-5 second pass (+5: ga/mt/zu/ha/so), same rules as below.
+    ("ga", ["agus", "ach", "seo", "chun", "freisin", "bheith", "raibh",
+            "anseo", "gach", "arsa"]),
+    ("mt", ["huwa", "hija", "iktar", "ukoll", "jista", "dwar", "biex",
+            "qabel", "kienet", "lill"]),
+    ("zu", ["ukuthi", "futhi", "ngoba", "kodwa", "lokhu", "kanye", "noma",
+            "ngesikhathi", "njengoba", "abantu"]),
+    ("ha", ["amma", "wannan", "domin", "wata", "suka", "kuma", "wani",
+            "daga", "cikin", "yana"]),
+    ("so", ["waxaa", "inuu", "iyo", "laakiin", "markii", "sidoo", "kale",
+            "ayaa", "dhan", "isaga"]),
     # round-5 widening (31 -> 48 langs): distinctive ASCII-only words,
     # pairwise-disjoint with every other profile (tested).  Closely
     # related pairs (ms/id, hr/sr, no/da) rely on words the sibling
@@ -121,6 +132,42 @@ SCRIPT_PROFILES: list[tuple[str, int, int, float]] = [
     ("te", 0x0C00, 0x0C7F, 0.05),   # telugu
     ("ka", 0x10A0, 0x10FF, 0.05),   # georgian
     ("hy", 0x0530, 0x058F, 0.05),   # armenian
+    # round-5 second pass: +10 single-language script blocks (each range
+    # is disjoint from every other profiled range, so cascade order
+    # among them is irrelevant).
+    ("kn", 0x0C80, 0x0CFF, 0.05),   # kannada
+    ("ml", 0x0D00, 0x0D7F, 0.05),   # malayalam
+    ("gu", 0x0A80, 0x0AFF, 0.05),   # gujarati
+    ("pa", 0x0A00, 0x0A7F, 0.05),   # gurmukhi (punjabi)
+    ("or", 0x0B00, 0x0B7F, 0.05),   # oriya (odia)
+    ("si", 0x0D80, 0x0DFF, 0.05),   # sinhala
+    ("my", 0x1000, 0x109F, 0.05),   # myanmar (burmese)
+    ("km", 0x1780, 0x17FF, 0.05),   # khmer
+    ("lo", 0x0E80, 0x0EFF, 0.05),   # lao
+    ("am", 0x1200, 0x137F, 0.05),   # ethiopic (amharic)
+    ("bo", 0x0F00, 0x0FFF, 0.05),   # tibetan
+]
+
+# Sub-script differentiation for scripts shared by several languages
+# (Cyrillic, Arabic): (lang, base_lo, base_hi, base_thr, marker_chars).
+# Rule: base-script density > thr AND at least one marker character
+# present.  Checked BEFORE the base script's density entry, so e.g. a
+# Cyrillic document containing Ukrainian-only letters classifies 'uk'
+# while plain Cyrillic falls through to 'ru'.  Every marker letter is
+# unique to its language *within this table* (disjointness tested);
+# order matters only where one language's alphabet contains another's
+# markers (Urdu/Pashto letters پچژگ would false-fire 'fa', Kazakh ө/ү
+# would false-fire 'mn' — hence ur/ps before fa, kk before mn).
+MARKER_PROFILES: list[tuple[str, int, int, float, str]] = [
+    ("ur", 0x0600, 0x06FF, 0.05, "ٹڈڑے"),  # ٹ ڈ ڑ ے
+    ("ps", 0x0600, 0x06FF, 0.05, "ښږړ"),        # ښ ږ ړ
+    ("fa", 0x0600, 0x06FF, 0.05, "پچژگ"),  # پ چ ژ گ
+    ("kk", 0x0400, 0x04FF, 0.05, "қғңұ"),  # қ ғ ң ұ
+    ("mn", 0x0400, 0x04FF, 0.05, "өү"),              # ө ү
+    ("uk", 0x0400, 0x04FF, 0.05, "їєґ"),        # ї є ґ
+    ("be", 0x0400, 0x04FF, 0.05, "ў"),                    # ў
+    ("mk", 0x0400, 0x04FF, 0.05, "ѓќѕ"),        # ѓ ќ ѕ
+    ("sr", 0x0400, 0x04FF, 0.05, "ђћџљњ"),  # ђћџљњ
 ]
 SEO_WORDS = ["download", "pdf", "epub", "mobi", "free", "ebook", "file", "save",
              "casino", "viagra", "cialis", "ciprofloxacin"]  # filter.py:36-50
@@ -139,12 +186,15 @@ def token_count_cols(text: Column) -> dict[str, Column]:
 
 
 def lang_id_col(text: Column) -> Column:
-    """Stopword-profile heuristic language ID: non-Latin scripts by
-    codepoint-range density (SCRIPT_PROFILES — ja/ko/ru/ar/hi/zh/th/he/
-    el/bn/ta/te/ka/hy), then a deterministic strictly-greater hit-count
-    cascade over the 34 LATIN_PROFILES stopword tables (vi/no/sk/hr/sr/
-    lt/lv/et/sl/ms/af/sw/tl/eu/sq/cy/is/it/pt/nl/sv/pl/tr/id/ro/da/fi/
-    cs/hu/ca/fr/es/de/en) — the from-scratch stand-in for
+    """Stopword-profile heuristic language ID, 72 languages in three
+    tiers: (1) sub-script marker letters for languages sharing Cyrillic
+    or Arabic (MARKER_PROFILES — uk/be/mk/sr/kk/mn, ur/ps/fa), (2)
+    non-Latin scripts by codepoint-range density (25 SCRIPT_PROFILES —
+    ja/ko/ru/ar/hi/zh/th/he/el/bn/ta/te/ka/hy/kn/ml/gu/pa/or/si/my/km/
+    lo/am/bo), (3) a deterministic strictly-greater hit-count cascade
+    over the 39 LATIN_PROFILES stopword tables (ga/mt/zu/ha/so/vi/no/
+    sk/hr/sr/lt/lv/et/sl/ms/af/sw/tl/eu/sq/cy/is/it/pt/nl/sv/pl/tr/id/
+    ro/da/fi/cs/hu/ca/fr/es/de/en) — the from-scratch stand-in for
     the reference's lingua detector
     (olmocr/filter/filter.py:101-105).  'unknown' over a wrong guess for
     unprofiled languages.  The oracle SQL is generated from the SAME
@@ -164,11 +214,11 @@ def lang_id_col(text: Column) -> Column:
     # explicit cascade form).
     #
     # Hit counting is ONE codegen'd JVM regex pass over the whole
-    # 340-stopword alternation, NOT a words-array lambda filter per
-    # profile: higher-order functions are interpreted, so 34 list
+    # full 390-stopword alternation, NOT a words-array lambda filter per
+    # profile: higher-order functions are interpreted, so per-profile list
     # filters re-tokenized the document per profile and paid
     # interpreter overhead per word (~10x the factored form at sf0.1;
-    # 34 separate regex passes were still ~3.5x).  The alternation
+    # separate per-profile regex passes were still ~3.5x).  The alternation
     # with ASCII lookarounds extracts exactly the tokens the oracle's
     # split-on-[^a-z]+ / list_contains form counts: every stopword is
     # pure [a-z]+, a token is a maximal [a-zA-Z]+ run of lower(text)
@@ -179,7 +229,7 @@ def lang_id_col(text: Column) -> Column:
     # so match iff run == stopword regardless of alternation order
     # (longest-first kept for matcher speed).  Per-profile counts then
     # come from the TINY matched-token array (avg ~a dozen elements),
-    # where the 34 interpreted filters cost ~nothing; both the matched
+    # where the per-profile interpreted filters cost ~nothing; both the matched
     # array and the hits array are bound once per row via
     # single-element transform() lambdas (the Spark analog of the
     # oracle SQL's list_transform factoring).
@@ -202,16 +252,41 @@ def lang_id_col(text: Column) -> Column:
         return F.when(mx > 0, F.element_at(lang_arr, last_idx)) \
             .otherwise(F.lit("unknown"))
 
-    expr = F.element_at(
+    latin = F.element_at(
         F.transform(
             F.array(matched),
             lambda m: F.element_at(
                 F.transform(F.array(_hits_arr(m)), _argmax_of), 1)),
         1)
-    for lang, lo, hi, thr in reversed(SCRIPT_PROFILES):
-        dens = F.length(
-            F.regexp_replace(text, "[^%s-%s]" % (chr(lo), chr(hi)), ""))
-        expr = F.when(dens / n > thr, F.lit(lang)).otherwise(expr)
+
+    # Script/marker cascade: 25 range densities + 9 marker checks (two
+    # regexes each) would be 43 full-document regex passes per row if
+    # run on ``text``.  Every profiled range sits above U+0370, so a
+    # range/marker count over text-with-ASCII-stripped equals the count
+    # over text — strip ASCII ONCE (one full pass), bind the remainder
+    # via a single-element transform() (computed once, not per branch),
+    # and run all 43 counts over what is a near-empty string for the
+    # Latin-script bulk of a web corpus.  Denominator stays
+    # length(text), preserving the density semantics the oracle uses.
+    def _script_cascade(na: Column) -> Column:
+        e = latin
+        for lang, lo, hi, thr in reversed(SCRIPT_PROFILES):
+            dens = F.length(
+                F.regexp_replace(na, "[^%s-%s]" % (chr(lo), chr(hi)), ""))
+            e = F.when(dens / n > thr, F.lit(lang)).otherwise(e)
+        # Sub-script markers wrap LAST so they are checked FIRST (before
+        # the shared base script falls through to ru/ar).
+        for lang, lo, hi, thr, marks in reversed(MARKER_PROFILES):
+            dens = F.length(
+                F.regexp_replace(na, "[^%s-%s]" % (chr(lo), chr(hi)), ""))
+            hits = F.length(F.regexp_replace(na, "[^%s]" % marks, ""))
+            e = F.when((dens / n > thr) & (hits >= 1),
+                       F.lit(lang)).otherwise(e)
+        return e
+
+    non_ascii = F.regexp_replace(text, "[\\x00-\\x7f]", "")
+    expr = F.element_at(
+        F.transform(F.array(non_ascii), _script_cascade), 1)
     return F.when(n == 0, F.lit("unknown")).otherwise(expr)
 
 
@@ -221,6 +296,13 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
     words = ("list_filter(string_split_regex(lower(%s), '[^a-z]+'), "
              "x -> len(x) > 0)" % text_expr)
     parts = ["case when length(%s) = 0 then 'unknown'" % text_expr]
+    for lang, lo, hi, thr, marks in MARKER_PROFILES:
+        parts.append(
+            "when length(regexp_replace(%s, '[^%s-%s]', '', 'g'))"
+            " / length(%s) > %s and"
+            " length(regexp_replace(%s, '[^%s]', '', 'g')) >= 1 then '%s'"
+            % (text_expr, chr(lo), chr(hi), text_expr, thr,
+               text_expr, marks, lang))
     for lang, lo, hi, thr in SCRIPT_PROFILES:
         parts.append(
             "when length(regexp_replace(%s, '[^%s-%s]', '', 'g'))"

@@ -326,3 +326,107 @@ def test_lang_id_adversarial_inputs(spark):
     want = [r[0] for r in con.execute(
         "select %s from t" % lang_id_oracle_sql("text")).fetchall()]
     assert got == want, list(zip(got, want))
+
+
+def test_lang_id_round5_second_pass_profiles(spark):
+    """One unit sentence per round-5 second-pass profile: +5 Latin
+    stopword tables (ga/mt/zu/ha/so), +11 single-language script blocks
+    (kn/ml/gu/pa/or/si/my/km/lo/am/bo), +9 marker-letter languages
+    inside shared Cyrillic/Arabic (ur/ps/fa/kk/mn/uk/be/mk and Cyrillic
+    sr) — plus plain-Cyrillic/plain-Arabic fall-through to ru/ar."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        MARKER_PROFILES)
+
+    cases = [
+        ("agus ach seo chun freisin bheith raibh anseo gach arsa", "ga"),
+        ("huwa hija iktar ukoll jista dwar biex qabel kienet lill", "mt"),
+        ("ukuthi futhi ngoba kodwa lokhu kanye noma ngesikhathi "
+         "njengoba abantu", "zu"),
+        ("amma wannan domin wata suka kuma wani daga cikin yana", "ha"),
+        ("waxaa inuu iyo laakiin markii sidoo kale ayaa dhan isaga", "so"),
+        ("ಇದು ಕನ್ನಡ ಪರೀಕ್ಷಾ ವಾಕ್ಯ", "kn"),
+        ("ഇത് ഒരു മലയാളം വാക്യം ആണ്", "ml"),
+        ("આ એક ગુજરાતી વાક્ય છે", "gu"),
+        ("ਇਹ ਇੱਕ ਪੰਜਾਬੀ ਵਾਕ ਹੈ", "pa"),
+        ("ଏହା ଏକ ଓଡ଼ିଆ ବାକ୍ୟ ଅଟେ", "or"),
+        ("මෙය සිංහල වාක්‍යයකි", "si"),
+        ("ဤသည်မှာ မြန်မာစာ ဖြစ်သည်", "my"),
+        ("នេះជាប្រយោគភាសាខ្មែរ", "km"),
+        ("ນີ້ແມ່ນປະໂຫຍກພາສາລາວ", "lo"),
+        ("ይህ የአማርኛ ዓረፍተ ነገር ነው", "am"),
+        ("འདི་བོད་ཡིག་ཡིན།", "bo"),
+        ("یہ اردو زبان کا ایک جملہ ہے", "ur"),
+        ("دا د پښتو ژبې جمله ده", "ps"),
+        ("این یک جمله فارسی است پر از پنیر", "fa"),
+        ("бұл қазақ тілінің мәтіні және ұлттық", "kk"),
+        ("энэ бол монгол хэл дээрх өгүүлбэр юм", "mn"),
+        ("це український текст із літерами її та є", "uk"),
+        ("гэта беларускі тэкст з літарай ў тут", "be"),
+        ("ова е македонски текст со буквите ѓ и ќ", "mk"),
+        ("ово је српски текст са словима ђ и ћ", "sr"),
+        # no marker letters anywhere -> base-script fall-through
+        ("это русский текст для проверки определения", "ru"),
+        ("هذا نص باللغة العربية للاختبار فقط", "ar"),
+    ]
+    # marker sanity baked into the fixtures: each marker sentence
+    # contains at least one of its own language's marker letters and
+    # none of any EARLIER profile's (cascade order is load-bearing for
+    # fa-after-ur/ps and mn-after-kk).
+    order = [m[0] for m in MARKER_PROFILES]
+    marks = {m[0]: set(m[4]) for m in MARKER_PROFILES}
+    for text, want in cases:
+        if want in marks:
+            assert set(text) & marks[want], want
+            for earlier in order[:order.index(want)]:
+                assert not set(text) & marks[earlier], (want, earlier)
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    rows = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    assert rows == [want for _, want in cases]
+
+
+def test_marker_profiles_consistent():
+    """Marker letters sit inside their base-script range and are unique
+    within each shared range (so cascade order only matters where one
+    alphabet genuinely contains another's markers)."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        MARKER_PROFILES)
+
+    seen: dict[tuple[int, int, str], str] = {}
+    for lang, lo, hi, thr, marks in MARKER_PROFILES:
+        assert marks
+        for c in marks:
+            assert lo <= ord(c) <= hi, (lang, hex(ord(c)))
+            key = (lo, hi, c)
+            assert key not in seen, (lang, seen[key], hex(ord(c)))
+            seen[key] = lang
+
+
+def test_lang_id_oracle_sql_matches_spark_second_pass(spark):
+    """Spark vs DuckDB parity over the round-5 second-pass languages
+    (markers + new scripts + new Latin profiles), mixed with fall-
+    through rows."""
+    import duckdb
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        lang_id_oracle_sql)
+
+    texts = [
+        "agus ach seo chun freisin gach", "huwa hija iktar ukoll jista",
+        "ukuthi futhi ngoba kodwa lokhu", "amma wannan domin wata suka",
+        "waxaa inuu iyo laakiin markii", "ಇದು ಕನ್ನಡ ಪರೀಕ್ಷಾ ವಾಕ್ಯ",
+        "ഇത് ഒരു മലയാളം വാക്യം", "یہ اردو کا جملہ ہے",
+        "دا د پښتو جمله ده", "این جمله فارسی است پر",
+        "бұл қазақ мәтіні ұлттық", "энэ монгол өгүүлбэр юм",
+        "це український текст є", "гэта беларускі тэкст ў",
+        "ова македонски текст ѓ", "ово српски текст ђ",
+        "это русский текст для", "هذا نص عربي فقط",
+        "ይህ የአማርኛ ዓረፍተ ነገር ነው", "འདི་བོད་ཡིག་ཡིན།", "", "zz qq xx",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in df.select(lang_id_col(F.col("text"))).collect()]
+    con = duckdb.connect()
+    con.execute("create table t(text varchar)")
+    con.executemany("insert into t values (?)", [(t,) for t in texts])
+    want = [r[0] for r in con.sql(
+        "select %s from t" % lang_id_oracle_sql("text")).fetchall()]
+    assert got == want
