@@ -34,6 +34,7 @@ from deepseek_ocr_omnidocbench_spark.operators.filters import (
 from deepseek_ocr_omnidocbench_spark.operators import classifier as CL
 from deepseek_ocr_omnidocbench_spark.operators import graph as GR
 from deepseek_ocr_omnidocbench_spark.operators import lm as LM
+from deepseek_ocr_omnidocbench_spark.operators import ranking as RK
 from deepseek_ocr_omnidocbench_spark.operators import similarity as S
 from deepseek_ocr_omnidocbench_spark.operators import textstats as TS
 from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
@@ -301,6 +302,38 @@ def q_tfidf_top_terms(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (TS.tfidf_top_terms(docs, k=3)
             .orderBy("doc_id", "term"))
+
+
+# fixed query-term set for the BM25 / hybrid-retrieval gates: common
+# words of the synthetic corpus, pure [a-z]+ so the regex term counter
+# and the oracle's split-token counter are provably equivalent.
+BM25_TERMS = ["table", "hash", "merge", "window"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 relevance of every document against a fixed query — the
+    lexical half of query-driven corpus slicing.  Zero shuffles per doc:
+    one 1-row stats aggregate broadcast back."""
+    docs = _docs(spark, sf_dir)
+    return RK.bm25_scores(docs, BM25_TERMS).orderBy("doc_id")
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 and embedding-cosine rankings for
+    one query (terms + the vec_id-0 vector): the standard hybrid
+    retrieval composition.  Cosines ranked at round(3) with id
+    tie-breaks on BOTH engines (the quantized_recall precedent) so a
+    1e-7 summation-order divergence cannot flip a rank."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    bm = RK.bm25_scores(docs, BM25_TERMS).select("doc_id", "score")
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"))
+    sem = emb.join(F.broadcast(q0)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(S.cosine_sim(F.col("embedding"), F.col("qvec")), 3)
+        .alias("cosine"))
+    return RK.rrf_fuse(bm, sem, "doc_id", top=20).orderBy("rank")
 
 
 def q_c4_clean(spark, sf_dir):
@@ -2237,6 +2270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable oracles beyond the window (every one has a driver row dated
     # r4), (6) remaining rows-only queries (all driver-executed r4).
     return {
+        # --- tier 0: new this round (never driver-verified) ---------------
+        "bm25": q_bm25,
+        "hybrid_rrf": q_hybrid_rrf,
         # --- tier 1: never driver-verified / converted this round ---------
         "md2md_report": q_md2md_report,
         "detection_map": q_detection_map,
@@ -2719,8 +2755,90 @@ def _detection_map_oracle_sql() -> str:
     """
 
 
+def _bm25_body_sql(terms: list[str], k1: float = 1.2,
+                   b: float = 0.75) -> str:
+    """CTE body replaying ranking.bm25_scores: per-doc word lengths and
+    term frequencies, a 1-row stats aggregate, and the Lucene BM25
+    formula written in the SAME operation order as the Spark column
+    expression (all inputs exact integers, so the doubles match
+    bit-for-bit before the round)."""
+    tf_cols = ", ".join(
+        "len(list_filter(words, x -> x = '%s')) as tf_%s" % (t, t)
+        for t in terms)
+    df_cols = ", ".join(
+        "sum((tf_%s > 0)::int)::bigint as df_%s" % (t, t) for t in terms)
+    parts = " + ".join(
+        "ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        " * ((tf_{t} * {k1p1}) / (tf_{t} + {k1} *"
+        " ({omb} + {b} * (dl * n / sd))))".format(
+            t=t, k1=k1, k1p1=k1 + 1.0, omb=1.0 - b, b=b)
+        for t in terms)
+    tf_names = ", ".join("tf_%s" % t for t in terms)
+    return """
+            w as (
+              select doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-zA-Z]+'),
+                x -> len(x) > 0) as words
+              from documents),
+            perdoc as (
+              select doc_id, len(words)::bigint as dl, {tf_cols}
+              from w),
+            stats as (
+              select count(*)::bigint as n, sum(dl)::bigint as sd,
+                     {df_cols}
+              from perdoc),
+            bm as (
+              select doc_id, dl, {tf_names},
+                     round({parts}, 6) as score
+              from perdoc, stats)
+    """.format(tf_cols=tf_cols, df_cols=df_cols, tf_names=tf_names,
+               parts=parts)
+
+
+def _bm25_oracle_sql(terms: list[str]) -> str:
+    tf_names = ", ".join("tf_%s" % t for t in terms)
+    return ("with %s select doc_id, dl, %s, score from bm order by doc_id"
+            % (_bm25_body_sql(terms), tf_names))
+
+
+def _hybrid_rrf_oracle_sql(terms: list[str]) -> str:
+    """RRF fusion of the BM25 ranking with the vec_id-0 cosine ranking;
+    cosine rounded to 3 before ranking (both engines), fused score a
+    fixed function of integer ranks."""
+    return """
+        with {bm_body},
+        lex as (
+          select doc_id,
+            row_number() over (order by score desc, doc_id) as rank_lex
+          from bm),
+        e as (select vec_id, embedding::DOUBLE[] as embedding
+              from embeddings),
+        q0 as (select embedding as qvec from e where vec_id = 0),
+        sem0 as (
+          select vec_id as doc_id,
+            round(list_cosine_similarity(embedding, qvec), 3) as cosine
+          from e, q0),
+        sem as (
+          select doc_id,
+            row_number() over (order by cosine desc, doc_id) as rank_sem
+          from sem0),
+        fused as (
+          select doc_id, rank_lex, rank_sem,
+            round(coalesce(1.0 / (60 + rank_lex), 0.0)
+                  + coalesce(1.0 / (60 + rank_sem), 0.0), 6) as rrf
+          from lex full outer join sem using (doc_id))
+        select doc_id, rank_lex, rank_sem, rrf,
+          row_number() over (order by rrf desc, doc_id) as rank
+        from fused
+        qualify rank <= 20
+        order by rank
+    """.format(bm_body=_bm25_body_sql(terms))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25": _bm25_oracle_sql(BM25_TERMS),
+        "hybrid_rrf": _hybrid_rrf_oracle_sql(BM25_TERMS),
         "exact_dedup_groups": """
             select md5(text) as content_hash, count(*) as group_size,
                    min(doc_id) as canonical_doc

@@ -1,0 +1,100 @@
+"""BM25 + reciprocal-rank-fusion tests (operators/ranking.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_omnidocbench_spark.operators.ranking import (
+    bm25_scores,
+    rrf_fuse,
+)
+
+
+def _bm25_ref(docs: list[str], terms: list[str], k1=1.2, b=0.75):
+    """Independent plain-Python BM25 for parity."""
+    words = [[w for w in d.lower().split() if w] for d in docs]
+    n = len(docs)
+    sd = sum(len(ws) for ws in words)
+    out = []
+    for ws in words:
+        dl = len(ws)
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            df = sum(1 for other in words if t in other)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * (dl * n / sd))))
+        out.append(round(s, 6))
+    return out
+
+
+def test_bm25_matches_reference_kernel(spark):
+    docs = [
+        "the table has a hash index on the table",
+        "merge sort beats hash join sometimes",
+        "a window function over the table",
+        "nothing relevant here at all",
+        "hash hash hash hash hash",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["table", "hash"]).collect()}
+    want = _bm25_ref(docs, ["table", "hash"])
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, abs=1e-6), i
+    # irrelevant doc scores exactly 0
+    assert got[3] == 0.0
+    # tf saturation: 5x "hash" scores more than 1x but far less than 5x
+    one = _bm25_ref(docs, ["hash"])[1]
+    five = _bm25_ref(docs, ["hash"])[4]
+    assert one < five < 5 * one
+
+
+def test_bm25_term_validation(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_scores(df, ["ok", "Bad-Term"])
+
+
+def test_bm25_doc_side_never_shuffles(spark):
+    """The per-document branch must reach the scorer without a hash
+    exchange: corpus stats ride in as a 1-row broadcast.  (The stats
+    aggregate itself is a SinglePartition exchange — allowed.)"""
+    df = spark.createDataFrame(
+        [(i, "table hash %d" % i) for i in range(50)], ["doc_id", "text"])
+    plan = (bm25_scores(df, ["table", "hash"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_rrf_fuse_semantics(spark):
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "score"])
+    sem = spark.createDataFrame(
+        [(3, 0.99), (2, 0.5), (4, 0.4)], ["doc_id", "cosine"])
+    rows = {r["doc_id"]: r for r in
+            rrf_fuse(lex, sem, "doc_id", k=60, top=10).collect()}
+    # doc 2 appears mid in both lists; docs 1/3/4 top one list only
+    assert rows[1]["rank_lex"] == 1 and rows[1]["rank_sem"] is None
+    assert rows[4]["rank_lex"] is None and rows[4]["rank_sem"] == 3
+    assert rows[2]["rrf"] == pytest.approx(
+        round(1 / 62 + 1 / 62, 6), abs=1e-9)
+    # both-list membership beats single-list membership here
+    assert rows[2]["rank"] < rows[1]["rank"]
+    # top truncation
+    out = rrf_fuse(lex, sem, "doc_id", top=2).collect()
+    assert len(out) == 2 and all(r["rank"] <= 2 for r in out)
+
+
+def test_rrf_deterministic_tie_break(spark):
+    lex = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)], ["doc_id", "score"])
+    sem = spark.createDataFrame(
+        [(i, 0.5) for i in range(6)], ["doc_id", "cosine"])
+    a = [r["doc_id"] for r in
+         rrf_fuse(lex, sem, "doc_id", top=6).orderBy("rank").collect()]
+    assert a == sorted(a), a
