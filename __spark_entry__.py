@@ -2273,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
+        "pq_codes": q_pq_codes,
+        "pq_recall": q_pq_recall,
         # --- tier 1: never driver-verified / converted this round ---------
         "md2md_report": q_md2md_report,
         "detection_map": q_detection_map,
@@ -2755,6 +2757,160 @@ def _detection_map_oracle_sql() -> str:
     """
 
 
+PQ_DIM, PQ_M, PQ_K, PQ_ITERS = 64, 4, 16, 2
+
+
+def _pq_codebooks(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return emb, S.train_pq_codebooks(
+        emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes for every vector — distributed
+    per-subspace k-means (deterministic init, 2 Lloyd rounds, means
+    rounded to 6dp) then nearest-centroid assignment.  The full
+    training loop is replayed relationally in the oracle (the BPE
+    unrolled-iterations precedent), so the gate covers learning, not
+    just assignment."""
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    out = S.pq_assign(emb, cbs, dim=PQ_DIM)
+    return out.select(
+        "vec_id", *["code_%d" % s for s in range(PQ_M)]).orderBy("vec_id")
+
+
+def q_pq_recall(spark, sf_dir):
+    """Does top-k survive 64x compression?  Exact cosine top-5 vs
+    ADC-over-codes top-5, overlap per query (the quantized_recall
+    audit, one memory-ladder rung further down)."""
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.knn_bruteforce(emb, queries, k=5, rank_precision=3)
+    codes = S.pq_assign(emb, cbs, dim=PQ_DIM).select("vec_id", "codes")
+    adc = S.pq_adc_topk(codes, queries, cbs, dim=PQ_DIM, k=5)
+    overlap = (exact.select("query_id", "neighbor_id")
+               .join(adc.select("query_id", "neighbor_id"),
+                     ["query_id", "neighbor_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    (F.coalesce("n_common", F.lit(0)) / 5.0)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+def _pq_body_sql(dim: int = PQ_DIM, m: int = PQ_M, k: int = PQ_K,
+                 iters: int = PQ_ITERS) -> str:
+    """CTE chain replaying similarity.train_pq_codebooks + pq_assign:
+    subvector explode, deterministic init, ``iters`` unrolled Lloyd
+    rounds (assign by squared-L2 left-fold with lowest-cell tie-break,
+    per-coordinate means rounded to 6dp, empty cells keep the previous
+    centroid), final assignment ``af`` against cb{iters}.  All CTEs
+    materialized — a twice-referenced deep chain inlines exponentially
+    in DuckDB otherwise."""
+    d = dim // m
+    parts = ["""
+            e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            sub as materialized (
+              select vec_id, s, list_slice(v, s*{d}+1, s*{d}+{d}) as sv
+              from e, (select unnest(range({m})) as s)),
+            cb0 as materialized (
+              select s, cell, sv as c from (
+                select s, sv,
+                  row_number() over (partition by s order by vec_id) - 1
+                    as cell
+                from sub
+                where vec_id in (select vec_id from e
+                                 order by vec_id limit {k})))
+    """.format(d=d, m=m, k=k)]
+    assign = """
+            {name} as materialized (
+              select vec_id, s, sv, cell from (
+                select sub.vec_id, sub.s, sub.sv, {prev}.cell,
+                  row_number() over (partition by sub.vec_id, sub.s
+                    order by list_sum(list_transform(range(1, {d}+1),
+                      i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+                      {prev}.cell) as rn
+                from sub join {prev} using (s))
+              where rn = 1)
+    """
+    for t in range(1, iters + 1):
+        parts.append(assign.format(name="a%d" % t, prev="cb%d" % (t - 1),
+                                   d=d))
+        parts.append("""
+            m{t} as materialized (
+              select s, cell, list(mv order by i) as c from (
+                select s, cell, i, round(avg(sv[i]), 6) as mv
+                from a{t}, (select unnest(range(1, {d}+1)) as i)
+                group by s, cell, i)
+              group by s, cell),
+            cb{t} as materialized (
+              select p.s, p.cell, coalesce(m{t}.c, p.c) as c
+              from cb{tm1} p left join m{t} using (s, cell))
+        """.format(t=t, tm1=t - 1, d=d))
+    parts.append(assign.format(name="af", prev="cb%d" % iters, d=d))
+    return ",".join(parts)
+
+
+def _pq_codes_oracle_sql() -> str:
+    code_cols = ", ".join(
+        "max(case when s = %d then cell end)::int as code_%d" % (s, s)
+        for s in range(PQ_M))
+    return ("with %s select vec_id, %s from af group by vec_id"
+            " order by vec_id" % (_pq_body_sql(), code_cols))
+
+
+def _pq_recall_oracle_sql() -> str:
+    d = PQ_DIM // PQ_M
+    return """
+        with {body},
+        q as (select vec_id as query_id, v as qvec from e
+              where vec_id < 5),
+        ex as (
+          select query_id, neighbor_id from (
+            select query_id, e.vec_id as neighbor_id,
+              row_number() over (partition by query_id
+                order by round(list_cosine_similarity(qvec, e.v), 3)
+                         desc, e.vec_id) as rank
+            from q join e on e.vec_id != query_id)
+          where rank <= 5),
+        lut as (
+          select query_id, s, cell,
+            list_sum(list_transform(range(1, {d}+1),
+              i -> (qsv[i] - c[i]) * (qsv[i] - c[i]))) as sub_d
+          from (select query_id, s,
+                  list_slice(qvec, s*{d}+1, s*{d}+{d}) as qsv
+                from q, (select unnest(range({m})) as s))
+          join cb{iters} using (s)),
+        adc0 as (
+          select query_id, af.vec_id as neighbor_id,
+            round(sum(sub_d), 6) as adc
+          from af join lut on lut.s = af.s and lut.cell = af.cell
+          where af.vec_id != query_id
+          group by query_id, af.vec_id),
+        ap as (
+          select query_id, neighbor_id from (
+            select query_id, neighbor_id,
+              row_number() over (partition by query_id
+                order by adc, neighbor_id) as rank
+            from adc0)
+          where rank <= 5),
+        o as (
+          select ex.query_id, count(*)::bigint as n_common
+          from ex join ap using (query_id, neighbor_id)
+          group by ex.query_id)
+        select q.query_id,
+          coalesce(o.n_common, 0)::bigint as n_common,
+          coalesce(o.n_common, 0) / 5.0 as recall_at_5
+        from q left join o using (query_id)
+        order by query_id
+    """.format(body=_pq_body_sql(), d=d, m=PQ_M, iters=PQ_ITERS)
+
+
 def _bm25_body_sql(terms: list[str], k1: float = 1.2,
                    b: float = 0.75) -> str:
     """CTE body replaying ranking.bm25_scores: per-doc word lengths and
@@ -2839,6 +2995,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25": _bm25_oracle_sql(BM25_TERMS),
         "hybrid_rrf": _hybrid_rrf_oracle_sql(BM25_TERMS),
+        "pq_codes": _pq_codes_oracle_sql(),
+        "pq_recall": _pq_recall_oracle_sql(),
         "exact_dedup_groups": """
             select md5(text) as content_hash, count(*) as group_size,
                    min(doc_id) as canonical_doc

@@ -400,3 +400,152 @@ def quantization_error(embeddings: DataFrame, vec_col: str = "embedding",
         id_col,
         F.round("scale", 6).alias("scale"),
         F.round(cosine_sim(F.col(vec_col), dv), 6).alias("cos_q"))
+
+
+# ---- Product quantization (Jégou et al. 2011, "PQ for NN search") ------
+#
+# The third rung of the ANN memory ladder after float32 and int8: split
+# each vector into m subvectors, k-means each subspace independently,
+# store only the m centroid ids.  dim=64 float32 (256 B) becomes m=4
+# bytes — 64x — and queries scan codes with an m-lookup additive
+# distance (ADC), never touching raw vectors.  At 10^12-vector scale
+# the codes table is the only corpus-sized artifact; codebooks are
+# driver-side literals (m*k*(dim/m) floats) baked into expressions, so
+# assignment and ADC scoring are shuffle-free map stages.
+#
+# Determinism contract (the value gate relies on it): init = the first
+# k vectors by id, per-coordinate means rounded to 6 decimals each
+# Lloyd round (a stored codebook is itself quantized), squared-L2 folds
+# run left-to-right in both engines, argmin ties break to the lowest
+# cell id.
+
+
+def _sq_l2(sv: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between a subvector column and a centroid
+    literal, as a left-to-right fold (bit-identical to the oracle's
+    list_sum(list_transform(...)))."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sv, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(id, s, sv) rows — one per (vector, subspace)."""
+    d = dim // m
+    return embeddings.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice(F.col(vec_col), s * d + 1, d).alias("sv"))
+            for s in range(m)])).alias("x"),
+    ).select(id_col, "x.s", "x.sv")
+
+
+def _pq_assign_cells(sub: DataFrame,
+                     codebooks: list[list[list[float]]]) -> DataFrame:
+    """Nearest-centroid cell per (id, s, sv) row.  Each subspace gets
+    its own codegen'd distance array (k tiny folds); first-min
+    array_position = lowest-cell tie-break."""
+    branches = []
+    for s, cb in enumerate(codebooks):
+        dists = F.array(*[_sq_l2(F.col("sv"), c) for c in cb])
+        cell = (F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+                - 1).cast("int")
+        branches.append(sub.where(F.col("s") == s)
+                        .withColumn("_d", dists)
+                        .withColumn("cell", cell).drop("_d"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def train_pq_codebooks(embeddings: DataFrame, dim: int, m: int = 4,
+                       k: int = 16, iters: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Per-subspace mini k-means, fully distributed: deterministic init
+    (subvectors of the first k ids), then ``iters`` rounds of assign
+    (map over the corpus, centroid literals) + per-cell coordinate mean
+    (one narrow shuffle), means rounded to 6 decimals.  Empty cells
+    keep their previous centroid.  m/k/iters are tiny constants; every
+    round is one pass over the corpus."""
+    d = dim // m
+    first = (embeddings.orderBy(id_col).limit(k)
+             .select(vec_col).collect())
+    codebooks = [[list(r[vec_col])[s * d:(s + 1) * d] for r in first]
+                 for s in range(m)]
+    sub = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _pq_assign_cells(sub, codebooks)
+        rows = (assigned
+                .select("s", "cell", F.posexplode("sv").alias("pos", "v"))
+                .groupBy("s", "cell", "pos")
+                .agg(F.round(F.avg("v"), 6).alias("mv"))
+                .groupBy("s", "cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
+                     .alias("ps"))
+                .select("s", "cell",
+                        F.transform("ps", lambda x: x["mv"]).alias("c"))
+                .collect())
+        new = {(r["s"], r["cell"]): list(r["c"]) for r in rows}
+        codebooks = [[new.get((s, c), codebooks[s][c]) for c in range(k)]
+                     for s in range(m)]
+    return codebooks
+
+
+def pq_assign(embeddings: DataFrame, codebooks: list[list[list[float]]],
+              dim: int, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes) — codes[s] = nearest cell in subspace s.  Pure map
+    stage (centroid literals), no shuffle; the 10^12-scale storage
+    artifact."""
+    m = len(codebooks)
+    d = dim // m
+    code_cols = []
+    for s, cb in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), s * d + 1, d)
+        dists = F.array(*[_sq_l2(sv, c) for c in cb])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            .alias("code_%d" % s))
+    return embeddings.select(id_col, *code_cols).withColumn(
+        "codes", F.array(*["code_%d" % s for s in range(m)]))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], dim: int, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                rank_precision: int = 6) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    an m x k lookup table (squared L2 from its raw subvectors to every
+    centroid) ONCE on the query side, then scans the codes table with m
+    array lookups + adds per corpus row — the ADC trick that makes PQ
+    search memory-bandwidth-bound instead of FLOP-bound.  Queries are
+    broadcast; the corpus never shuffles.  Ranking rounds the additive
+    distance (and ties break on id) so near-ties are stable across
+    engines."""
+    m = len(codebooks)
+    d = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    for s, cb in enumerate(codebooks):
+        qsv = F.slice(F.col("qvec"), s * d + 1, d)
+        q = q.withColumn("lut_%d" % s,
+                         F.array(*[_sq_l2(qsv, c) for c in cb]))
+    q = q.drop("qvec")
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.col("lut_%d" % s),
+                            F.element_at(F.col("codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = (codes.join(F.broadcast(q))
+              .where(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(dist, rank_precision).alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
