@@ -2275,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "pq_codes": q_pq_codes,
         "pq_recall": q_pq_recall,
+        "ivfpq_codes": q_ivfpq_codes,
+        "ivfpq_recall": q_ivfpq_recall,
         # --- tier 1: never driver-verified / converted this round ---------
         "md2md_report": q_md2md_report,
         "detection_map": q_detection_map,
@@ -2804,70 +2806,81 @@ def q_pq_recall(spark, sf_dir):
 
 
 def _pq_body_sql(dim: int = PQ_DIM, m: int = PQ_M, k: int = PQ_K,
-                 iters: int = PQ_ITERS) -> str:
+                 iters: int = PQ_ITERS, prefix: str = "",
+                 source: str = "e") -> str:
     """CTE chain replaying similarity.train_pq_codebooks + pq_assign:
     subvector explode, deterministic init, ``iters`` unrolled Lloyd
     rounds (assign by squared-L2 left-fold with lowest-cell tie-break,
     per-coordinate means rounded to 6dp, empty cells keep the previous
-    centroid), final assignment ``af`` against cb{iters}.  All CTEs
-    materialized — a twice-referenced deep chain inlines exponentially
-    in DuckDB otherwise."""
+    centroid), final assignment ``{prefix}af`` against
+    ``{prefix}cb{iters}``.  All CTEs materialized — a twice-referenced
+    deep chain inlines exponentially in DuckDB otherwise.
+
+    ``prefix`` namespaces the CTEs and ``source`` names a CTE providing
+    (vec_id, v) so the chain composes — the IVF-PQ oracle runs it twice
+    (coarse over raw vectors, then product codes over residuals)."""
     d = dim // m
+    p = prefix
     parts = ["""
-            e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
-            sub as materialized (
+            {p}sub as materialized (
               select vec_id, s, list_slice(v, s*{d}+1, s*{d}+{d}) as sv
-              from e, (select unnest(range({m})) as s)),
-            cb0 as materialized (
+              from {src}, (select unnest(range({m})) as s)),
+            {p}cb0 as materialized (
               select s, cell, sv as c from (
                 select s, sv,
                   row_number() over (partition by s order by vec_id) - 1
                     as cell
-                from sub
-                where vec_id in (select vec_id from e
+                from {p}sub
+                where vec_id in (select vec_id from {src}
                                  order by vec_id limit {k})))
-    """.format(d=d, m=m, k=k)]
+    """.format(d=d, m=m, k=k, p=p, src=source)]
     assign = """
-            {name} as materialized (
+            {p}{name} as materialized (
               select vec_id, s, sv, cell from (
-                select sub.vec_id, sub.s, sub.sv, {prev}.cell,
-                  row_number() over (partition by sub.vec_id, sub.s
+                select {p}sub.vec_id, {p}sub.s, {p}sub.sv, {prev}.cell,
+                  row_number() over (partition by {p}sub.vec_id, {p}sub.s
                     order by list_sum(list_transform(range(1, {d}+1),
                       i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
                       {prev}.cell) as rn
-                from sub join {prev} using (s))
+                from {p}sub join {prev} using (s))
               where rn = 1)
     """
     for t in range(1, iters + 1):
-        parts.append(assign.format(name="a%d" % t, prev="cb%d" % (t - 1),
-                                   d=d))
+        parts.append(assign.format(name="a%d" % t,
+                                   prev="%scb%d" % (p, t - 1), d=d, p=p))
         parts.append("""
-            m{t} as materialized (
+            {p}m{t} as materialized (
               select s, cell, list(mv order by i) as c from (
                 select s, cell, i, round(avg(sv[i]), 6) as mv
-                from a{t}, (select unnest(range(1, {d}+1)) as i)
+                from {p}a{t}, (select unnest(range(1, {d}+1)) as i)
                 group by s, cell, i)
               group by s, cell),
-            cb{t} as materialized (
-              select p.s, p.cell, coalesce(m{t}.c, p.c) as c
-              from cb{tm1} p left join m{t} using (s, cell))
-        """.format(t=t, tm1=t - 1, d=d))
-    parts.append(assign.format(name="af", prev="cb%d" % iters, d=d))
+            {p}cb{t} as materialized (
+              select p.s, p.cell, coalesce({p}m{t}.c, p.c) as c
+              from {p}cb{tm1} p left join {p}m{t} using (s, cell))
+        """.format(t=t, tm1=t - 1, d=d, p=p))
+    parts.append(assign.format(name="af", prev="%scb%d" % (p, iters),
+                               d=d, p=p))
     return ",".join(parts)
+
+
+_PQ_E_CTE = ("e as (select vec_id, embedding::DOUBLE[] as v"
+             " from embeddings)")
 
 
 def _pq_codes_oracle_sql() -> str:
     code_cols = ", ".join(
         "max(case when s = %d then cell end)::int as code_%d" % (s, s)
         for s in range(PQ_M))
-    return ("with %s select vec_id, %s from af group by vec_id"
-            " order by vec_id" % (_pq_body_sql(), code_cols))
+    return ("with %s, %s select vec_id, %s from af group by vec_id"
+            " order by vec_id" % (_PQ_E_CTE, _pq_body_sql(), code_cols))
 
 
 def _pq_recall_oracle_sql() -> str:
     d = PQ_DIM // PQ_M
     return """
-        with {body},
+        with {e_cte},
+        {body},
         q as (select vec_id as query_id, v as qvec from e
               where vec_id < 5),
         ex as (
@@ -2908,7 +2921,158 @@ def _pq_recall_oracle_sql() -> str:
           coalesce(o.n_common, 0) / 5.0 as recall_at_5
         from q left join o using (query_id)
         order by query_id
-    """.format(body=_pq_body_sql(), d=d, m=PQ_M, iters=PQ_ITERS)
+    """.format(e_cte=_PQ_E_CTE, body=_pq_body_sql(), d=d, m=PQ_M,
+               iters=PQ_ITERS)
+
+
+IVFPQ_KC, IVFPQ_NPROBE = 8, 2
+
+
+def q_ivfpq_codes(spark, sf_dir):
+    """IVF-PQ index rows (coarse inverted-list id + residual product
+    codes per vector) — the FAISS IndexIVFPQ storage layout, trained
+    end-to-end distributed; BOTH k-means chains (coarse, residual)
+    replay relationally in the oracle."""
+    emb = _emb(spark, sf_dir)
+    coarse, cbs = S.train_ivfpq(emb, dim=PQ_DIM, k_coarse=IVFPQ_KC,
+                                m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    out = S.ivfpq_assign(emb, coarse, cbs, dim=PQ_DIM)
+    return out.select("vec_id", "coarse_cell",
+                      *["code_%d" % s for s in range(PQ_M)]) \
+        .orderBy("vec_id")
+
+
+def q_ivfpq_recall(spark, sf_dir):
+    """Probe-limited IVF-PQ search audit: exact squared-L2 top-5 vs
+    n_probe=2 ADC top-5 overlap per query.  Exact side ranks at
+    round(d2,3) with id tie-breaks on both engines."""
+    emb = _emb(spark, sf_dir)
+    coarse, cbs = S.train_ivfpq(emb, dim=PQ_DIM, k_coarse=IVFPQ_KC,
+                                m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    queries = emb.where(F.col("vec_id") < 5)
+    qq = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qvec"))
+    from pyspark.sql import Window
+    d2 = S.sq_l2_cols(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(d2, 3).asc(), F.col("vec_id").asc())
+    exact = (emb.join(F.broadcast(qq))
+             .where(F.col("query_id") != F.col("vec_id"))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= 5)
+             .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    index = S.ivfpq_assign(emb, coarse, cbs, dim=PQ_DIM) \
+        .select("vec_id", "coarse_cell", "codes")
+    adc = S.ivfpq_adc_topk(index, queries, coarse, cbs, dim=PQ_DIM,
+                           k=5, n_probe=IVFPQ_NPROBE)
+    overlap = (exact
+               .join(adc.select("query_id", "neighbor_id"),
+                     ["query_id", "neighbor_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    (F.coalesce("n_common", F.lit(0)) / 5.0)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+def _ivfpq_body_sql() -> str:
+    """Coarse chain (m=1) over raw vectors, residual CTE, then the
+    product chain over residuals — two composed _pq_body_sql replays."""
+    return """
+        {e_cte},
+        {coarse},
+        resid as materialized (
+          select caf.vec_id, caf.cell as coarse_cell,
+            list_transform(range(1, {dim}+1), i -> sv[i] - c[i]) as v
+          from caf join ccb{iters} using (s, cell)),
+        {resid_pq}
+    """.format(
+        e_cte=_PQ_E_CTE, dim=PQ_DIM, iters=PQ_ITERS,
+        coarse=_pq_body_sql(dim=PQ_DIM, m=1, k=IVFPQ_KC, iters=PQ_ITERS,
+                            prefix="c", source="e"),
+        resid_pq=_pq_body_sql(dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+                              prefix="r", source="resid"))
+
+
+def _ivfpq_codes_oracle_sql() -> str:
+    code_cols = ", ".join(
+        "max(case when raf.s = %d then raf.cell end)::int as code_%d"
+        % (s, s) for s in range(PQ_M))
+    return ("with %s select raf.vec_id, resid.coarse_cell, %s"
+            " from raf join resid using (vec_id)"
+            " group by raf.vec_id, resid.coarse_cell order by raf.vec_id"
+            % (_ivfpq_body_sql(), code_cols))
+
+
+def _ivfpq_recall_oracle_sql() -> str:
+    d = PQ_DIM // PQ_M
+    return """
+        with {body},
+        q as (select vec_id as query_id, v as qvec from e
+              where vec_id < 5),
+        ex as (
+          select query_id, neighbor_id from (
+            select query_id, e.vec_id as neighbor_id,
+              row_number() over (partition by query_id
+                order by round(list_sum(list_transform(range(1, {dim}+1),
+                  i -> (qvec[i] - e.v[i]) * (qvec[i] - e.v[i]))), 3),
+                  e.vec_id) as rank
+            from q join e on e.vec_id != query_id)
+          where rank <= 5),
+        probes as (
+          select query_id, cell as coarse_cell, qvec from (
+            select query_id, cell, qvec,
+              row_number() over (partition by query_id
+                order by list_sum(list_transform(range(1, {dim}+1),
+                  i -> (qvec[i] - c[i]) * (qvec[i] - c[i]))), cell) as rn
+            from q join ccb{iters} on ccb{iters}.s = 0)
+          where rn <= {nprobe}),
+        rq as (
+          select query_id, coarse_cell,
+            list_transform(range(1, {dim}+1), i -> qvec[i] - c[i]) as rqv
+          from probes join ccb{iters}
+            on ccb{iters}.s = 0 and ccb{iters}.cell = probes.coarse_cell),
+        lut as (
+          select query_id, coarse_cell, s, cell,
+            list_sum(list_transform(range(1, {d}+1),
+              i -> (rsv[i] - c[i]) * (rsv[i] - c[i]))) as sub_d
+          from (select query_id, coarse_cell, s,
+                  list_slice(rqv, s*{d}+1, s*{d}+{d}) as rsv
+                from rq, (select unnest(range({m})) as s))
+          join rcb{iters} using (s)),
+        idx as (
+          select raf.vec_id, resid.coarse_cell, raf.s, raf.cell
+          from raf join resid using (vec_id)),
+        adc0 as (
+          select query_id, idx.vec_id as neighbor_id,
+            round(sum(sub_d), 6) as adc
+          from idx join lut on lut.coarse_cell = idx.coarse_cell
+            and lut.s = idx.s and lut.cell = idx.cell
+          where idx.vec_id != query_id
+          group by query_id, idx.vec_id),
+        ap as (
+          select query_id, neighbor_id from (
+            select query_id, neighbor_id,
+              row_number() over (partition by query_id
+                order by adc, neighbor_id) as rank
+            from adc0)
+          where rank <= 5),
+        o as (
+          select ex.query_id, count(*)::bigint as n_common
+          from ex join ap using (query_id, neighbor_id)
+          group by ex.query_id)
+        select q.query_id,
+          coalesce(o.n_common, 0)::bigint as n_common,
+          coalesce(o.n_common, 0) / 5.0 as recall_at_5
+        from q left join o using (query_id)
+        order by query_id
+    """.format(body=_ivfpq_body_sql(), dim=PQ_DIM, d=d, m=PQ_M,
+               iters=PQ_ITERS, nprobe=IVFPQ_NPROBE)
 
 
 def _bm25_body_sql(terms: list[str], k1: float = 1.2,
@@ -2997,6 +3161,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_oracle_sql(BM25_TERMS),
         "pq_codes": _pq_codes_oracle_sql(),
         "pq_recall": _pq_recall_oracle_sql(),
+        "ivfpq_codes": _ivfpq_codes_oracle_sql(),
+        "ivfpq_recall": _ivfpq_recall_oracle_sql(),
         "exact_dedup_groups": """
             select md5(text) as content_hash, count(*) as group_size,
                    min(doc_id) as canonical_doc

@@ -174,6 +174,20 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
     times["curate_e2e"] = round(time.time() - t0, 3)
 
+    # round-5 retrieval/PQ ops: forced via a computed-column aggregate
+    # (count(lit(1)) would prune their projection bodies — the
+    # documented bench trap for lang_id/quality_scores)
+    q_bm = entry.queries()["bm25"]
+    _, times["bm25"] = _steady(
+        lambda: q_bm(spark, sf_dir).agg(F.sum("score")).collect())
+    q_hy = entry.queries()["hybrid_rrf"]
+    _, times["hybrid_rrf"] = _steady(
+        lambda: q_hy(spark, sf_dir).agg(F.sum("rrf")).collect())
+    q_pq = entry.queries()["pq_codes"]
+    _, times["pq_codes"] = _steady(
+        lambda: q_pq(spark, sf_dir).agg(
+            F.sum("code_0"), F.sum("code_3")).collect())
+
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries
     # at 9-18 s single-shot (sessionize 0.9 -> 12.0, anchor_text

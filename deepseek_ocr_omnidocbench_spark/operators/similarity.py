@@ -498,10 +498,11 @@ def train_pq_codebooks(embeddings: DataFrame, dim: int, m: int = 4,
 
 def pq_assign(embeddings: DataFrame, codebooks: list[list[list[float]]],
               dim: int, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes) — codes[s] = nearest cell in subspace s.  Pure map
-    stage (centroid literals), no shuffle; the 10^12-scale storage
-    artifact."""
+              vec_col: str = "embedding",
+              keep: list[str] | None = None) -> DataFrame:
+    """(id, [keep...], codes) — codes[s] = nearest cell in subspace s.
+    Pure map stage (centroid literals), no shuffle; the 10^12-scale
+    storage artifact."""
     m = len(codebooks)
     d = dim // m
     code_cols = []
@@ -511,7 +512,7 @@ def pq_assign(embeddings: DataFrame, codebooks: list[list[list[float]]],
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
             .alias("code_%d" % s))
-    return embeddings.select(id_col, *code_cols).withColumn(
+    return embeddings.select(id_col, *(keep or []), *code_cols).withColumn(
         "codes", F.array(*["code_%d" % s for s in range(m)]))
 
 
@@ -542,6 +543,121 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
                             F.element_at(F.col("codes"), s + 1) + 1)
         dist = term if dist is None else dist + term
     scored = (codes.join(F.broadcast(q))
+              .where(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(dist, rank_precision).alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+# ---- IVF-PQ: coarse inverted lists + residual product codes ------------
+#
+# The composition every billion-scale ANN deployment actually runs
+# (FAISS IndexIVFPQ): a coarse k-means partitions the corpus into
+# inverted lists; each vector stores only its list id + PQ codes of its
+# RESIDUAL (x - coarse centroid); a query probes its n_probe nearest
+# lists and scans their codes with per-list ADC tables.  At 10^12
+# vectors the corpus is *stored* partitioned by coarse cell, so a probe
+# is a partition-pruned scan; per-vector storage is log2(k0) bits + m
+# bytes.  Training, assignment and search reuse the PQ kernels above
+# (the coarse quantizer IS train_pq_codebooks with m=1), and the whole
+# training chain replays relationally in the oracle.
+
+
+def sq_l2_cols(a: Column, b: Column) -> Column:
+    """Column-column squared L2 as the same left-to-right fold the
+    centroid-literal variant uses (oracle-bit-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivfpq_residuals(embeddings: DataFrame, coarse: list[list[float]],
+                    dim: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid and replace the
+    embedding with its residual.  Pure map stage."""
+    dists = F.array(*[_sq_l2(F.col(vec_col), c) for c in coarse])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in coarse])
+    out = embeddings.withColumn("coarse_cell", cell)
+    resid = F.zip_with(F.col(vec_col),
+                       F.element_at(cent_lit, F.col("coarse_cell") + 1),
+                       lambda a, b: a - b)
+    return out.withColumn(vec_col, resid)
+
+
+def train_ivfpq(embeddings: DataFrame, dim: int, k_coarse: int = 8,
+                m: int = 4, k: int = 16, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(coarse_centroids, pq_codebooks): coarse k-means over raw
+    vectors (train_pq_codebooks with m=1), then per-subspace codebooks
+    over the residuals."""
+    coarse = train_pq_codebooks(embeddings, dim=dim, m=1, k=k_coarse,
+                                iters=iters, id_col=id_col,
+                                vec_col=vec_col)[0]
+    resid = ivfpq_residuals(embeddings, coarse, dim, id_col, vec_col)
+    pq_cbs = train_pq_codebooks(resid, dim=dim, m=m, k=k, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    return coarse, pq_cbs
+
+
+def ivfpq_assign(embeddings: DataFrame, coarse: list[list[float]],
+                 pq_codebooks: list[list[list[float]]], dim: int,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, coarse_cell, code_*..., codes) — the stored index rows."""
+    resid = ivfpq_residuals(embeddings, coarse, dim, id_col, vec_col)
+    return pq_assign(resid, pq_codebooks, dim, id_col, vec_col,
+                     keep=["coarse_cell"])
+
+
+def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
+                   coarse: list[list[float]],
+                   pq_codebooks: list[list[list[float]]], dim: int,
+                   k: int = 5, n_probe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   rank_precision: int = 6) -> DataFrame:
+    """Probe-limited ADC search over an ivfpq_assign index: each query
+    ranks the coarse cells by squared L2, keeps ``n_probe``, computes a
+    residual-query LUT per probed cell, and scans only that cell's
+    codes.  Queries (with their per-cell LUTs) broadcast; the index
+    side joins on coarse_cell — at stored-partitioned scale that join
+    IS partition pruning."""
+    m = len(pq_codebooks)
+    d = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    ranked = F.array(*[
+        F.struct(_sq_l2(F.col("qvec"), c).alias("d"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(coarse)])
+    # natural struct ordering sorts by (d, cell) ascending — the same
+    # (distance, lowest-cell) tie-break the oracle's window uses
+    probes = q.select(
+        "query_id", "qvec",
+        F.explode(F.slice(F.array_sort(ranked), 1, n_probe)).alias("p"),
+    ).select("query_id", "qvec", F.col("p.cell").alias("coarse_cell"))
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in coarse])
+    probes = probes.withColumn(
+        "rq", F.zip_with(F.col("qvec"),
+                         F.element_at(cent_lit, F.col("coarse_cell") + 1),
+                         lambda a, b: a - b)).drop("qvec")
+    for s, cb in enumerate(pq_codebooks):
+        rsv = F.slice(F.col("rq"), s * d + 1, d)
+        probes = probes.withColumn(
+            "lut_%d" % s, F.array(*[_sq_l2(rsv, c) for c in cb]))
+    probes = probes.drop("rq")
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.col("lut_%d" % s),
+                            F.element_at(F.col("codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = (index.join(F.broadcast(probes), "coarse_cell")
               .where(F.col("query_id") != F.col(id_col))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       F.round(dist, rank_precision).alias("adc_dist")))

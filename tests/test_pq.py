@@ -112,3 +112,66 @@ def test_pq_deterministic(vecs):
     a = train_pq_codebooks(df, dim=DIM, m=M, k=K, iters=2)
     b = train_pq_codebooks(df, dim=DIM, m=M, k=K, iters=2)
     assert a == b
+
+
+def test_ivfpq_roundtrip_and_residual_identity(vecs):
+    """Index rows carry a valid coarse cell and residual codes; the
+    residual of a vector plus its coarse centroid reconstructs within
+    PQ error of the original (sanity of the residual plumbing)."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        ivfpq_assign,
+        ivfpq_residuals,
+        train_ivfpq,
+    )
+
+    rows, df = vecs
+    coarse, cbs = train_ivfpq(df, dim=DIM, k_coarse=4, m=M, k=K, iters=2)
+    assert len(coarse) == 4 and all(len(c) == DIM for c in coarse)
+    out = ivfpq_assign(df, coarse, cbs, dim=DIM).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert 0 <= r["coarse_cell"] < 4
+        assert all(0 <= c < K for c in r["codes"])
+    # residual + coarse centroid == original, exactly
+    by_id = {i: v for i, v in rows}
+    res = ivfpq_residuals(df, coarse, DIM).collect()
+    for r in res[:10]:
+        v = by_id[r["vec_id"]]
+        c = coarse[r["coarse_cell"]]
+        back = [a + b for a, b in zip(r["embedding"], c)]
+        assert back == pytest.approx(v, abs=1e-12)
+
+
+def test_ivfpq_search_probes_only_listed_cells(vecs):
+    """With n_probe=1 every returned neighbor must live in the query's
+    single nearest coarse cell."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_assign,
+        train_ivfpq,
+    )
+
+    rows, df = vecs
+    coarse, cbs = train_ivfpq(df, dim=DIM, k_coarse=4, m=M, k=K, iters=1)
+    index = ivfpq_assign(df, coarse, cbs, dim=DIM) \
+        .select("vec_id", "coarse_cell", "codes")
+    cell_of = {r["vec_id"]: r["coarse_cell"] for r in index.collect()}
+    queries = df.where(F.col("vec_id") < 3)
+    got = ivfpq_adc_topk(index, queries, coarse, cbs, dim=DIM,
+                         k=10, n_probe=1).collect()
+    d = DIM
+    by_id = {i: v for i, v in rows}
+    for r in got:
+        q = by_id[r["query_id"]]
+        dists = [sum((a - b) * (a - b) for a, b in zip(q, c))
+                 for c in coarse]
+        best_cell = dists.index(min(dists))
+        assert cell_of[r["neighbor_id"]] == best_cell
+    # widening probes can only add candidates (recall monotone in
+    # n_probe): top-1 ADC distance never increases
+    got2 = ivfpq_adc_topk(index, queries, coarse, cbs, dim=DIM,
+                          k=10, n_probe=4).collect()
+    best1 = {r["query_id"]: r["adc_dist"] for r in got if r["rank"] == 1}
+    best2 = {r["query_id"]: r["adc_dist"] for r in got2 if r["rank"] == 1}
+    for qid in best1:
+        assert best2[qid] <= best1[qid] + 1e-9
