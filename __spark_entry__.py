@@ -304,6 +304,59 @@ def q_tfidf_top_terms(spark, sf_dir):
             .orderBy("doc_id", "term"))
 
 
+def q_zipf_stats(spark, sf_dir):
+    """Corpus term-distribution health probe: Zipf slope over the top
+    100 terms, Heaps' vocabulary-growth parameters, hapax fraction and
+    top-10 coverage — one row, fully value-gated."""
+    docs = _docs(spark, sf_dir)
+    return TS.zipf_stats(docs, top_r=100)
+
+
+_ZIPF_ORACLE = """
+    with w as (
+      select doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-zA-Z]+'),
+        x -> len(x) > 0)) as term
+      from documents),
+    med as (select floor((min(doc_id) + max(doc_id)) / 2) as mid
+            from documents),
+    tf as (
+      select term, count(*)::bigint as freq,
+             sum((doc_id <= mid)::int)::bigint as freq_h
+      from w, med group by term),
+    top as (
+      select term, freq,
+        row_number() over (order by freq desc, term) as rk
+      from tf
+      qualify rk <= 100),
+    slope as (
+      select count(*)::double as r_n,
+        sum(ln(rk::double)) as sx, sum(ln(freq::double)) as sy,
+        sum(ln(rk::double) * ln(freq::double)) as sxy,
+        sum(ln(rk::double) * ln(rk::double)) as sxx,
+        sum(case when rk <= 10 then freq else 0 end)::bigint as top10
+      from top),
+    flat as (
+      select sum(freq)::bigint as n_tokens, count(*)::bigint as vocab,
+        sum((freq = 1)::int)::bigint as hapax,
+        sum(freq_h)::bigint as n_tokens_h,
+        sum((freq_h > 0)::int)::bigint as vocab_h
+      from tf)
+    select n_tokens, vocab,
+      round(hapax::double / vocab::double, 6) as hapax_frac,
+      round(top10::double / n_tokens::double, 6) as top10_coverage,
+      round((r_n * sxy - sx * sy) / (r_n * sxx - sx * sx), 6)
+        as zipf_slope,
+      round(ln(vocab::double / vocab_h::double)
+            / ln(n_tokens::double / n_tokens_h::double), 6)
+        as heaps_beta,
+      round(vocab::double / pow(n_tokens::double,
+            ln(vocab::double / vocab_h::double)
+            / ln(n_tokens::double / n_tokens_h::double)), 6) as heaps_k
+    from flat, slope
+"""
+
+
 # fixed query-term set for the BM25 / hybrid-retrieval gates: common
 # words of the synthetic corpus, pure [a-z]+ so the regex term counter
 # and the oracle's split-token counter are provably equivalent.
@@ -2277,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ivfpq_codes": q_ivfpq_codes,
         "ivfpq_recall": q_ivfpq_recall,
+        "zipf_stats": q_zipf_stats,
         # --- tier 1: never driver-verified / converted this round ---------
         "md2md_report": q_md2md_report,
         "detection_map": q_detection_map,
@@ -3163,6 +3217,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall": _pq_recall_oracle_sql(),
         "ivfpq_codes": _ivfpq_codes_oracle_sql(),
         "ivfpq_recall": _ivfpq_recall_oracle_sql(),
+        "zipf_stats": _ZIPF_ORACLE,
         "exact_dedup_groups": """
             select md5(text) as content_hash, count(*) as group_size,
                    min(doc_id) as canonical_doc

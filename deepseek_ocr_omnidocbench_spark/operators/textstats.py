@@ -710,3 +710,81 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("q"), 6).alias("avg_quality"),
                  F.round(F.avg("is_spam"), 6).alias("spam_share")))
+
+
+def zipf_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", top_r: int = 100) -> DataFrame:
+    """One-row corpus term-distribution report: total tokens, vocabulary
+    size, hapax fraction, top-10 coverage, the Zipf rank-frequency
+    slope (OLS of ln freq on ln rank over the ``top_r`` most frequent
+    terms), and Heaps'-law parameters (beta/K from the vocabulary
+    growth between the first-half subcorpus and the full corpus).
+
+    The canonical "does this corpus look like natural language" probe:
+    scraped boilerplate flattens the slope toward 0, template spam
+    drives hapax share down and top-10 coverage up.
+
+    Scale shape: ONE shuffle builds the term-frequency table; the
+    slope/coverage inputs come from orderBy().limit(top_r) — a
+    distributed TakeOrdered, never a global rank window over the
+    vocabulary; everything else is flat aggregates.  The half-corpus
+    flag joins in from a 1-row broadcast of the id-range midpoint
+    (floor((min+max)/2) — integer math, identical split in both
+    engines, no percentile-interpolation semantics).  (The two
+    count-distincts are exact for the value gate; production at 10^12
+    docs swaps approx_count_distinct, the anchor_text precedent.)
+    """
+    words = (docs
+             .select(id_col, F.explode(_word_array(F.col(text_col)))
+                     .alias("term")))
+    med = docs.agg(
+        F.floor((F.min(id_col) + F.max(id_col)) / 2).alias("_mid"))
+    tf = (words.join(F.broadcast(med))
+          .groupBy("term")
+          .agg(F.count(F.lit(1)).alias("freq"),
+               F.sum((F.col(id_col) <= F.col("_mid")).cast("bigint"))
+               .alias("freq_h")))
+    from pyspark.sql import Window
+
+    top = (tf.orderBy(F.col("freq").desc(), F.col("term").asc())
+           .limit(top_r)
+           .select("term", "freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    top = top.withColumn("rk", F.row_number().over(w))
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    slope_agg = top.agg(
+        F.count(F.lit(1)).cast("double").alias("r_n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("freq"))
+              .otherwise(F.lit(0))).alias("top10"))
+    flat = tf.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("freq") == 1).cast("bigint")).alias("hapax"),
+        F.sum("freq_h").alias("n_tokens_h"),
+        F.sum((F.col("freq_h") > 0).cast("bigint")).alias("vocab_h"))
+    beta = (F.log(F.col("vocab").cast("double")
+                  / F.col("vocab_h").cast("double"))
+            / F.log(F.col("n_tokens").cast("double")
+                    / F.col("n_tokens_h").cast("double")))
+    return (flat.join(F.broadcast(slope_agg))
+            .select(
+                "n_tokens", "vocab",
+                F.round(F.col("hapax").cast("double")
+                        / F.col("vocab").cast("double"), 6)
+                .alias("hapax_frac"),
+                F.round(F.col("top10").cast("double")
+                        / F.col("n_tokens").cast("double"), 6)
+                .alias("top10_coverage"),
+                F.round(
+                    (F.col("r_n") * F.col("sxy")
+                     - F.col("sx") * F.col("sy"))
+                    / (F.col("r_n") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")), 6)
+                .alias("zipf_slope"),
+                F.round(beta, 6).alias("heaps_beta"),
+                F.round(F.col("vocab").cast("double")
+                        / F.pow(F.col("n_tokens").cast("double"), beta),
+                        6).alias("heaps_k")))

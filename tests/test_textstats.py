@@ -430,3 +430,46 @@ def test_lang_id_oracle_sql_matches_spark_second_pass(spark):
     want = [r[0] for r in con.sql(
         "select %s from t" % lang_id_oracle_sql("text")).fetchall()]
     assert got == want
+
+
+def test_zipf_stats_hand_checked(spark):
+    """zipf_stats on a corpus with a planted frequency ladder: exact
+    token/vocab/hapax counts, and a pure power-law ladder regresses to
+    its exact slope."""
+    import math
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        zipf_stats)
+
+    # term_i appears floor(64 / i) times -> ln f = ln 64 - ln rank
+    # (slope -1) up to floor() distortion; plus two hapaxes
+    words = []
+    freqs = [64, 32, 21, 16, 12]
+    terms = ["alpha", "beta", "gamma", "delta", "eps"]
+    for t, f in zip(terms, freqs):
+        words += [t] * f
+    words += ["uniqone", "uniqtwo"]
+    # split across 4 docs so the half-corpus has a smaller vocabulary
+    chunks = [words[i::4] for i in range(4)]
+    df = spark.createDataFrame(
+        [(i, " ".join(c)) for i, c in enumerate(chunks)],
+        ["doc_id", "text"])
+    r = zipf_stats(df, top_r=5).collect()[0]
+    assert r["n_tokens"] == sum(freqs) + 2
+    assert r["vocab"] == 7
+    assert r["hapax_frac"] == round(2 / 7, 6)
+    # top_r=5 caps the "top-10" numerator at the 5 ladder terms
+    assert r["top10_coverage"] == round(sum(freqs) / (sum(freqs) + 2), 6)
+    # OLS slope over the exact ladder
+    xs = [math.log(i + 1) for i in range(5)]
+    ys = [math.log(f) for f in freqs]
+    n = 5.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["zipf_slope"] == pytest.approx(want, abs=1e-6)
+    assert -1.1 < r["zipf_slope"] < -0.8
+    # heaps: 0 < beta < 1 for any growing vocabulary
+    assert 0.0 < r["heaps_beta"] < 1.0
+    assert r["heaps_k"] > 0.0
