@@ -304,6 +304,48 @@ def q_tfidf_top_terms(spark, sf_dir):
             .orderBy("doc_id", "term"))
 
 
+def q_host_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment grouped by host (97
+    synthetic hosts seeded from doc_id): same-site near-duplicates can
+    never straddle train and eval."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        host_split)
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return (host_split(aug)
+            .select("doc_id", "host", "bucket", "split")
+            .orderBy("doc_id"))
+
+
+_HOST_SPLIT_ORACLE = """
+    with u as (
+      select doc_id,
+        'https://host' || (doc_id % 97)::varchar
+          || '.example.com/p/' || doc_id::varchar as url
+      from documents),
+    h as (
+      select doc_id,
+        lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as host
+      from u),
+    b as (
+      select doc_id, host,
+        (('0x' || substr(md5(host), 1, 8))::bigint % 100)::int as bucket
+      from h)
+    select doc_id, host, bucket,
+      case when bucket < 10 then 'val'
+           when bucket < 20 then 'test'
+           else 'train' end as split
+    from b order by doc_id
+"""
+
+
 def q_zipf_stats(spark, sf_dir):
     """Corpus term-distribution health probe: Zipf slope over the top
     100 terms, Heaps' vocabulary-growth parameters, hapax fraction and
@@ -2331,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_codes": q_ivfpq_codes,
         "ivfpq_recall": q_ivfpq_recall,
         "zipf_stats": q_zipf_stats,
+        "host_split": q_host_split,
         # --- tier 1: never driver-verified / converted this round ---------
         "md2md_report": q_md2md_report,
         "detection_map": q_detection_map,
@@ -3218,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_codes": _ivfpq_codes_oracle_sql(),
         "ivfpq_recall": _ivfpq_recall_oracle_sql(),
         "zipf_stats": _ZIPF_ORACLE,
+        "host_split": _HOST_SPLIT_ORACLE,
         "exact_dedup_groups": """
             select md5(text) as content_hash, count(*) as group_size,
                    min(doc_id) as canonical_doc

@@ -193,3 +193,30 @@ def mixture_weights(docs: DataFrame, alpha: float = 0.3,
             F.round(F.col("_scaled") / F.col("_z")
                     * F.lit(float(token_budget))).cast("long"))
     return out.drop("_scaled", "_z")
+
+
+def host_split(docs: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id", val_pct: int = 10,
+               test_pct: int = 10) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    HOST, not the document, so near-duplicate pages from one site (the
+    dominant leakage channel in web corpora) can never straddle train
+    and eval.  Deterministic: bucket = first 8 hex digits of md5(host)
+    mod 100, val = buckets [0, val_pct), test = [val_pct,
+    val_pct+test_pct), train = the rest.
+
+    Returns every input row with (host, bucket, split).  Zero shuffles
+    — the hash, bucket and split are row-local expressions; at 10^12
+    docs this pipelines inside the scan.
+    """
+    from deepseek_ocr_omnidocbench_spark.operators.filters import url_host
+
+    host = url_host(F.col(url_col))
+    bucket = (F.conv(F.substring(F.md5(host), 1, 8), 16, 10)
+              .cast("bigint") % 100).cast("int")
+    split = (F.when(F.col("bucket") < val_pct, F.lit("val"))
+             .when(F.col("bucket") < val_pct + test_pct, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return (docs.withColumn("host", host)
+            .withColumn("bucket", bucket)
+            .withColumn("split", split))

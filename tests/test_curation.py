@@ -175,3 +175,34 @@ def test_latest_revision(spark):
              .collect()}
     assert again["u3"].body == first
     assert out["u3"].n_revisions == 2
+
+
+def test_host_split_leakage_safe(spark):
+    """Every host lands in exactly one split, assignment is
+    deterministic, and fractions roughly follow the bucket shares."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        host_split)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "https://host%d.example.com/p/%d" % (i % 50, i))
+         for i in range(400)], ["doc_id", "url"])
+    out = host_split(docs).collect()
+    assert len(out) == 400
+    by_host = {}
+    for r in out:
+        assert r["split"] in ("train", "val", "test")
+        assert 0 <= r["bucket"] < 100
+        prev = by_host.setdefault(r["host"], r["split"])
+        assert prev == r["split"], r["host"]  # no host straddles splits
+    splits = {s: sum(1 for r in out if r["split"] == s)
+              for s in ("train", "val", "test")}
+    assert splits["train"] > splits["val"] > 0
+    assert splits["test"] > 0
+    # deterministic across invocations
+    again = host_split(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # zero-shuffle plan
+    plan = (host_split(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan, plan
