@@ -2356,7 +2356,12 @@ def q_pdf_images(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
-    # 50 entries only.  Round-5 rotation (VERDICT r4 "Next round" #2):
+    # 50 entries only.  Extension-session tier 0 = the 8 queries built
+    # this session (bm25, hybrid_rrf, pq_codes, pq_recall, ivfpq_codes,
+    # ivfpq_recall, zipf_stats, host_split — never driver-verified, all
+    # locally gate-green + strict-sweep cell-identical); they displace
+    # the last 8 window slots, whose queries all hold r4 driver rows.
+    # Round-5 rotation below (VERDICT r4 "Next round" #2):
     # (1) never-driver-verified rows-only queries (cdm_match, pdf_images)
     # and this round's rows-only -> value-oracle conversions, (2) queries
     # whose implementation or oracle changed this round, (3) the 23

@@ -98,3 +98,57 @@ def test_rrf_deterministic_tie_break(spark):
     a = [r["doc_id"] for r in
          rrf_fuse(lex, sem, "doc_id", top=6).orderBy("rank").collect()]
     assert a == sorted(a), a
+
+
+def test_bm25_hypothesis_parity(spark):
+    """Randomized corpora: Spark BM25 must equal the plain-Python
+    reference on every document.  (One Spark job over many generated
+    corpora beats @given-per-example Spark jobs by ~50x, so this drives
+    hypothesis-style random cases through a single DataFrame.)"""
+    import random
+
+    rng = random.Random(23)
+    vocab = ["table", "hash", "merge", "window", "scan", "row", "agg",
+             "sort", "key", "spill"]
+    docs = []
+    for _ in range(80):
+        n = rng.randint(0, 30)
+        docs.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    docs += ["", "   ", "hash", "zz " * 50]
+    terms = ["table", "hash", "scan"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, terms).collect()}
+    want = _bm25_ref(docs, terms)
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, abs=1e-6), (i, docs[i])
+
+
+def test_rrf_randomized_invariants(spark):
+    """Random score tables: fused ranking is a permutation of the union
+    of ids, rrf matches the closed form for every row, and top-1 of a
+    doc leading BOTH lists is that doc."""
+    import random
+
+    rng = random.Random(31)
+    ids = list(range(20))
+    lex_rows = [(i, rng.random()) for i in rng.sample(ids, 12)]
+    sem_rows = [(i, rng.random()) for i in rng.sample(ids, 12)]
+    # plant a clear double-winner
+    lex_rows.append((99, 100.0))
+    sem_rows.append((99, 100.0))
+    lex = spark.createDataFrame(lex_rows, ["doc_id", "score"])
+    sem = spark.createDataFrame(sem_rows, ["doc_id", "cosine"])
+    out = rrf_fuse(lex, sem, "doc_id", top=100).collect()
+    all_ids = {i for i, _ in lex_rows} | {i for i, _ in sem_rows}
+    assert {r["doc_id"] for r in out} == all_ids
+    assert sorted(r["rank"] for r in out) == list(range(1, len(all_ids) + 1))
+    for r in out:
+        want = 0.0
+        if r["rank_lex"] is not None:
+            want += 1 / (60 + r["rank_lex"])
+        if r["rank_sem"] is not None:
+            want += 1 / (60 + r["rank_sem"])
+        assert r["rrf"] == pytest.approx(round(want, 6), abs=1e-9)
+    assert min(out, key=lambda r: r["rank"])["doc_id"] == 99
