@@ -141,14 +141,23 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
+    """Composite quality ratios + Flesch/FK readability (round-5
+    addition: readability_cols — integer regex counts feeding two fixed
+    float formulas, so the scores mirror exactly in SQL)."""
     docs = _docs(spark, sf_dir)
     cols = TS.quality_cols(F.col("text"))
+    rd = TS.readability_cols(F.col("text"))
     return docs.select(
         "doc_id",
         F.round(cols["alpha_ratio"], R).alias("alpha_ratio"),
         F.round(cols["punct_ratio"], R).alias("punct_ratio"),
         F.round(cols["stopword_ratio"], R).alias("stopword_ratio"),
         F.round(cols["quality_score"], R).alias("quality_score"),
+        rd["n_words"].alias("n_words"),
+        rd["n_sentences"].alias("n_sentences"),
+        rd["n_syllables"].alias("n_syllables"),
+        F.round(rd["flesch_ease"], R).alias("flesch_ease"),
+        F.round(rd["fk_grade"], R).alias("fk_grade"),
     )
 
 
@@ -646,6 +655,40 @@ def q_pagerank(spark, sf_dir):
     return (GR.pagerank(edges, iters=10)
             .select("node", F.round("rank", 6).alias("rank"))
             .orderBy("node"))
+
+
+def q_hits_scores(spark, sf_dir):
+    """Kleinberg HITS (10 iterations, L1-normalized half-steps) over
+    the same deterministic synthetic host graph q_pagerank uses — hub
+    scores surface link directories for frontier bootstrapping,
+    authority scores rank content hosts.  The oracle unrolls all 10
+    double half-steps (raw sums + in-plan normalizers) as materialized
+    CTEs, so the full mutual-reinforcement loop sits under the value
+    gate."""
+    docs = _docs(spark, sf_dir)
+    links = (docs
+             .select("source", "doc_id",
+                     F.explode(F.sequence(
+                         F.lit(1),
+                         (F.lit(1) + F.col("doc_id") % 3).cast("int")))
+                     .alias("j"))
+             .select(F.col("source").alias("src"),
+                     F.concat(F.lit("src"),
+                              ((F.col("doc_id") * 7 + F.col("j")) % 20)
+                              .cast("string")).alias("dst")))
+    return (GR.hits(links, iters=10)
+            .select("node", F.round("auth", R).alias("auth"),
+                    F.round("hub", R).alias("hub"))
+            .orderBy("node"))
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Bigram collocation mining by PMI (min_count=5, top 50) — the
+    corpus-analysis pass behind tokenizer-vocabulary and multi-word-
+    expression curation.  Row-local bigram construction, two count
+    aggregations and the totals broadcast all replay exactly in SQL."""
+    return TS.pmi_collocations(_docs(spark, sf_dir),
+                               min_count=5, top_k=50)
 
 
 def q_crawl_priority(spark, sf_dir):
@@ -2380,16 +2423,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_stats": q_zipf_stats,
         "host_split": q_host_split,
         # --- tier 1: never driver-verified / converted this round ---------
+        "hits_scores": q_hits_scores,
+        "pmi_collocations": q_pmi_collocations,
         "md2md_report": q_md2md_report,
         "detection_map": q_detection_map,
         "cdm_match": q_cdm_match,
         "pdf_images": q_pdf_images,
         # --- tier 2: implementation or oracle changed this round ----------
+        # (anchor_text and extraction_roundtrip moved to tier 5: their
+        # gated outputs are byte-identical to the r4-verified code —
+        # anchor_text's change only ADDED an optional approx path, the
+        # gate keeps the exact default; extraction_roundtrip and its
+        # whole extract_pages chain are untouched since 376e2ba — so
+        # their r4 driver rows remain valid and the freed slots cover
+        # the two new round-5 queries above.)
         "containment": q_containment,
         "quantized_recall": q_quantized_recall,
         "mixture_weights": q_mixture_weights,
         "lang_id": q_lang_id,
-        "anchor_text": q_anchor_text,
         "ngram_jaccard": q_ngram_jaccard,
         "curation_pipeline": q_curation_pipeline,
         "curate_pipeline": q_curate_pipeline,
@@ -2427,7 +2478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "eval_fixture_report": q_eval_fixture_report,
         # --- tier 4b: r4-green re-confirmations filling the window ---------
-        "extraction_roundtrip": q_extraction_roundtrip,
         "pagerank": q_pagerank,
         "sessionize": q_sessionize,
         "latest_revision": q_latest_revision,
@@ -2437,6 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness": q_politeness,
         "recrawl": q_recrawl,
         # --- tier 5: r4-green stable oracles past the 50-slot window -------
+        "anchor_text": q_anchor_text,
+        "extraction_roundtrip": q_extraction_roundtrip,
         "paragraph_dedup": q_paragraph_dedup,
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "substring_spans": q_substring_spans,
@@ -2714,6 +2766,54 @@ def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85,
         {','.join(steps)}
         {tail or f'''select node, round(rank, 6) as rank from pr{iters}
         order by node'''}
+    """
+
+
+def _hits_oracle_sql(iters: int = 10) -> str:
+    """DuckDB mirror of q_hits_scores with every half-step unrolled as
+    materialized CTEs (raw in-sums from the previous hub table, L1
+    normalizer as a scalar subquery over the raw table, then the same
+    for hubs from the fresh authority table) — exactly the arithmetic
+    of operators/graph.py:hits."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+            ar{i} as materialized (
+              select n.node, coalesce(x.s, 0.0) as v
+              from nodes n left join (
+                select e.dst as node, sum(h.hub) as s
+                from edges e join {prev_h} h on h.node = e.src
+                group by e.dst) x on x.node = n.node),
+            a{i} as materialized (
+              select node, v / (select sum(v) from ar{i}) as auth
+              from ar{i}),
+            hr{i} as materialized (
+              select n.node, coalesce(x.s, 0.0) as v
+              from nodes n left join (
+                select e.src as node, sum(a.auth) as s
+                from edges e join a{i} a on a.node = e.dst
+                group by e.src) x on x.node = n.node),
+            h{i} as materialized (
+              select node, v / (select sum(v) from hr{i}) as hub
+              from hr{i})""")
+        prev_h = f"h{i}"
+    return f"""
+        with links as materialized (
+          select source as src,
+                 'src' || ((doc_id * 7 + t.j) % 20) as dst
+          from documents, unnest(range(1, (2 + doc_id % 3)::int)) as t(j)),
+        edges as materialized (
+          select distinct src, dst from links),
+        nodes as materialized (select src as node from edges
+                  union select dst from edges),
+        ncount as materialized (select count(*)::double as nn from nodes),
+        h0 as materialized (select node, 1.0 / (select nn from ncount) as hub
+                from nodes),
+        {','.join(steps)}
+        select a.node, round(a.auth, 6) as auth, round(h.hub, 6) as hub
+        from a{iters} a join h{iters} h on h.node = a.node
+        order by a.node
     """
 
 
@@ -3287,7 +3387,12 @@ def oracle_sql() -> dict[str, str]:
               select doc_id, length(text) as n,
                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as alpha,
                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) as punct,
-                {_WORDS_EXPR} as words
+                {_WORDS_EXPR} as words,
+                len(regexp_extract_all(text, '[A-Za-z]+')) as n_words,
+                len(regexp_extract_all(text, '[.!?]+')) as n_sentences,
+                greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                         len(regexp_extract_all(text, '[A-Za-z]+')))
+                  as n_syllables
               from documents),
             u as (
               select doc_id,
@@ -3296,14 +3401,21 @@ def oracle_sql() -> dict[str, str]:
                 case when len(words) > 0
                   then len(list_filter(words, w -> list_contains({_EN_STOP}, w)))
                        / len(words) else 0.0 end as stop_ratio,
-                n from t)
+                n, n_words, n_sentences, n_syllables,
+                greatest(n_words, 1)::double
+                  / greatest(n_sentences, 1)::double as wps,
+                n_syllables::double / greatest(n_words, 1)::double as spw
+              from t)
             select doc_id,
               round(alpha_ratio, 6) as alpha_ratio,
               round(punct_ratio, 6) as punct_ratio,
               round(stop_ratio, 6) as stopword_ratio,
               round(least(n / 1000.0, 1.0) * 0.2 + alpha_ratio * 0.4
                     + least(stop_ratio * 5.0, 1.0) * 0.3
-                    + (1 - least(punct_ratio * 4.0, 1.0)) * 0.1, 6) as quality_score
+                    + (1 - least(punct_ratio * 4.0, 1.0)) * 0.1, 6) as quality_score,
+              n_words, n_sentences, n_syllables,
+              round(206.835 - 1.015 * wps - 84.6 * spw, 6) as flesch_ease,
+              round(0.39 * wps + 11.8 * spw - 15.59, 6) as fk_grade
             from u
         """,
         "seo_spam": f"""
@@ -3698,6 +3810,32 @@ def oracle_sql() -> dict[str, str]:
             select doc_a, doc_b, jaccard from j order by doc_a, doc_b
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "hits_scores": _hits_oracle_sql(),
+        "pmi_collocations": f"""
+            with t as (select {_WORDS_EXPR} as w from documents),
+            tot as (select sum(len(w))::double as t_tok,
+                           sum(greatest(len(w) - 1, 0))::double as t_big
+                    from t),
+            uni as (select term, count(*)::bigint as c
+                    from (select unnest(w) as term from t) group by term),
+            bi as (select bg, count(*)::bigint as c12
+                   from (select unnest(list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i + 1])) as bg from t)
+                   group by bg having count(*) >= 5),
+            sc as (select string_split(bg, ' ')[1] as w1,
+                          string_split(bg, ' ')[2] as w2,
+                          c12, u1.c as c1, u2.c as c2,
+                          round(log2((c12::double / t.t_big)
+                                / ((u1.c::double / t.t_tok)
+                                   * (u2.c::double / t.t_tok))), 6) as pmi
+                   from bi
+                   join uni u1 on u1.term = string_split(bg, ' ')[1]
+                   join uni u2 on u2.term = string_split(bg, ' ')[2]
+                   cross join tot t)
+            select w1, w2, c12, c1, c2, pmi,
+                   row_number() over (order by pmi desc, w1, w2) as rank
+            from sc order by pmi desc, w1, w2 limit 50
+        """,
         "crawl_priority": _pagerank_oracle_sql(tail=f"""
             , qstats as (
               select source,

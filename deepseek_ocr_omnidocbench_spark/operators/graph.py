@@ -73,6 +73,58 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     return ranks
 
 
+def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 10) -> DataFrame:
+    """Kleinberg HITS over a directed edge list -> (node, auth, hub).
+
+    Mutual reinforcement: a page is a good *authority* when good hubs
+    link to it, and a good *hub* when it links to good authorities —
+    the web-curation complement to PageRank (hub scores surface link
+    directories / seed lists for frontier bootstrapping, authority
+    scores rank content hosts).  Power iteration with L1 normalization
+    each half-step (scores sum to 1; same fixed-point direction as the
+    classic L2 form, but the normalizer is a plain sum both engines
+    reproduce exactly):
+
+        auth'(v) = sum_{u->v} hub(u)   / Z_a
+        hub'(u)  = sum_{u->v} auth'(v) / Z_h
+
+    Scale shape mirrors :func:`pagerank`: the score table is |V| rows
+    (hosts), each half-step is one join-shuffle keyed on the edge
+    endpoint plus one groupBy-shuffle on the other endpoint, the
+    normalizer is a 1-row broadcast aggregate cross-joined in-plan, and
+    lineage is truncated per iteration with an eager localCheckpoint
+    (narrow (node, double) frame).  Fixed iteration count for
+    deterministic, engine-portable output."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (nodes.join(
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s")), "node", "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("v")))
+        auth = (a_raw.crossJoin(F.broadcast(a_raw.agg(F.sum("v").alias("z"))))
+                .select("node", (F.col("v") / F.col("z")).alias("auth"))
+                .localCheckpoint(eager=True))
+        h_raw = (nodes.join(
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s")), "node", "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("v")))
+        hub = (h_raw.crossJoin(F.broadcast(h_raw.agg(F.sum("v").alias("z"))))
+               .select("node", (F.col("v") / F.col("z")).alias("hub"))
+               .localCheckpoint(eager=True))
+    return auth.join(hub, "node")
+
+
 def host_link_stats(ranks: DataFrame, docs: DataFrame,
                     host_col: str = "host",
                     id_col: str = "doc_id") -> DataFrame:

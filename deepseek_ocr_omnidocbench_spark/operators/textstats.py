@@ -646,6 +646,96 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
                     F.round("score", 6).alias("score")))
 
 
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic corpus-analysis pass for tokenizer vocabulary curation and
+    multi-word-expression mining (Church & Hanks 1990).
+
+        PMI(w1, w2) = log2( p(w1 w2) / (p(w1) p(w2)) )
+                    = log2( (c12/B) / ((c1/T) (c2/T)) )
+
+    with T total tokens, B total bigram slots, and a ``min_count``
+    support floor (raw PMI over-ranks hapax pairs; the floor is the
+    standard fix).  Returns (w1, w2, c12, c1, c2, pmi, rank).
+
+    Scale shape: bigrams are built ROW-LOCALLY (zip the word array with
+    its own tail — no window, no per-doc shuffle); one groupBy exchange
+    each for unigram and bigram counts (map-side partial aggs); the two
+    unigram attachments join on word keys AFTER the min_count filter
+    has shrunk the bigram side; corpus totals ride in as a 1-row
+    broadcast.  The final top-k is orderBy+limit — Spark plans it as
+    TakeOrdered (per-partition heaps), never a vocab-wide single
+    partition window."""
+    toks = docs.select(_word_array(F.col(text_col)).alias("w"))
+    totals = toks.agg(
+        F.sum(F.size("w")).cast("double").alias("t_tok"),
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0)))
+        .cast("double").alias("t_big"))
+    uni = (toks.select(F.explode("w").alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.zip_with(F.expr("slice(w, 1, size(w) - 1)"),
+                   F.expr("slice(w, 2, size(w) - 1)"),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (toks.select(F.explode(bigrams).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+          .where(F.col("c12") >= min_count))
+    scored = (bi
+              .withColumn("w1", F.split("bg", " ").getItem(0))
+              .withColumn("w2", F.split("bg", " ").getItem(1))
+              .join(uni.select(F.col("term").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("term").alias("w2"),
+                               F.col("c").alias("c2")), "w2")
+              .crossJoin(F.broadcast(totals))
+              .withColumn(
+                  "pmi",
+                  F.round(F.log2(
+                      (F.col("c12").cast("double") / F.col("t_big"))
+                      / ((F.col("c1").cast("double") / F.col("t_tok"))
+                         * (F.col("c2").cast("double") / F.col("t_tok")))),
+                      6)))
+    top = (scored.select("w1", "w2", "c12", "c1", "c2", "pmi")
+           .orderBy(F.desc("pmi"), "w1", "w2").limit(top_k))
+    # rank window runs on the already-limited top_k-row frame only
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def readability_cols(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease + Flesch-Kincaid grade from pure-Column
+    regex counts (whole-stage codegen, no UDF) — the readability gate
+    web-curation pipelines run next to Gopher/C4 rules to bucket
+    training text by audience level.
+
+    Deterministic engine-portable heuristic (documented, not
+    dictionary-exact): words = letter runs, sentences = [.!?]+ runs,
+    syllables = vowel-group runs ([aeiouy]+, lowercased) floored at one
+    per word.  All three are integers, so the two scores are identical
+    float expressions on identical operands in any engine."""
+    words = F.regexp_count(text, F.lit(r"[A-Za-z]+"))
+    sents = F.regexp_count(text, F.lit(r"[.!?]+"))
+    syll = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")), words)
+    w = F.greatest(words, F.lit(1)).cast("double")
+    s = F.greatest(sents, F.lit(1)).cast("double")
+    wps = w / s
+    spw = syll.cast("double") / w
+    return {
+        "n_words": words.cast("long"),
+        "n_sentences": sents.cast("long"),
+        "n_syllables": syll.cast("long"),
+        "flesch_ease": F.lit(206.835) - F.lit(1.015) * wps
+        - F.lit(84.6) * spw,
+        "fk_grade": F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+    }
+
+
 # ---- C4-style line-level cleaning (Raffel et al. 2020, §2.2) -----------
 
 C4_BAD_PHRASES = ["lorem ipsum", "javascript", "{", "cookie policy",

@@ -250,3 +250,53 @@ def test_anchor_text_approx_sources_path(spark):
     a1 = {r.dst_url: r.term for r in approx.where("rank = 1").collect()}
     agree = sum(e1[d] == a1[d] for d in e1) / len(e1)
     assert agree >= 0.95
+
+
+def test_hits_known_graph_vs_power_iteration(spark):
+    """HITS on a small digraph must match a NumPy power iteration of
+    the same L1-normalized half-step scheme exactly (same arithmetic,
+    same iteration count)."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("d", "b"), ("b", "d")]
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits(spark.createDataFrame(edges, ["src", "dst"]),
+                         iters=10).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    hub = [1.0 / n] * n
+    for _ in range(10):
+        auth = [0.0] * n
+        for s, d in edges:
+            auth[idx[d]] += hub[idx[s]]
+        z = sum(auth)
+        auth = [v / z for v in auth]
+        hub = [0.0] * n
+        for s, d in edges:
+            hub[idx[s]] += auth[idx[d]]
+        z = sum(hub)
+        hub = [v / z for v in hub]
+    for node in nodes:
+        assert got[node][0] == pytest.approx(auth[idx[node]], abs=1e-12)
+        assert got[node][1] == pytest.approx(hub[idx[node]], abs=1e-12)
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_structure(spark):
+    """A star graph: the center is the sole authority, leaves are the
+    hubs; a node with no in-links has auth 0, no out-links hub 0."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import hits
+
+    edges = [("l1", "c"), ("l2", "c"), ("l3", "c")]
+    r = {x["node"]: x for x in
+         hits(spark.createDataFrame(edges, ["src", "dst"]),
+              iters=5).collect()}
+    assert r["c"]["auth"] == pytest.approx(1.0)
+    assert r["c"]["hub"] == 0.0
+    for leaf in ("l1", "l2", "l3"):
+        assert r[leaf]["auth"] == 0.0
+        assert r[leaf]["hub"] == pytest.approx(1.0 / 3)

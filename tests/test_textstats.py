@@ -473,3 +473,82 @@ def test_zipf_stats_hand_checked(spark):
     # heaps: 0 < beta < 1 for any growing vocabulary
     assert 0.0 < r["heaps_beta"] < 1.0
     assert r["heaps_k"] > 0.0
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a tiny corpus matches the closed form computed by hand,
+    min_count filters, and rank order is (pmi desc, w1, w2)."""
+    import math
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "red fish blue fish"), (1, "red fish red fish"),
+         (2, "blue sky"), (3, ""), (4, "one")],
+        ["doc_id", "text"])
+    rows = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    # corpus: tokens T=11, bigram slots B=3+3+1=7
+    # "red fish" occurs 3x (doc0 once, doc1 twice); c(red)=3, c(fish)=4
+    assert set(got) == {("red", "fish")}
+    r = got[("red", "fish")]
+    assert (r["c12"], r["c1"], r["c2"]) == (3, 3, 4)
+    want = math.log2((3 / 7) / ((3 / 11) * (4 / 11)))
+    assert r["pmi"] == pytest.approx(round(want, 6), abs=1e-9)
+    assert r["rank"] == 1
+
+
+def test_pmi_collocations_ranking_and_edges(spark):
+    """Cross-doc bigrams never form (row-local construction), and the
+    ranking tie-breaks deterministically on (w1, w2)."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    # "aa bb" and "cc dd" have identical counts -> identical PMI
+    docs = spark.createDataFrame(
+        [(0, "aa bb x cc dd"), (1, "aa bb y cc dd"), (2, "bb"), (3, "cc")],
+        ["doc_id", "text"])
+    rows = (pmi_collocations(docs, min_count=2, top_k=10)
+            .orderBy("rank").collect())
+    pairs = [(r["w1"], r["w2"]) for r in rows]
+    assert ("bb", "cc") not in pairs  # never a cross-token bridge? no:
+    # bb x / x cc DO form within doc0 but occur once each < min_count
+    assert pairs[0] == ("aa", "bb") and pairs[1] == ("cc", "dd")
+    assert rows[0]["pmi"] == rows[1]["pmi"]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_readability_cols(spark):
+    """Flesch / FK against hand-computed values of the documented
+    heuristic (words = letter runs, sentences = [.!?]+ runs, syllables
+    = vowel-group runs floored at words)."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        readability_cols,
+    )
+
+    texts = ["The cat sat. The dog ran!", "", "xyz qrs", "Hello?!  Bye."]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["i", "text"])
+    cols = readability_cols(F.col("text"))
+    got = {r["i"]: r for r in docs.select(
+        "i", *[v.alias(k) for k, v in cols.items()]).collect()}
+
+    import re
+    for i, t in enumerate(texts):
+        words = len(re.findall(r"[A-Za-z]+", t))
+        sents = len(re.findall(r"[.!?]+", t))
+        syll = max(len(re.findall(r"[aeiouy]+", t.lower())), words)
+        w, s = max(words, 1), max(sents, 1)
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (syll / w)
+        fk = 0.39 * (w / s) + 11.8 * (syll / w) - 15.59
+        assert got[i]["n_words"] == words
+        assert got[i]["n_sentences"] == sents
+        assert got[i]["n_syllables"] == syll
+        assert got[i]["flesch_ease"] == pytest.approx(flesch, abs=1e-9)
+        assert got[i]["fk_grade"] == pytest.approx(fk, abs=1e-9)
+    # sanity: "xyz qrs" has no vowels -> syllable floor = word count
+    assert got[2]["n_syllables"] == 2
