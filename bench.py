@@ -187,6 +187,13 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     _, times["pq_codes"] = _steady(
         lambda: q_pq(spark, sf_dir).agg(
             F.sum("code_0"), F.sum("code_3")).collect())
+    # round-5 continuation ops (same computed-column forcing)
+    q_hits = entry.queries()["hits_scores"]
+    _, times["hits_scores"] = _steady(
+        lambda: q_hits(spark, sf_dir).agg(F.sum("auth")).collect())
+    q_pmi = entry.queries()["pmi_collocations"]
+    _, times["pmi_collocations"] = _steady(
+        lambda: q_pmi(spark, sf_dir).agg(F.sum("pmi")).collect())
 
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries

@@ -105,23 +105,30 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     n = nodes.count()
     hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
     auth = None
+    # the RAW in/out-sum frames are what gets checkpointed: each is the
+    # product of the one |E|-sized join+groupBy of its half-step, and
+    # both the normalizer aggregate and the normalized projection
+    # re-read the materialized |V|-row frame instead of re-running the
+    # edge join (the naive "checkpoint the normalized frame" shape runs
+    # every edge join twice — once under the projection, once under the
+    # normalizer agg)
     for _ in range(iters):
         a_raw = (nodes.join(
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("s")), "node", "left")
-            .select("node", F.coalesce("s", F.lit(0.0)).alias("v")))
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("v"))
+            .localCheckpoint(eager=True))
         auth = (a_raw.crossJoin(F.broadcast(a_raw.agg(F.sum("v").alias("z"))))
-                .select("node", (F.col("v") / F.col("z")).alias("auth"))
-                .localCheckpoint(eager=True))
+                .select("node", (F.col("v") / F.col("z")).alias("auth")))
         h_raw = (nodes.join(
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("s")), "node", "left")
-            .select("node", F.coalesce("s", F.lit(0.0)).alias("v")))
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("v"))
+            .localCheckpoint(eager=True))
         hub = (h_raw.crossJoin(F.broadcast(h_raw.agg(F.sum("v").alias("z"))))
-               .select("node", (F.col("v") / F.col("z")).alias("hub"))
-               .localCheckpoint(eager=True))
+               .select("node", (F.col("v") / F.col("z")).alias("hub")))
     return auth.join(hub, "node")
 
 
