@@ -132,6 +132,180 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     return auth.join(hub, "node")
 
 
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          src_col: str = "src", dst_col: str = "dst",
+                          weight_col: str | None = "weight",
+                          iters: int = 10,
+                          damping: float = 0.85) -> DataFrame:
+    """TrustRank-style personalized PageRank -> (node, rank).
+
+    Same power iteration as :func:`pagerank`, but the teleport vector
+    is concentrated on a trusted seed set S (Gyongyi, Garcia-Molina &
+    Pedersen, "Combating Web Spam with TrustRank", VLDB 2004) instead
+    of uniform:
+
+        rank'(v) = (1-d)*t(v) + d * (sum_u rank(u)*w(u,v)/outw(u)
+                                     + dangling_mass * t(v))
+
+    with t(v) = 1/|S| for v in S, else 0.  Trust flows OUT of the
+    seeds along links; hosts unreachable from any seed converge to
+    rank 0 — the link-farm-demotion signal a curation-driven crawler
+    combines with plain PageRank (high PR, near-zero trust = spam
+    neighborhood).  Dangling mass teleports back to the seeds (the
+    standard personalized formulation).
+
+    Scale shape is identical to :func:`pagerank` (one join-shuffle on
+    src + one groupBy-shuffle on dst per iteration, 1-row broadcast
+    dangling aggregate, per-iteration localCheckpoint); the teleport
+    column rides the |V|-row node frame, joined once up front.
+    ``seeds`` is a 1-column (node) frame, intersected with the graph's
+    node set; it is seed-cardinality, so the indicator join broadcasts."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"),
+                     w.alias("w")).localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    s = seeds.select(F.col("node")).distinct() \
+        .join(nodes, "node", "left_semi")
+    n_seeds = s.count()  # one driver scalar, fixed for the whole run
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    # nodes carry their teleport weight for the whole run
+    nodes = (nodes.join(F.broadcast(s.withColumn("t",
+                                                 F.lit(1.0 / n_seeds))),
+                        "node", "left")
+             .select("node", F.coalesce("t", F.lit(0.0)).alias("t"))
+             .localCheckpoint(eager=True))
+    outdeg = (e.groupBy(F.col("src").alias("node"))
+              .agg(F.sum("w").alias("outw"))
+              .localCheckpoint(eager=True))
+    ranks = nodes.select("node", F.col("t").alias("rank"))
+    for _ in range(iters):
+        dang = (ranks.join(outdeg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("w") / F.col("outw"))
+                        .alias("contrib")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node",
+                         (F.lit(1.0 - damping) * F.col("t")
+                          + F.lit(damping)
+                          * (F.coalesce("contrib", F.lit(0.0))
+                             + F.col("dm") * F.col("t"))).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def label_propagation(edges: DataFrame, iters: int = 5,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Synchronous majority-vote label propagation -> (node, label):
+    community detection over the UNDIRECTED host graph (Raghavan,
+    Albert & Kumara 2007) — the cheap way to carve a web graph into
+    link neighborhoods so curation can cap or down-weight whole
+    link-farm communities rather than individual hosts.
+
+    Every node starts labeled with its own id; each iteration it
+    adopts the most frequent label among its neighbors, determinist-
+    ically tie-broken by (count desc, label asc); nodes with no
+    neighbors keep their current label.  Synchronous updates + fixed
+    iteration count + total tie order make the output exactly
+    reproducible in any engine (the async coin-flip variant of the
+    paper is not value-checkable).
+
+    Scale shape: labels are a narrow |V|-row frame; per iteration one
+    join-shuffle keyed on the edge endpoint, one groupBy on
+    (node, label), and a per-node argmax window over the (already
+    aggregated, degree-bounded) vote table; lineage truncated per
+    iteration with an eager localCheckpoint."""
+    from pyspark.sql import Window
+
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .union(edges.select(F.col(dst_col).alias("a"),
+                               F.col(src_col).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct().localCheckpoint(eager=True))
+    nodes = und.select(F.col("a").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = (Window.partitionBy("node")
+         .orderBy(F.desc("c"), F.asc("label")))
+    for _ in range(iters):
+        votes = (und.join(labels.withColumnRenamed("node", "a"), "a")
+                 .groupBy(F.col("b").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        best = (votes.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", F.col("label").alias("new_label")))
+        labels = (labels.join(best, "node", "left")
+                  .select("node",
+                          F.coalesce("new_label", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def reciprocity_stats(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Per-host link reciprocity -> (node, n_out, n_recip, reciprocity):
+    the fraction of a host's distinct out-links that are reciprocated
+    (dst links back to src).  A classic link-exchange / link-farm
+    signal — organic linking is largely one-directional, while paid
+    "link swap" schemes push reciprocity toward 1 (used as a TrustRank-
+    era spam feature; see Gyongyi & Garcia-Molina, "Web Spam Taxonomy",
+    AIRWeb 2005).
+
+    One distinct pass over the edge list, one self-join on the
+    reversed pair (both sides keyed on (src, dst) — co-partitioned),
+    one groupBy on src.  No state beyond the edge list itself."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")) \
+        .withColumn("back", F.lit(1))
+    return (e.join(rev, ["src", "dst"], "left")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("n_out"),
+                 F.coalesce(F.sum("back"), F.lit(0)).alias("n_recip"))
+            .withColumn("reciprocity",
+                        F.round(F.col("n_recip") / F.col("n_out"), 6)))
+
+
+def degree_distribution(edges: DataFrame, src_col: str = "src",
+                        dst_col: str = "dst") -> DataFrame:
+    """Graph degree histogram -> (direction, degree, n_nodes): for each
+    of 'in' and 'out', how many nodes have exactly that many distinct
+    neighbors.  The graph-health report run before trusting any
+    centrality: web host graphs are power-law (a straight line in
+    log-log), and a bulge of identical mid-range out-degrees is the
+    fingerprint of template-generated link farms.
+
+    Two groupBys per direction (node-degree, then degree-count) — both
+    partial-aggregable, output is at most |distinct degrees| rows.
+    Nodes that only appear on the other side count at degree 0 via an
+    anti-join (so both directions partition the same node set)."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    out = []
+    for direction, key in (("in", "dst"), ("out", "src")):
+        deg = (e.groupBy(F.col(key).alias("node"))
+               .agg(F.count(F.lit(1)).alias("degree")))
+        zero = (nodes.join(deg, "node", "left_anti")
+                .select("node", F.lit(0).cast("long").alias("degree")))
+        out.append(deg.unionByName(zero)
+                   .groupBy("degree")
+                   .agg(F.count(F.lit(1)).alias("n_nodes"))
+                   .select(F.lit(direction).alias("direction"),
+                           "degree", "n_nodes"))
+    return out[0].unionByName(out[1])
+
+
 def host_link_stats(ranks: DataFrame, docs: DataFrame,
                     host_col: str = "host",
                     id_col: str = "doc_id") -> DataFrame:
