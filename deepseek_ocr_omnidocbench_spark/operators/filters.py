@@ -217,6 +217,52 @@ def url_filter_cols(url: Column) -> dict[str, Column]:
     }
 
 
+def url_template_cols(url: Column) -> dict[str, Column]:
+    """Mask the volatile id segments of a url -> its template pattern:
+
+    - long hex runs (>= 8 chars: content hashes, uuids) -> ``{h}``
+    - digit runs -> ``{n}``
+    - query-parameter values (``=...`` up to the next ``&``) -> ``{v}``
+
+    ``https://h.example/cat2/item-17-289.html?page=3`` becomes
+    ``/cat{n}/item-{n}-{n}.html?page={v}``.  Hex masks first (digit
+    runs are a subset of hex); the query-value rule is anchored on the
+    ``=`` itself so no capture backreference is needed (Java ``$1`` vs
+    RE2 ``\\1`` would split the engines).  All flat regexp_replace
+    chains — SQL-mirrorable, zero shuffle."""
+    path = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    p = F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}")
+    p = F.regexp_replace(p, r"[0-9]+", "{n}")
+    p = F.regexp_replace(p, r"=[^&]*", "={v}")
+    return {"host": url_host(url), "pattern": p}
+
+
+def url_template_stats(docs: DataFrame, url_col: str = "url",
+                       top_k: int = 5) -> DataFrame:
+    """URL template mining -> (host, pattern, n_urls, rank): the
+    crawl-operations report that surfaces auto-generated page families
+    (calendar pages, faceted-search grids, session-id link mazes) —
+    the crawler-trap / low-value-template signal a frontier scheduler
+    caps BEFORE fetching, and the dedup planner uses to route template
+    families into near-dup verification.
+
+    Scale shape: the masking is a pure-Column pass riding the frontier
+    scan; one groupBy exchange on (host, pattern) with map-side partial
+    counts; the per-host top-k window runs on the aggregated pattern
+    table (patterns-per-host cardinality, not urls)."""
+    from pyspark.sql import Window
+
+    c = url_template_cols(F.col(url_col))
+    agg = (docs.select(c["host"].alias("host"),
+                       c["pattern"].alias("pattern"))
+           .groupBy("host", "pattern")
+           .agg(F.count(F.lit(1)).alias("n_urls")))
+    w = (Window.partitionBy("host")
+         .orderBy(F.desc("n_urls"), F.asc("pattern")))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top_k))
+
+
 def domain_quota_sample(docs: DataFrame, max_per_domain: int,
                         url_col: str = "url", id_col: str = "doc_id",
                         seed: int = 11) -> DataFrame:

@@ -168,3 +168,36 @@ def test_revision_churn(spark):
     assert out[("v", 1)].churn is None
     w2 = out[("w", 2)]
     assert w2.churn == 0 and w2.churn_ratio == 0.0
+
+
+def test_url_template_masking(spark):
+    """Hex ids, digit runs and query values each mask independently;
+    the host never leaks into the pattern."""
+    urls = [
+        ("https://a.example/cat2/item-17-289.html?page=3",),
+        ("https://a.example/id/0123456789abcdef0123456789abcdef.html",),
+        ("https://a.example/static/about.html",),
+        ("https://a.example/p?q=shoes&page=12",),
+    ]
+    df = spark.createDataFrame(urls, ["url"])
+    c = FL.url_template_cols(F.col("url"))
+    got = [r.p for r in
+           df.select(c["pattern"].alias("p")).collect()]
+    assert got == [
+        "/cat{n}/item-{n}-{n}.html?page={v}",
+        "/id/{h}.html",
+        "/static/about.html",
+        "/p?q={v}&page={v}",
+    ]
+
+
+def test_url_template_stats_topk_and_counts(spark):
+    rows = [(f"https://h.example/item-{i}.html",) for i in range(7)] + \
+        [("https://h.example/about.html",),
+         ("https://other.example/x-1.html",)]
+    df = spark.createDataFrame(rows, ["url"])
+    out = {(r.host, r.pattern): (r.n_urls, r.rank)
+           for r in FL.url_template_stats(df, top_k=2).collect()}
+    assert out[("h.example", "/item-{n}.html")] == (7, 1)
+    assert out[("h.example", "/about.html")] == (1, 2)
+    assert out[("other.example", "/x-{n}.html")] == (1, 1)
