@@ -517,6 +517,48 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space hygiene: per-label centroid distances z-scored
+    against the label's own spread, outliers flagged at z > 2 on the
+    6-dp-rounded z (so both engines decide the threshold on the same
+    quantity).  Centroid build, L2 fold, moment stats and the flag all
+    replay in SQL."""
+    emb = _emb(spark, sf_dir)
+    out = S.embedding_outliers(emb, z_threshold=2.0)
+    return (out.select("vec_id", "label",
+                       F.round("dist", R).alias("dist"), "z",
+                       F.col("is_outlier").cast("int").alias("is_outlier"))
+            .orderBy("vec_id"))
+
+
+_EMBEDDING_OUTLIERS_ORACLE = """
+    with e as (select vec_id, label, embedding::DOUBLE[] as emb
+               from embeddings),
+    x as (select label, generate_subscripts(emb, 1) - 1 as pos,
+                 unnest(emb) as v
+          from e),
+    c as (select label, pos, avg(v) as mean_v from x group by label, pos),
+    cent as (select label, list(mean_v order by pos) as centroid
+             from c group by label),
+    d as (select e.vec_id, e.label,
+                 sqrt(list_sum(list_transform(
+                   range(1, len(e.emb) + 1),
+                   i -> (e.emb[i] - cent.centroid[i])
+                        * (e.emb[i] - cent.centroid[i])))) as dist
+          from e join cent using (label)),
+    s as (select label, avg(dist) as mu,
+                 coalesce(stddev(dist), 0.0) as sigma
+          from d group by label),
+    zt as (select d.vec_id, d.label, d.dist,
+                  round(case when s.sigma = 0 then 0.0
+                             else (d.dist - s.mu) / s.sigma end, 6) as z
+           from d join s using (label))
+    select vec_id, label, round(dist, 6) as dist, z,
+           (z > 2.0)::int as is_outlier
+    from zt order by vec_id
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = S.embedding_near_dups(emb, threshold=0.3)
@@ -2560,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "degree_dist": q_degree_dist,
         "url_templates": q_url_templates,
+        "embedding_outliers": q_embedding_outliers,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2608,7 +2651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
-        "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2622,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3b: displaced by the tier-00 graph/url layer — r3
         # driver-green, pure-Column, implementation untouched since that
         # check (local gate + strict sweep stay green on current code) -----
+        "token_counts": q_token_counts,
         "seo_spam": q_seo_spam,
         "gopher_rules": q_gopher_rules,
         "pii_scrub": q_pii_scrub,
@@ -4117,6 +4160,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _RECIPROCITY_ORACLE,
         "degree_dist": _DEGREE_DIST_ORACLE,
         "url_templates": _URL_TEMPLATES_ORACLE,
+        "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -230,6 +230,40 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
     )
 
 
+def embedding_outliers(embeddings: DataFrame, label_col: str = "label",
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       z_threshold: float = 2.0) -> DataFrame:
+    """Per-label centroid-distance outlier flagging
+    -> (vec_id, label, dist, z, is_outlier): each vector's L2 distance
+    to its label centroid, z-scored against the label's own distance
+    distribution — the embedding-space data-cleaning pass that surfaces
+    mislabeled / off-topic / corrupted vectors before a cluster-based
+    curation step trusts the labels (the SemDeDup-adjacent hygiene
+    check).
+
+    Scale shape: the centroid table and the per-label (mu, sigma)
+    stats are label-cardinality — both broadcast; the corpus is
+    touched exactly twice (distance pass, z pass), no shuffle wider
+    than the label-keyed stats aggregation.  ``is_outlier`` compares
+    the 6-dp-rounded z so both engines of a value gate decide the
+    threshold on the same quantity; labels with zero distance spread
+    (singleton or degenerate) get z = 0."""
+    cent = label_centroids(embeddings, label_col, vec_col) \
+        .select(label_col, "centroid")
+    d = (embeddings.join(F.broadcast(cent), label_col)
+         .select(id_col, label_col,
+                 F.sqrt(sq_l2_cols(F.col(vec_col).cast("array<double>"),
+                                   F.col("centroid"))).alias("dist")))
+    stats = d.groupBy(label_col).agg(
+        F.avg("dist").alias("mu"),
+        F.coalesce(F.stddev("dist"), F.lit(0.0)).alias("sigma"))
+    z = F.when(F.col("sigma") == 0.0, F.lit(0.0)) \
+        .otherwise((F.col("dist") - F.col("mu")) / F.col("sigma"))
+    return (d.join(F.broadcast(stats), label_col)
+            .select(id_col, label_col, "dist", F.round(z, 6).alias("z"))
+            .withColumn("is_outlier", F.col("z") > z_threshold))
+
+
 def embedding_near_dups_srp(embeddings: DataFrame, dim: int,
                             threshold: float = 0.95, n_planes: int = 8,
                             n_bands: int = 4, id_col: str = "vec_id",

@@ -313,3 +313,24 @@ def test_quantize_embeddings(spark):
     err = {r.vec_id: r for r in quantization_error(emb).collect()}
     assert err[1].cos_q >= 0.999   # 3-dim roundtrip stays near-parallel
     assert err[3].cos_q >= 0.999
+
+
+def test_embedding_outliers_planted(spark):
+    """A vector far from its label's centroid is flagged; tight
+    clusters and singleton labels are not (singleton sigma -> z = 0)."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = ([(i, [0.0 + 0.01 * i, 1.0 - 0.01 * i], 0) for i in range(6)]
+            + [(6, [9.0, 9.0], 0)]       # planted outlier in label 0
+            + [(7, [5.0, 5.0], 1)])      # singleton label
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>,"
+                                     " label int")
+    got = {r.vec_id: r for r in embedding_outliers(df).collect()}
+    assert got[6].is_outlier
+    assert not any(got[i].is_outlier for i in range(6))
+    assert got[7].z == 0.0 and not got[7].is_outlier
+    # z is computed against the label's own spread: the outlier's z is
+    # the largest in label 0 and the clean points sit below threshold
+    assert got[6].z > 2.0 > max(abs(got[i].z) for i in range(6))
