@@ -2459,13 +2459,68 @@ def q_bpe_encode(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _bpe_encode_oracle_sql(n_merges: int = 25) -> str:
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer-fit diagnostics per source: fertility (BPE tokens per
+    whitespace word) and chars-per-token under the 25-merge learned
+    tokenizer — the corpus report a tokenizer-training pass runs to
+    spot sources the vocabulary serves badly (high fertility = the
+    tokenizer fragments that source's text).  Reuses the value-gated
+    learn+encode chain; the oracle replays all 25 learn stages and the
+    rank-order encode, then aggregates the same ratios."""
+    from deepseek_ocr_omnidocbench_spark.operators import bpe as BP
+
+    docs = _docs(spark, sf_dir)
+    merges = BP.learn_bpe(docs, n_merges=25, min_freq=2)
+    enc = BP.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                     lambda w: w != "")
+    per_doc = docs.select(
+        "doc_id", "source",
+        F.size(words).alias("n_words"),
+        F.aggregate(F.transform(words, F.length),
+                    F.lit(0), lambda a, v: a + v).cast("long")
+        .alias("n_chars_w"))
+    return (per_doc.join(enc, "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_chars_w").alias("n_chars"),
+                 F.round(F.sum("n_tokens") / F.sum("n_words"), R)
+                 .alias("fertility"),
+                 F.round(F.sum("n_chars_w") / F.sum("n_tokens"), R)
+                 .alias("chars_per_token"))
+            .orderBy("source"))
+
+
+_BPE_FERTILITY_TAIL = """
+        , wstat as materialized (
+          select doc_id,
+                 count(*)::bigint as n_words,
+                 sum(length(word))::bigint as n_chars_w
+          from docw group by doc_id)
+        select d.source,
+          sum(c.n_tokens)::bigint as n_tokens,
+          sum(w.n_words)::bigint as n_words,
+          sum(w.n_chars_w)::bigint as n_chars,
+          round(sum(c.n_tokens) / sum(w.n_words), 6) as fertility,
+          round(sum(w.n_chars_w) / sum(c.n_tokens), 6) as chars_per_token
+        from documents d
+        join wstat w using (doc_id)
+        join counts c using (doc_id)
+        group by d.source
+        order by d.source"""
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 25,
+                           tail: str | None = None) -> str:
     """Word-keyed variant of ``_bpe_learn_oracle_sql``: every merge
     stage carries the original word, so after the last stage each
     distinct word maps to its final segmentation; doc token counts
     come from joining exploded doc words to that table.  Valid at
     gate scale because all ``n_merges`` learned pairs clear min_freq
-    there (early-stop is not expressible in unrolled SQL)."""
+    there (early-stop is not expressible in unrolled SQL).  ``tail``
+    swaps the final select so compositions (bpe_fertility) reuse the
+    same unrolled learn+encode stages."""
     stages = []
     prev = "v0"
     for i in range(n_merges):
@@ -2519,11 +2574,11 @@ def _bpe_encode_oracle_sql(n_merges: int = 25) -> str:
           select doc_id, count(*)::bigint as n_tokens,
             count(distinct tk)::bigint as n_unique_tokens
           from flat group by doc_id)
-        select d.doc_id,
+        {tail or '''select d.doc_id,
           coalesce(c.n_tokens, 0) as n_tokens,
           coalesce(c.n_unique_tokens, 0) as n_unique_tokens
         from documents d left join counts c using (doc_id)
-        order by d.doc_id
+        order by d.doc_id'''}
     """
 
 
@@ -2603,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_dist": q_degree_dist,
         "url_templates": q_url_templates,
         "embedding_outliers": q_embedding_outliers,
+        "bpe_fertility": q_bpe_fertility,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2650,7 +2706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
-        "frontmatter_parse": q_frontmatter_parse,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2664,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3b: displaced by the tier-00 graph/url layer — r3
         # driver-green, pure-Column, implementation untouched since that
         # check (local gate + strict sweep stay green on current code) -----
+        "frontmatter_parse": q_frontmatter_parse,
         "token_counts": q_token_counts,
         "seo_spam": q_seo_spam,
         "gopher_rules": q_gopher_rules,
@@ -4161,6 +4217,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_dist": _DEGREE_DIST_ORACLE,
         "url_templates": _URL_TEMPLATES_ORACLE,
         "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
+        "bpe_fertility": _bpe_encode_oracle_sql(tail=_BPE_FERTILITY_TAIL),
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

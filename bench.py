@@ -194,6 +194,20 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     q_pmi = entry.queries()["pmi_collocations"]
     _, times["pmi_collocations"] = _steady(
         lambda: q_pmi(spark, sf_dir).agg(F.sum("pmi")).collect())
+    # continuation graph/url/embedding layer (computed-column forcing
+    # where count(lit(1)) could prune the body)
+    q_tr = entry.queries()["trustrank"]
+    _, times["trustrank"] = _steady(
+        lambda: q_tr(spark, sf_dir).agg(F.sum("rank")).collect())
+    q_lp = entry.queries()["label_prop"]
+    _, times["label_prop"] = _steady(
+        lambda: q_lp(spark, sf_dir).agg(F.count("label")).collect())
+    q_ut = entry.queries()["url_templates"]
+    _, times["url_templates"] = _steady(
+        lambda: q_ut(spark, sf_dir).agg(F.sum("n_urls")).collect())
+    q_eo = entry.queries()["embedding_outliers"]
+    _, times["embedding_outliers"] = _steady(
+        lambda: q_eo(spark, sf_dir).agg(F.sum("z")).collect())
 
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries

@@ -132,3 +132,18 @@ def test_unicode_words(spark):
     out = B.bpe_encode(df, merges).collect()[0]
     assert "".join(out["tokens"]).replace(B.END, " ").strip() == \
         "héllo héllo héllo wörld wörld"
+
+
+def test_fertility_query_shape(spark):
+    """bpe_fertility: one row per source; fertility >= 1 (a word is at
+    least one token) and chars_per_token > 0; sums consistent."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["bpe_fertility"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.chars_per_token > 0
+        assert r.n_tokens >= r.n_words > 0
+        assert abs(r.fertility - r.n_tokens / r.n_words) < 1e-6
