@@ -971,6 +971,57 @@ _URL_TEMPLATES_ORACLE = """
 """
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Cross-snapshot crawl delta: two synthetic snapshots derived
+    from the documents table (modular membership + deterministic
+    content edits) compared per host — added / removed / changed /
+    unchanged url counts, the CDX-style churn report a recrawl
+    scheduler consumes.  Digest comparison, full-outer join and host
+    rollup replay exactly in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        snapshot_delta,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example/p/"), did.cast("string"))
+    a = (docs.where(did % 10 != 0)
+         .select(url.alias("url"), F.col("text")))
+    b = (docs.where(did % 7 != 0)
+         .select(url.alias("url"),
+                 F.when(did % 3 == 0,
+                        F.concat(F.col("text"), F.lit(" [rev2]")))
+                 .otherwise(F.col("text")).alias("text")))
+    return snapshot_delta(a, b).orderBy("host")
+
+
+_SNAPSHOT_DELTA_ORACLE = """
+    with a as (
+      select 'https://' || source || '.example/p/' || doc_id::varchar
+               as url,
+             md5(text) as ha
+      from documents where doc_id % 10 <> 0),
+    b as (
+      select 'https://' || source || '.example/p/' || doc_id::varchar
+               as url,
+             md5(case when doc_id % 3 = 0 then text || ' [rev2]'
+                      else text end) as hb
+      from documents where doc_id % 7 <> 0),
+    j as (select coalesce(a.url, b.url) as url, a.ha, b.hb
+          from a full outer join b on a.url = b.url)
+    select lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as host,
+           sum((ha is null)::int)::bigint as n_added,
+           sum((hb is null)::int)::bigint as n_removed,
+           sum((ha is not null and hb is not null and ha <> hb)::int)
+             ::bigint as n_changed,
+           sum((ha is not null and hb is not null and ha = hb)::int)
+             ::bigint as n_unchanged
+    from j group by host order by host
+"""
+
+
 def q_domain_quota(spark, sf_dir):
     """Per-domain quota sampling (diversity cap): deterministic
     md5-hash rank per registrable host, keep <= 20 — rank order and
@@ -2659,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "embedding_outliers": q_embedding_outliers,
         "bpe_fertility": q_bpe_fertility,
+        "snapshot_delta": q_snapshot_delta,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2705,7 +2757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
-        "span_block_assign": q_span_block_assign,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2719,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3b: displaced by the tier-00 graph/url layer — r3
         # driver-green, pure-Column, implementation untouched since that
         # check (local gate + strict sweep stay green on current code) -----
+        "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
         "token_counts": q_token_counts,
         "seo_spam": q_seo_spam,
@@ -4218,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": _URL_TEMPLATES_ORACLE,
         "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
         "bpe_fertility": _bpe_encode_oracle_sql(tail=_BPE_FERTILITY_TAIL),
+        "snapshot_delta": _SNAPSHOT_DELTA_ORACLE,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -318,6 +318,37 @@ def latest_revision(pages: DataFrame, url_col: str = "url",
             .drop("_rn"))
 
 
+def snapshot_delta(pages_a: DataFrame, pages_b: DataFrame,
+                   url_col: str = "url",
+                   content_col: str = "text") -> DataFrame:
+    """Cross-snapshot crawl delta per host -> (host, n_added,
+    n_removed, n_changed, n_unchanged): compare two crawl snapshots
+    (url -> content) and report, for every host, how many urls
+    appeared, disappeared, changed content, or held steady — the
+    CDX-style churn report a recrawl scheduler consumes at corpus
+    granularity (complements ``revision_churn``, which scores edit
+    volume per url within one fetch log).
+
+    Shape: each side reduced to (url, content-md5) — a pure-Column
+    pass — then ONE full-outer join keyed on url (both sides hash-
+    partition identically) and one groupBy on host.  No content bytes
+    cross the join: only 32-byte digests."""
+    a = pages_a.select(F.col(url_col).alias("url"),
+                       F.md5(F.col(content_col)).alias("ha"))
+    b = pages_b.select(F.col(url_col).alias("url"),
+                       F.md5(F.col(content_col)).alias("hb"))
+    j = a.join(b, "url", "full_outer")
+    both = F.col("ha").isNotNull() & F.col("hb").isNotNull()
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (j.groupBy(url_host(F.col("url")).alias("host"))
+            .agg(one(F.col("ha").isNull()).alias("n_added"),
+                 one(F.col("hb").isNull()).alias("n_removed"),
+                 one(both & (F.col("ha") != F.col("hb")))
+                 .alias("n_changed"),
+                 one(both & (F.col("ha") == F.col("hb")))
+                 .alias("n_unchanged")))
+
+
 def revision_churn(pages: DataFrame, url_col: str = "url",
                    ts_col: str = "warc_ts",
                    text_col: str = "text") -> DataFrame:

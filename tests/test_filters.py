@@ -201,3 +201,27 @@ def test_url_template_stats_topk_and_counts(spark):
     assert out[("h.example", "/item-{n}.html")] == (7, 1)
     assert out[("h.example", "/about.html")] == (1, 2)
     assert out[("other.example", "/x-{n}.html")] == (1, 1)
+
+
+def test_snapshot_delta_categories(spark):
+    """Every category counted once per host; urls in neither overlap
+    state are never double-counted."""
+    a = spark.createDataFrame(
+        [("https://h.example/1", "same"),
+         ("https://h.example/2", "old"),
+         ("https://h.example/3", "gone"),
+         ("https://g.example/1", "x")],
+        ["url", "text"])
+    b = spark.createDataFrame(
+        [("https://h.example/1", "same"),      # unchanged
+         ("https://h.example/2", "new"),       # changed
+         ("https://h.example/4", "fresh"),     # added
+         ("https://g.example/1", "x")],
+        ["url", "text"])
+    got = {r.host: r for r in FL.snapshot_delta(a, b).collect()}
+    h = got["h.example"]
+    assert (h.n_added, h.n_removed, h.n_changed, h.n_unchanged) \
+        == (1, 1, 1, 1)
+    g = got["g.example"]
+    assert (g.n_added, g.n_removed, g.n_changed, g.n_unchanged) \
+        == (0, 0, 0, 1)
