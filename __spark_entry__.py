@@ -1204,6 +1204,49 @@ def q_politeness(spark, sf_dir):
             .orderBy("host", "fetch_slot"))
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Per-host fetch-quota allocation for one crawl cycle: host
+    priorities (mean of the politeness fixture's per-url priorities)
+    and per-host politeness delays feed the cap/share/quota math —
+    the step between frontier prioritization and the fetch schedule.
+    Aggregation, 1-row total broadcast, floor/min quota arithmetic
+    all replay in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        crawl_budget,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    hosts = (d.select(
+        F.concat(F.lit("h"), (did % 9).cast("string"),
+                 F.lit(".example")).alias("host"),
+        (did % 9).alias("hidx"),
+        (((did * 37) % 100).cast("double") / 100.0).alias("p"))
+        .groupBy("host")
+        .agg(F.avg("p").alias("priority"),
+             (F.lit(1.0) + (F.first("hidx") % 3).cast("double"))
+             .alias("delay_s")))
+    return (crawl_budget(hosts, cycle_s=600.0, total_budget=1000)
+            .orderBy("host"))
+
+
+_CRAWL_BUDGET_ORACLE = """
+    with hosts as materialized (
+      select 'h' || (doc_id % 9)::varchar || '.example' as host,
+             avg(((doc_id * 37) % 100)::double / 100.0) as priority,
+             1.0 + (min(doc_id % 9) % 3)::double as delay_s
+      from documents group by host),
+    z as (select sum(priority) as z from hosts)
+    select h.host, round(h.priority, 6) as priority,
+           floor(600.0 / h.delay_s)::bigint as cap,
+           round(1000.0 * h.priority / z.z, 6) as share,
+           least(floor(600.0 / h.delay_s)::bigint,
+                 floor(1000.0 * h.priority / z.z)::bigint) as quota
+    from hosts h cross join z
+    order by h.host
+"""
+
+
 def q_host_components(spark, sf_dir):
     """Site clustering: connected components over a deterministic
     host graph (10-node stars: node k links to its decade head), the
@@ -2711,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "bpe_fertility": q_bpe_fertility,
         "snapshot_delta": q_snapshot_delta,
+        "crawl_budget": q_crawl_budget,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2756,7 +2800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
-        "events_rollup": q_events_rollup,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2770,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3b: displaced by the tier-00 graph/url layer — r3
         # driver-green, pure-Column, implementation untouched since that
         # check (local gate + strict sweep stay green on current code) -----
+        "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
         "token_counts": q_token_counts,
@@ -4271,6 +4315,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
         "bpe_fertility": _bpe_encode_oracle_sql(tail=_BPE_FERTILITY_TAIL),
         "snapshot_delta": _SNAPSHOT_DELTA_ORACLE,
+        "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -266,3 +266,35 @@ def recrawl_intervals(churn: DataFrame, url_col: str = "url",
         # + 0.0 canonicalizes IEEE -0.0 (= -ln(1)/gap) to +0.0
         (F.round(lam * 1e6, 6) + F.lit(0.0)).alias("lambda_per_mega_s"),
         F.round(interval, 3).alias("recrawl_interval_s"))
+
+
+def crawl_budget(host_stats: DataFrame, cycle_s: float = 3600.0,
+                 total_budget: int = 10000, host_col: str = "host",
+                 priority_col: str = "priority",
+                 delay_col: str = "delay_s") -> DataFrame:
+    """Per-host fetch quotas for one crawl cycle
+    -> (host, priority, cap, share, quota): the allocation step
+    between frontier prioritization (``crawl_priority``) and the
+    per-fetch schedule (``politeness_schedule``).  Each host's
+    politeness ceiling ``cap = floor(cycle_s / delay_s)`` bounds what
+    it allows; its priority share ``share = total_budget * priority /
+    sum(priority)`` is what the scheduler wants; the granted quota is
+    ``min(cap, floor(share))``.
+
+    Single-pass contract: budget freed by politeness-capped hosts is
+    NOT redistributed (iterative water-filling re-ranks every cycle
+    anyway — the next cycle's priorities absorb the remainder), which
+    keeps the operator one aggregation + one 1-row broadcast at any
+    scale.  ``host_stats`` is host-cardinality, so every step here is
+    millions of rows, not trillions."""
+    z = host_stats.agg(F.sum(priority_col).alias("z"))
+    cap = F.floor(F.lit(float(cycle_s)) / F.col(delay_col)).cast("long")
+    share = (F.lit(float(total_budget)) * F.col(priority_col)
+             / F.col("z"))
+    return (host_stats.crossJoin(F.broadcast(z))
+            .select(F.col(host_col).alias("host"),
+                    F.round(priority_col, 6).alias("priority"),
+                    cap.alias("cap"),
+                    F.round(share, 6).alias("share"),
+                    F.least(cap, F.floor(share).cast("long"))
+                    .alias("quota")))

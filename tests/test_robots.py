@@ -188,3 +188,24 @@ def test_recrawl_intervals(spark):
     single = out["single"]
     assert single.n_checks == 0
     assert single.recrawl_interval_s == 1000.0  # no evidence -> max
+
+
+def test_crawl_budget_caps_and_shares(spark):
+    """Politeness cap binds the hot host; floor(share) grants the
+    rest; priorities need not be normalized."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        crawl_budget,
+    )
+
+    hosts = spark.createDataFrame(
+        [("a.example", 6.0, 10.0),    # share 600, cap 60 -> capped
+         ("b.example", 3.0, 1.0),     # share 300, cap 600 -> share
+         ("c.example", 1.0, 2.0)],    # share 100, cap 300 -> share
+        "host string, priority double, delay_s double")
+    got = {r.host: r for r in
+           crawl_budget(hosts, cycle_s=600.0,
+                        total_budget=1000).collect()}
+    assert got["a.example"].cap == 60 and got["a.example"].quota == 60
+    assert got["b.example"].quota == 300
+    assert got["c.example"].quota == 100
+    assert got["a.example"].share == 600.0
