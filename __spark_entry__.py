@@ -628,6 +628,52 @@ def q_fingerprints(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_fingerprint_pairs(spark, sf_dir):
+    """MOSS-style near-copy pairs: docs sharing >= 3 rare winnowing
+    fingerprints (df_cap 5 drops template substrings before the pair
+    join).  The oracle reuses the fingerprints rolling-hash kernel,
+    extracts the selected VALUES (hl[j]), and replays the df filter,
+    self-join and pair count."""
+    docs = _docs(spark, sf_dir)
+    return (TS.fingerprint_pairs(docs, min_shared=3, df_cap=5)
+            .orderBy("doc_a", "doc_b"))
+
+
+_FINGERPRINT_PAIRS_ORACLE = """
+    with t as (select doc_id, text, length(text) as n from documents),
+    hs as (
+      select doc_id,
+        [list_reduce(
+           [ord(substring(text, i + p + 1, 1))::hugeint
+            for p in range(0, 8)],
+           (a, c) -> (a * 257 + c) % 2305843009213693951)
+         for i in range(0, greatest(n - 7, 0))] as hl
+      from t),
+    sel as (
+      select doc_id, hl,
+        case when len(hl) >= 4 then
+          list_distinct(
+            [i + list_position(hl[i+1 : i+4], list_min(hl[i+1 : i+4]))
+             for i in range(0, len(hl) - 3)])
+        else [] end as js
+      from hs),
+    fv as (select doc_id,
+                  unnest(list_distinct(list_transform(js, j -> hl[j])))
+                    as fp
+           from sel),
+    rare as (select fp from fv group by fp having count(*) <= 5),
+    fr as (select fv.doc_id, fv.fp from fv join rare using (fp)),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             count(*)::bigint as n_shared
+      from fr a join fr b on a.fp = b.fp and a.doc_id < b.doc_id
+      group by 1, 2)
+    select doc_a, doc_b, n_shared from pairs
+    where n_shared >= 3
+    order by doc_a, doc_b
+"""
+
+
 def q_minhash_lsh_oracle(spark, sf_dir):
     """Full MinHash-LSH pipeline (signatures -> band buckets -> candidate
     join -> exact-jaccard verify) with the md5-derived hash DuckDB
@@ -2755,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "snapshot_delta": q_snapshot_delta,
         "crawl_budget": q_crawl_budget,
+        "fingerprint_pairs": q_fingerprint_pairs,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2799,7 +2846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
-        "events_running_sum": q_events_running_sum,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2813,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3b: displaced by the tier-00 graph/url layer — r3
         # driver-green, pure-Column, implementation untouched since that
         # check (local gate + strict sweep stay green on current code) -----
+        "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
         "frontmatter_parse": q_frontmatter_parse,
@@ -4316,6 +4363,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _bpe_encode_oracle_sql(tail=_BPE_FERTILITY_TAIL),
         "snapshot_delta": _SNAPSHOT_DELTA_ORACLE,
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
+        "fingerprint_pairs": _FINGERPRINT_PAIRS_ORACLE,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -468,6 +468,42 @@ def fingerprint_udf():
     return F.pandas_udf(_batch, "array<long>")
 
 
+def fingerprint_pairs(docs: DataFrame, text_col: str = "text",
+                      min_shared: int = 3,
+                      df_cap: int | None = 5) -> DataFrame:
+    """MOSS-style near-copy candidate pairs from winnowing fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+    -> (doc_a, doc_b, n_shared): documents sharing >= ``min_shared``
+    distinct selected fingerprints — the character-level complement to
+    the word-shingle generators (MinHash/SimHash/n-gram): winnowing
+    guarantees any shared substring of length k+w-1 yields a shared
+    fingerprint, so it catches verbatim copying that tokenization
+    normalizes away.
+
+    ``df_cap`` drops fingerprints present in more than that many docs
+    BEFORE the pair join (boilerplate/template substrings — on the
+    synthetic corpus one hot template fingerprint would otherwise emit
+    ~n^2/2 pairs; same bounded-postings discipline as
+    dedup.ngram_jaccard_pairs).  Shape: explode -> df filter (one
+    groupBy on fp) -> self-join on fp (co-partitioned) -> pair count.
+    The rolling hash is base-257 mod 2^61-1 — engine-portable
+    integers, replayed exactly by the fingerprints oracle kernel."""
+    fp = docs.select("doc_id",
+                     F.explode(F.array_distinct(
+                         fingerprint_udf()(F.col(text_col)))).alias("fp"))
+    if df_cap is not None:
+        rare = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= df_cap).select("fp"))
+        fp = fp.join(rare, "fp")
+    a = fp.withColumnRenamed("doc_id", "doc_a")
+    b = fp.withColumnRenamed("doc_id", "doc_b")
+    return (a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
 def trailing_repeats(text: str, max_ngram: int = 10) -> int:
     """Max count of a trailing n-gram repeating at the end of text
     (repeatdetect.py:8-46 semantics, gram sizes 1..max_ngram)."""

@@ -552,3 +552,28 @@ def test_readability_cols(spark):
         assert got[i]["fk_grade"] == pytest.approx(fk, abs=1e-9)
     # sanity: "xyz qrs" has no vowels -> syllable floor = word count
     assert got[2]["n_syllables"] == 2
+
+
+def test_fingerprint_pairs_planted_copy(spark):
+    """A verbatim-copied passage is caught; unrelated docs are not; a
+    boilerplate substring shared by everyone is df-capped out."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        fingerprint_pairs,
+    )
+
+    boiler = "COPYRIGHT FOOTER TEXT SHARED BY EVERY PAGE. "
+    passage = ("the quick brown fox jumps over the lazy dog "
+               "while the band plays on and the crowd cheers loudly")
+    rows = [
+        (1, boiler + passage + " alpha ending one"),
+        (2, boiler + passage + " beta ending two"),     # copies 1's passage
+        (3, boiler + "completely different material about volcanoes "
+            "and the geology of basalt columns in iceland"),
+        (4, boiler + "another unrelated text on sourdough hydration "
+            "ratios and proofing schedules for rye"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in fingerprint_pairs(df, min_shared=3, df_cap=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(k == (1, 2) for k in got), got
