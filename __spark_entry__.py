@@ -815,6 +815,53 @@ def q_label_prop(spark, sf_dir):
             .orderBy("node"))
 
 
+def q_community_quota(spark, sf_dir):
+    """Per-community doc caps over label-propagation communities (the
+    link-farm-resistant quota: 50 colluding domains share ONE budget).
+    Composition of two gated kernels — the LPA labels from the block
+    fixture attach to docs by source host, then the md5-rank window
+    caps each community at 15.  The oracle splices the unrolled LPA
+    iterations with the quota rank window."""
+    docs = _docs(spark, sf_dir)
+    s = F.col("doc_id") % 20
+    links = (docs
+             .select("source", "doc_id",
+                     F.explode(F.sequence(
+                         F.lit(1),
+                         (F.lit(1) + F.col("doc_id") % 3).cast("int")))
+                     .alias("j"))
+             .select(F.col("source").alias("src"),
+                     F.concat(F.lit("src"),
+                              (s - s % 4
+                               + (F.expr("doc_id div 20") * 7
+                                  + F.col("j")) % 4).cast("string"))
+                     .alias("dst")))
+    comms = GR.label_propagation(links, iters=5)
+    d = docs.select("doc_id", F.col("source").alias("host"))
+    return (GR.community_quota(d, comms, max_per_community=15, seed=7)
+            .select("doc_id", "host", "community", "comm_rank",
+                    F.col("keep").cast("int").alias("keep"))
+            .orderBy("doc_id"))
+
+
+_COMMUNITY_QUOTA_TAIL = """
+        , dq as (
+          select d.doc_id, d.source as host,
+                 coalesce(l.label, d.source) as community,
+                 ('0x' || substr(md5(d.doc_id::varchar || ':7'),
+                                 1, 15))::bigint as rk
+          from documents d left join l5 l on l.node = d.source)
+        select doc_id, host, community, comm_rank,
+               (comm_rank <= 15)::int as keep
+        from (
+          select doc_id, host, community,
+                 row_number() over (partition by community
+                                    order by rk asc, doc_id asc)::bigint
+                   as comm_rank
+          from dq)
+        order by doc_id"""
+
+
 def q_reciprocity(spark, sf_dir):
     """Per-host link reciprocity (distinct out-links that are linked
     back) over the synthetic host graph — the classic link-exchange
@@ -2802,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "crawl_budget": q_crawl_budget,
         "fingerprint_pairs": q_fingerprint_pairs,
+        "community_quota": q_community_quota,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2845,7 +2893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
-        "embedding_near_dups": q_embedding_near_dups,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2856,9 +2903,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "knn_ivf": q_knn_ivf,
         "eval_fixture_report": q_eval_fixture_report,
-        # --- tier 3b: displaced by the tier-00 graph/url layer — r3
-        # driver-green, pure-Column, implementation untouched since that
-        # check (local gate + strict sweep stay green on current code) -----
+        # --- tier 3b: displaced by the 10 tier-00 continuation queries
+        # (never-driver-verified operators outrank a cadence refresh).
+        # Every entry here is r3 driver-green, pure-Column, and
+        # implementation-untouched since that check; the 2-round
+        # re-verification cadence stretches to 3 for them — local gate +
+        # strict sweep stay green on current code, and a future round
+        # should rotate them forward first. ---------------------------------
+        "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
         "span_block_assign": q_span_block_assign,
@@ -3224,12 +3276,14 @@ def _trustrank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
     """
 
 
-def _label_prop_oracle_sql(iters: int = 5) -> str:
+def _label_prop_oracle_sql(iters: int = 5, tail: str | None = None) -> str:
     """DuckDB mirror of q_label_prop: every synchronous iteration
     unrolled (neighbor vote counts, per-node argmax with the
     (count desc, label asc) tie-break, keep-own-label fallback) —
     exactly operators/graph.py:label_propagation.  Integer vote counts
-    and string labels make the parity exact, no float anywhere."""
+    and string labels make the parity exact, no float anywhere.
+    ``tail`` swaps the final select so compositions (community_quota)
+    reuse the same unrolled iterations."""
     steps = []
     prev = "l0"
     for i in range(1, iters + 1):
@@ -3264,7 +3318,7 @@ def _label_prop_oracle_sql(iters: int = 5) -> str:
         nodes as materialized (select distinct a as node from und),
         l0 as materialized (select node, node as label from nodes),
         {','.join(steps)}
-        select node, label from l{iters} order by node
+        {tail or f'select node, label from l{iters} order by node'}
     """
 
 
@@ -4364,6 +4418,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": _SNAPSHOT_DELTA_ORACLE,
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "fingerprint_pairs": _FINGERPRINT_PAIRS_ORACLE,
+        "community_quota": _label_prop_oracle_sql(tail=_COMMUNITY_QUOTA_TAIL),
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

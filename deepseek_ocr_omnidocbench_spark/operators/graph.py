@@ -249,6 +249,42 @@ def label_propagation(edges: DataFrame, iters: int = 5,
     return labels
 
 
+def community_quota(docs: DataFrame, communities: DataFrame,
+                    host_col: str = "host", id_col: str = "doc_id",
+                    max_per_community: int = 20,
+                    seed: int = 7) -> DataFrame:
+    """Cap documents per LINK COMMUNITY -> every doc annotated with
+    (community, comm_rank, keep): the :func:`label_propagation`
+    complement to per-domain quotas — a link farm spanning 50 domains
+    gets one community budget instead of 50 domain budgets, which is
+    the hole domain-level capping leaves open.
+
+    ``communities`` is label_propagation output (node, label), host-
+    cardinality, so the label attach is a broadcast join; rank order
+    inside each community is the same deterministic md5-of-doc-id used
+    by filters.domain_quota_sample (reproducible across runs,
+    partitionings and cluster sizes); one window exchange on the
+    community key.  Hosts absent from the community table (isolated /
+    unseen) fall back to their own host as a singleton community."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash64
+
+    lab = communities.select(F.col("node").alias(host_col), "label")
+    h = md5_hash64(F.concat(F.col(id_col).cast("string"),
+                            F.lit(":%d" % seed)))
+    w = Window.partitionBy("community").orderBy(F.asc("_rk"),
+                                                F.asc(id_col))
+    return (docs.join(F.broadcast(lab), host_col, "left")
+            .select(id_col, host_col,
+                    F.coalesce("label", F.col(host_col))
+                    .alias("community"))
+            .withColumn("_rk", h)
+            .withColumn("comm_rank", F.row_number().over(w).cast("long"))
+            .withColumn("keep", F.col("comm_rank") <= max_per_community)
+            .drop("_rk"))
+
+
 def reciprocity_stats(edges: DataFrame, src_col: str = "src",
                       dst_col: str = "dst") -> DataFrame:
     """Per-host link reciprocity -> (node, n_out, n_recip, reciprocity):

@@ -435,3 +435,29 @@ def test_degree_distribution(spark):
     # out: a=1, b=1, c=0 ; in: a=0, b=1, c=1
     assert got == {("out", 1): 2, ("out", 0): 1,
                    ("in", 1): 2, ("in", 0): 1}
+
+
+def test_community_quota_caps_per_community(spark):
+    """Two 2-host communities; the cap binds per COMMUNITY, not per
+    host; an unlabeled host becomes its own singleton community."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        community_quota,
+    )
+
+    comms = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", "c2"), ("y", "c2")],
+        ["node", "label"])
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(8)]
+        + [(100 + i, "x") for i in range(3)]
+        + [(200, "lonely.example")],
+        ["doc_id", "host"])
+    got = {r.doc_id: r for r in
+           community_quota(docs, comms, max_per_community=5).collect()}
+    c1 = [r for r in got.values() if r.community == "c1"]
+    assert len(c1) == 8 and sum(r.keep for r in c1) == 5
+    c2 = [r for r in got.values() if r.community == "c2"]
+    assert len(c2) == 3 and all(r.keep for r in c2)
+    assert got[200].community == "lonely.example" and got[200].keep
+    # ranks are a permutation of 1..n within each community
+    assert sorted(r.comm_rank for r in c1) == list(range(1, 9))
