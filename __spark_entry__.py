@@ -674,6 +674,47 @@ _FINGERPRINT_PAIRS_ORACLE = """
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup report per source: rolling-hash
+    chunk boundaries (k=8, mask 16), md5 chunk digests, per-source
+    distinct-vs-total chunk counts.  The oracle reuses the winnowing
+    rolling-hash kernel to derive the identical cut positions and
+    replays the digesting and rollup."""
+    docs = _docs(spark, sf_dir)
+    return (D.cdc_chunk_stats(docs, mask=16)
+            .orderBy("source"))
+
+
+_CDC_CHUNKS_ORACLE = """
+    with t as (select doc_id, source, text, length(text) as n
+               from documents),
+    hs as (
+      select doc_id, source, text, n,
+        [list_reduce(
+           [ord(substring(text, i + p + 1, 1))::hugeint
+            for p in range(0, 8)],
+           (a, c) -> (a * 257 + c) % 2305843009213693951)
+         for i in range(0, greatest(n - 7, 0))] as hl
+      from t),
+    cu as (
+      select doc_id, source, text, n,
+        list_sort(list_distinct(
+          [j + 7 for j in range(1, len(hl) + 1) if hl[j] % 16 = 0]
+              || [n])) as c
+      from hs where n > 0),
+    ch as (
+      select source,
+        unnest([md5(substring(text, (([0] || c)[k]) + 1,
+                              c[k] - ([0] || c)[k]))
+                for k in range(1, len(c) + 1)]) as h
+      from cu)
+    select source, count(*)::bigint as n_chunks,
+           count(distinct h)::bigint as n_distinct_chunks,
+           round(1.0 - count(distinct h) / count(*), 6) as dup_ratio
+    from ch group by source order by source
+"""
+
+
 def q_minhash_lsh_oracle(spark, sf_dir):
     """Full MinHash-LSH pipeline (signatures -> band buckets -> candidate
     join -> exact-jaccard verify) with the md5-derived hash DuckDB
@@ -2850,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "fingerprint_pairs": q_fingerprint_pairs,
         "community_quota": q_community_quota,
+        "cdc_chunks": q_cdc_chunks,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2892,7 +2934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_presence": q_rule_presence,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
-        "label_centroids": q_label_centroids,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2910,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verification cadence stretches to 3 for them — local gate +
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
+        "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
         "events_rollup": q_events_rollup,
@@ -4419,6 +4461,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "fingerprint_pairs": _FINGERPRINT_PAIRS_ORACLE,
         "community_quota": _label_prop_oracle_sql(tail=_COMMUNITY_QUOTA_TAIL),
+        "cdc_chunks": _CDC_CHUNKS_ORACLE,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -773,3 +773,70 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
         F.round(c_b, 6).alias("containment_b"))
         .where(F.greatest(F.col("containment_a"),
                           F.col("containment_b")) >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(text: str, k: int = 8, mask: int = 16) -> list[str]:
+    """Content-defined chunk digests: cut wherever the base-257
+    rolling k-gram hash (mod 2^61-1, the winnowing kernel's hash) is
+    divisible by ``mask`` — boundaries depend only on local content,
+    so an insertion early in a document shifts ONE chunk instead of
+    re-aligning every fixed-size block (the rsync/LBFS trick, Muthitacharoen
+    et al. SOSP 2001).  Returns the md5 hex digest per chunk, in order."""
+    import hashlib
+
+    if not text:
+        return []
+    B, M = 257, (1 << 61) - 1
+    h = 0
+    power = pow(B, k - 1, M)
+    cuts = []
+    for i, ch in enumerate(text):
+        h = (h * B + ord(ch)) % M
+        if i >= k:
+            h = (h - ord(text[i - k]) * power * B) % M
+        if i >= k - 1 and h % mask == 0:
+            cuts.append(i + 1)
+    if not cuts or cuts[-1] != len(text):
+        cuts.append(len(text))
+    out, start = [], 0
+    for c in cuts:
+        out.append(hashlib.md5(text[start:c].encode("utf-8")).hexdigest())
+        start = c
+    return out
+
+
+def cdc_chunk_udf(k: int = 8, mask: int = 16):
+    def _batch(s):
+        return s.map(lambda t: cdc_chunks(t or "", k=k, mask=mask))
+
+    return F.pandas_udf(_batch, "array<string>")
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
+                    group_col: str = "source", k: int = 8,
+                    mask: int = 16) -> DataFrame:
+    """Per-group CDC dedup report -> (group, n_chunks,
+    n_distinct_chunks, dup_ratio): how much of each source's text is
+    chunk-level duplicated — the storage-dedup / sub-document-overlap
+    signal fixed-size blocking misses under insertions (boilerplate
+    headers, syndicated passages, near-identical revisions).
+
+    Shape: chunking is an Arrow-batched map over the scan; digests
+    (32-byte hex, never chunk text) feed ONE groupBy exchange on the
+    group key with a distinct-count aggregate.  At corpus scale swap
+    the exact count_distinct for approx_count_distinct the same way
+    anchor_text_profile parameterizes it."""
+    ch = docs.select(F.col(group_col).alias("grp"),
+                     F.explode(cdc_chunk_udf(k, mask)(F.col(text_col)))
+                     .alias("h"))
+    return (ch.groupBy(F.col("grp").alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("h").alias("n_distinct_chunks"))
+            .withColumn("dup_ratio",
+                        F.round(F.lit(1.0)
+                                - F.col("n_distinct_chunks")
+                                / F.col("n_chunks"), 6)))
