@@ -208,6 +208,15 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     q_eo = entry.queries()["embedding_outliers"]
     _, times["embedding_outliers"] = _steady(
         lambda: q_eo(spark, sf_dir).agg(F.sum("z")).collect())
+    q_cd = entry.queries()["cdc_chunks"]
+    _, times["cdc_chunks"] = _steady(
+        lambda: q_cd(spark, sf_dir).agg(F.sum("n_chunks")).collect())
+    q_cq = entry.queries()["community_quota"]
+    _, times["community_quota"] = _steady(
+        lambda: q_cq(spark, sf_dir).agg(F.sum("comm_rank")).collect())
+    q_sd = entry.queries()["snapshot_delta"]
+    _, times["snapshot_delta"] = _steady(
+        lambda: q_sd(spark, sf_dir).agg(F.sum("n_changed")).collect())
 
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries
