@@ -461,3 +461,26 @@ def test_community_quota_caps_per_community(spark):
     assert got[200].community == "lonely.example" and got[200].keep
     # ranks are a permutation of 1..n within each community
     assert sorted(r.comm_rank for r in c1) == list(range(1, 9))
+
+
+def test_continuation_ops_exchange_budgets(spark):
+    """Plan-shape regression pins: the continuation operators' gated
+    queries must not grow extra shuffles.  Counts are real physical
+    Exchange nodes from explain('formatted'); bounds are the measured
+    shapes (degree_dist drops 17 -> 7 when its shared distinct frames
+    are materialized once — keep it that way)."""
+    import contextlib
+    import io
+    import re
+
+    import __spark_entry__ as entry
+
+    budgets = {"url_templates": 3, "snapshot_delta": 4,
+               "reciprocity": 4, "degree_dist": 7, "crawl_budget": 4}
+    for name, cap in budgets.items():
+        df = entry.queries()[name](spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        n = len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+        assert n <= cap, (name, n, cap)
