@@ -779,7 +779,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
 # Content-defined chunking (CDC) dedup
 # ---------------------------------------------------------------------------
 
-def cdc_chunks(text: str, k: int = 8, mask: int = 16) -> list[str]:
+def cdc_chunks(text: str, k: int = 8, mask: int = 16,
+               raw: bool = False) -> list[str]:
     """Content-defined chunk digests: cut wherever the base-257
     rolling k-gram hash (mod 2^61-1, the winnowing kernel's hash) is
     divisible by ``mask`` — boundaries depend only on local content,
@@ -804,7 +805,9 @@ def cdc_chunks(text: str, k: int = 8, mask: int = 16) -> list[str]:
         cuts.append(len(text))
     out, start = [], 0
     for c in cuts:
-        out.append(hashlib.md5(text[start:c].encode("utf-8")).hexdigest())
+        chunk = text[start:c]
+        out.append(chunk if raw
+                   else hashlib.md5(chunk.encode("utf-8")).hexdigest())
         start = c
     return out
 

@@ -248,3 +248,27 @@ def test_cdc_chunks_digests_reassemble(spark):
     # docs 1 and 2 are identical: every one of their chunks duplicates
     assert stats.n_chunks > stats.n_distinct_chunks
     assert stats.dup_ratio > 0
+
+
+def test_cdc_chunks_partition_property():
+    """Property (hypothesis): chunks exactly partition the input —
+    concatenation reconstructs it, no chunk is empty, and a chunk's
+    digest equals the digest of its raw text."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import cdc_chunks
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=0, max_size=400))
+    def prop(text):
+        raw = cdc_chunks(text, raw=True)
+        assert "".join(raw) == text
+        assert all(raw)  # no empty chunk
+        dig = cdc_chunks(text)
+        assert dig == [hashlib.md5(c.encode("utf-8")).hexdigest()
+                       for c in raw]
+
+    prop()

@@ -484,3 +484,38 @@ def test_continuation_ops_exchange_budgets(spark):
             df.explain("formatted")
         n = len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
         assert n <= cap, (name, n, cap)
+
+
+def test_label_propagation_random_invariants(spark):
+    """Random graphs: output covers exactly the connected node set,
+    labels are drawn from it, and communities respect components (a
+    label never crosses a connected component boundary)."""
+    import random
+
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(23)
+    hosts = [f"h{i}" for i in range(14)]
+    edges = list({(rng.choice(hosts), rng.choice(hosts))
+                  for _ in range(25)})
+    edges = [e for e in edges if e[0] != e[1]]
+    got = {r.node: r.label for r in label_propagation(
+        spark.createDataFrame(edges, ["src", "dst"]), iters=5).collect()}
+    nodes = {x for e in edges for x in e}
+    assert set(got) == nodes
+    assert set(got.values()) <= nodes
+    # component closure: union-find over undirected edges
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for n, lab in got.items():
+        assert find(n) == find(lab), (n, lab)
