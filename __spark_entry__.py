@@ -36,6 +36,7 @@ from deepseek_ocr_omnidocbench_spark.operators import graph as GR
 from deepseek_ocr_omnidocbench_spark.operators import lm as LM
 from deepseek_ocr_omnidocbench_spark.operators import ranking as RK
 from deepseek_ocr_omnidocbench_spark.operators import similarity as S
+from deepseek_ocr_omnidocbench_spark.operators import sketches as SK
 from deepseek_ocr_omnidocbench_spark.operators import textstats as TS
 from deepseek_ocr_omnidocbench_spark.operators.html_extract import extract_pages
 
@@ -935,6 +936,71 @@ def q_degree_dist(spark, sf_dir):
                      .alias("dst")))
     return (GR.degree_distribution(links)
             .orderBy("direction", "degree"))
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (k=5) of a sparse 150-node pseudo-random
+    host graph — the link-ring density feature: dense-core membership
+    is the classic mutual-promotion-spam shape, shallow shells are the
+    legitimate long tail.  Iterative peeling early-stops at the
+    fixpoint; the oracle unrolls the same 8 peel rounds (extra rounds
+    past the fixpoint are no-ops, so the two are value-identical).
+    The degree_dist graph is near-regular (everything or nothing
+    survives a cut); this one plants a degree-6 circulant ring on 12
+    hub nodes inside a sparse 150-node periphery, so the k=6 cut
+    peels the periphery in genuine cascades and keeps exactly the
+    planted dense core (12 nodes at sf0.01, fixpoint within 8
+    peels — verified against a 12-peel replay)."""
+    docs = _docs(spark, sf_dir)
+    periphery = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 150).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"),
+                 ((F.col("doc_id") * 7 + F.expr("doc_id div 150") * 11
+                   + 3) % 150).cast("string")).alias("dst"))
+    core = (docs.where(F.col("doc_id") < 60)
+            .select((F.col("doc_id") % 12).alias("a"),
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+            .select(F.concat(F.lit("n"), F.col("a").cast("string"))
+                    .alias("src"),
+                    F.concat(F.lit("n"), ((F.col("a") + F.col("j")) % 12)
+                             .cast("string")).alias("dst")))
+    return GR.k_core(periphery.unionByName(core), k=6, max_iters=8) \
+        .orderBy("node")
+
+
+def q_kmv_vocab(spark, sf_dir):
+    """Per-source vocabulary-size estimation with a KMV bottom-64
+    sketch — the fixed-memory replacement for exact per-host distinct
+    counting at corpus scale.  The md5-derived hash makes the whole
+    estimator (not just the audit column) replay exactly in SQL; the
+    exact_distinct column is the at-gate-scale audit the sketch
+    replaces in production."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source",
+        F.explode(D.normalized_words(F.col("text"))).alias("w"))
+    return SK.kmv_distinct(words, "source", "w", k=64).orderBy("key")
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Count-Min heavy-hitter probe: build a 4x1024 sketch of the
+    corpus term stream, probe the exact top-50 terms, and report the
+    estimate + collision over-estimate per term.  The sketch is
+    depth*width cells regardless of vocabulary (ONE map-side-combined
+    groupBy); integer counters make the parity exact."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(D.normalized_words(F.col("text"))).alias("term"))
+    cms = SK.cms_build(words, depth=4, width=1024)
+    exact = words.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_c"))
+    probes = exact.orderBy(F.desc("exact_c"), F.asc("term")).limit(50)
+    return (SK.cms_probe(cms, probes, depth=4, width=1024)
+            .select("term", "exact_c", "cms_est",
+                    (F.col("cms_est") - F.col("exact_c"))
+                    .cast("long").alias("overestimate"))
+            .orderBy("term"))
 
 
 def q_pmi_collocations(spark, sf_dir):
@@ -2892,6 +2958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_pairs": q_fingerprint_pairs,
         "community_quota": q_community_quota,
         "cdc_chunks": q_cdc_chunks,
+        # --- tier 000: round-5 resumed-session batch (never driver-
+        # verified; each displaces one r3-green, implementation-
+        # untouched tier-3 cadence entry into tier 3b below) ------------
+        "kcore": q_kcore,
+        "kmv_vocab": q_kmv_vocab,
+        "cms_heavy": q_cms_heavy,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2931,9 +3003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_oracle": q_simhash_oracle,
         "edit_metric_by_source": q_edit_metric_by_source,
-        "rule_presence": q_rule_presence,
-        "doc_stats_by_lang": q_doc_stats_by_lang,
-        "knn_bruteforce": q_knn_bruteforce,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -2951,6 +3020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verification cadence stretches to 3 for them — local gate +
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
+        "rule_presence": q_rule_presence,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
         "embedding_near_dups": q_embedding_near_dups,
         "events_running_sum": q_events_running_sum,
@@ -3406,6 +3478,96 @@ _DEGREE_DIST_ORACLE = """
       select 'out' as direction, degree, count(*)::bigint as n_nodes
       from outdeg group by degree)
     order by direction, degree
+"""
+
+
+def _kcore_oracle_sql(k: int = 6, iters: int = 8) -> str:
+    """DuckDB mirror of q_kcore: the symmetric distinct edge set, then
+    ``iters`` unrolled peel rounds (degree count -> keep nodes with
+    deg >= k -> restrict edges to kept endpoints) — exactly the loop
+    body of operators/graph.py:k_core.  Peels past the fixpoint are
+    no-ops, so the fixed unroll equals Spark's early-stopped loop."""
+    steps = []
+    prev = "e0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+            k{i} as (select a as node from {prev}
+                     group by a having count(*) >= {k}),
+            e{i} as materialized (
+              select e.a, e.b from {prev} e
+              join k{i} x on x.node = e.a
+              join k{i} y on y.node = e.b)""")
+        prev = f"e{i}"
+    return f"""
+    with links as materialized (
+      select 'n' || (doc_id % 150) as s,
+             'n' || ((doc_id * 7 + (doc_id // 150) * 11 + 3) % 150) as t
+      from documents
+      union all
+      select 'n' || (doc_id % 12) as s,
+             'n' || ((doc_id % 12 + t.j) % 12) as t
+      from documents, unnest(range(1, 4)) as t(j)
+      where doc_id < 60),
+    e0 as materialized (
+      select a, b from (
+        select s as a, t as b from links union select t, s from links)
+      where a <> b),{','.join(steps)}
+    select a as node, count(*)::bigint as core_degree
+    from {prev} group by a
+    order by node
+"""
+
+
+_KMV_SCALE = float(64 - 1) * float(2 ** 60)
+
+_KMV_VOCAB_ORACLE = f"""
+    with t as (select source, unnest({{words}}) as w from documents),
+    d as materialized (select distinct source, w from t),
+    h as (select source,
+                 ('0x' || substr(md5(w), 1, 15))::bigint as h from d),
+    r as (select source, h,
+                 row_number() over (partition by source order by h) as rn
+          from h),
+    agg as (select source as key, count(*)::bigint as n_kept,
+                   max(case when rn = 64 then h end) as kth
+            from r where rn <= 64 group by source),
+    ex as (select source as key, count(*)::bigint as exact_distinct
+           from d group by source)
+    select a.key, a.n_kept,
+           case when a.kth is not null
+                then round({_KMV_SCALE!r} / a.kth::double, 6)
+                else a.n_kept::double end as est_distinct,
+           ex.exact_distinct
+    from agg a join ex using (key)
+    order by key
+"""
+
+_CMS_HEAVY_ORACLE = """
+    with t as (select unnest({words}) as term from documents),
+    cells as (
+      select i.r as row,
+             (('0x' || substr(md5(term || '#cms' || i.r), 1, 15))::bigint
+              % 1024)::int as bucket
+      from t, unnest([0, 1, 2, 3]) as i(r)),
+    cms as materialized (
+      select row, bucket, count(*)::bigint as c
+      from cells group by row, bucket),
+    exact as (select term, count(*)::bigint as exact_c
+              from t group by term),
+    probes as materialized (
+      select term, exact_c from exact
+      order by exact_c desc, term limit 50),
+    pc as (select p.term, i.r as row,
+                  (('0x' || substr(md5(p.term || '#cms' || i.r), 1, 15))
+                   ::bigint % 1024)::int as bucket
+           from probes p, unnest([0, 1, 2, 3]) as i(r)),
+    est as (select pc.term, min(coalesce(cms.c, 0))::bigint as cms_est
+            from pc left join cms using (row, bucket)
+            group by pc.term)
+    select p.term, p.exact_c, e.cms_est,
+           (e.cms_est - p.exact_c)::bigint as overestimate
+    from probes p join est e using (term)
+    order by term
 """
 
 
@@ -4462,6 +4624,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_pairs": _FINGERPRINT_PAIRS_ORACLE,
         "community_quota": _label_prop_oracle_sql(tail=_COMMUNITY_QUOTA_TAIL),
         "cdc_chunks": _CDC_CHUNKS_ORACLE,
+        "kcore": _kcore_oracle_sql(),
+        "kmv_vocab": _KMV_VOCAB_ORACLE.format(words=_AZ09_WORDS),
+        "cms_heavy": _CMS_HEAVY_ORACLE.format(words=_AZ09_WORDS),
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -1,0 +1,140 @@
+"""Bounded-memory frequency / cardinality sketches (KMV, Count-Min).
+
+At 100 TB the two quantities a curation pipeline asks for constantly —
+"how many distinct X per group" and "how often does term Y occur" —
+cannot be answered with exact hash tables per group: per-host vocab
+alone is billions of cells.  The two classic fixed-size answers are
+
+* **KMV / bottom-k** (Bar-Yossef et al. 2002; Beyer et al. SIGMOD
+  2007): keep the k smallest hash values of the distinct elements;
+  the k-th smallest, viewed as a fraction of the hash space, estimates
+  distinct count as ``(k-1) / u_(k)``.  Mergeable (union = merge the
+  bottom-k sets), so it composes with Spark's partial aggregation.
+* **Count-Min** (Cormode & Muthukrishnan 2005): a depth x width grid
+  of counters; each term increments one counter per row (chosen by an
+  independent hash); a point estimate is the min over rows — always an
+  over-estimate, biased by hash collisions, with the classic
+  (eps, delta) = (e/width, e^-depth) guarantee.
+
+Both are implemented with the md5-derived 60-bit hash the DuckDB
+oracle can replay bit-for-bit (``dedup.md5_hash64``), so the *entire
+estimator* — not just the exact side — sits under the value gate.
+Production would swap ``hash_fn=F.xxhash64``-based variants; the knob
+exists on every function.
+
+Scale shape:
+
+* ``kmv_distinct``: one distinct on (key, value), one rank window per
+  key (streaming — no per-key array is ever materialized), one
+  group agg.  Output is |keys| rows regardless of cardinality.
+* ``cms_build``: explode x depth rows, ONE groupBy on (row, bucket)
+  with map-side partial combine; the sketch is depth*width cells no
+  matter the vocabulary.  ``cms_probe`` is a broadcast-sized join of
+  the probe terms against the sketch.
+
+Relation to the reference: olmocr's dedup/scale work keeps per-key
+seen-sets in memory on one node; these sketches are the distributed
+fixed-memory replacements (cited pattern, not code:
+olmocr/olmocr/work_queue.py's seen-work tracking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash64
+
+_HASH_SPACE = float(2 ** 60)    # md5_hash64 is a 60-bit hash
+
+
+def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
+                 k: int = 64, hash_fn=md5_hash64,
+                 with_exact: bool = True) -> DataFrame:
+    """Per-key KMV distinct-count estimate -> (key, n_kept,
+    est_distinct, exact_distinct?).
+
+    ``est_distinct = (k-1) / (h_(k) / 2^60)`` when the key has >= k
+    distinct values, else the exact count of kept values (the sketch
+    is lossless below its capacity).  ``with_exact`` attaches the
+    exact distinct count as an audit column (kept at gate scale,
+    dropped at 100 TB — that count is what the sketch replaces).
+    """
+    d = (df.select(F.col(key_col).alias("key"),
+                   F.col(value_col).alias("value"))
+         .where(F.col("value").isNotNull())
+         .distinct())
+    h = d.select("key", hash_fn(F.col("value")).alias("h"))
+    w = Window.partitionBy("key").orderBy("h")
+    topk = (h.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k))
+    scale = float(k - 1) * _HASH_SPACE
+    agg = (topk.groupBy("key")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.max(F.when(F.col("rn") == k, F.col("h"))).alias("_kth"))
+           .select("key", "n_kept",
+                   F.when(F.col("_kth").isNotNull(),
+                          F.round(F.lit(scale)
+                                  / F.col("_kth").cast("double"), 6))
+                   .otherwise(F.col("n_kept").cast("double"))
+                   .alias("est_distinct")))
+    if not with_exact:
+        return agg
+    exact = d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    return agg.join(exact, "key")
+
+
+def _cms_bucket(term: Column, row: int, width: int, hash_fn) -> Column:
+    """Row-i bucket: an independent hash via a per-row salt suffix."""
+    return F.pmod(hash_fn(F.concat(term, F.lit(f"#cms{row}"))),
+                  F.lit(width)).cast("int")
+
+
+def cms_build(terms: DataFrame, term_col: str = "term",
+              weight_col: str | None = None,
+              depth: int = 4, width: int = 1024,
+              hash_fn=md5_hash64) -> DataFrame:
+    """Count-Min sketch of a term stream -> (row, bucket, c).
+
+    One exploded pass (depth cells per input row) into ONE groupBy on
+    (row, bucket) — partial aggregation collapses it map-side, so the
+    shuffle carries at most depth*width rows per map task regardless
+    of input size.  ``weight_col`` supports weighted counts (e.g.
+    pre-aggregated term frequencies) — the sketch of an aggregated
+    stream equals the sketch of the raw stream.
+    """
+    t = F.col(term_col)
+    wcol = (F.col(weight_col).cast("long") if weight_col
+            else F.lit(1).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _cms_bucket(t, i, width, hash_fn).alias("bucket"))
+        for i in range(depth)])
+    return (terms.select(F.explode(cells).alias("cell"), wcol.alias("w"))
+            .groupBy(F.col("cell.row").alias("row"),
+                     F.col("cell.bucket").alias("bucket"))
+            .agg(F.sum("w").alias("c")))
+
+
+def cms_probe(cms: DataFrame, probes: DataFrame, term_col: str = "term",
+              depth: int = 4, width: int = 1024,
+              hash_fn=md5_hash64) -> DataFrame:
+    """Point-estimate probe terms against a sketch -> probes +
+    (cms_est).  est = min over rows of the term's counter (0 when a
+    row's bucket is empty — only possible when the sketch saw no
+    colliding term).  The probe side is join-broadcast-sized by
+    construction (a report's worth of terms)."""
+    t = F.col(term_col)
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _cms_bucket(t, i, width, hash_fn).alias("bucket"))
+        for i in range(depth)])
+    exploded = (probes.select(term_col, F.explode(cells).alias("cell"))
+                .select(term_col, F.col("cell.row").alias("row"),
+                        F.col("cell.bucket").alias("bucket")))
+    est = (exploded.join(cms, ["row", "bucket"], "left")
+           .groupBy(term_col)
+           .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                .alias("cms_est")))
+    return probes.join(est, term_col)

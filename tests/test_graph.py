@@ -519,3 +519,63 @@ def test_label_propagation_random_invariants(spark):
         parent[find(a)] = find(b)
     for n, lab in got.items():
         assert find(n) == find(lab), (n, lab)
+
+
+class TestKCore:
+    def _cores(self, spark, edges, k, **kw):
+        from deepseek_ocr_omnidocbench_spark.operators.graph import k_core
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: r["core_degree"]
+                for r in k_core(df, k=k, **kw).collect()}
+
+    def test_clique_with_tail(self, spark):
+        # 4-clique a-b-c-d plus a chain d-e-f: 3-core is exactly the
+        # clique (chain nodes peel in two waves), each at degree 3.
+        clique = [(x, y) for i, x in enumerate("abcd")
+                  for y in "abcd"[i + 1:]]
+        edges = clique + [("d", "e"), ("e", "f")]
+        got = self._cores(spark, edges, k=3)
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_cascade_needs_multiple_peels(self, spark):
+        # chain hanging off a triangle: the 2-core is the triangle;
+        # the chain peels one node per round (cascade, not one shot).
+        edges = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")]
+        got = self._cores(spark, edges, k=2)
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_empty_core(self, spark):
+        got = self._cores(spark, [("a", "b"), ("b", "c")], k=2)
+        assert got == {}
+
+    def test_whole_graph_is_core(self, spark):
+        # cycle: every node has degree 2 -> 2-core == whole graph,
+        # and the loop must early-stop on the first fixpoint check.
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        got = self._cores(spark, edges, k=2)
+        assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+    def test_matches_networkx_style_reference(self, spark):
+        # deterministic pseudo-random graph vs an independent Python
+        # peeling implementation.
+        edges = [(f"n{(7 * i) % 23}", f"n{(11 * i + 3) % 23}")
+                 for i in range(60)]
+        adj: dict[str, set[str]] = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        k = 4
+        changed = True
+        while changed:
+            drop = [n for n, nb in adj.items() if len(nb) < k]
+            changed = bool(drop)
+            for n in drop:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        want = {n: len(nb) for n, nb in adj.items()}
+        got = self._cores(spark, edges, k=k, max_iters=30)
+        assert got == want
