@@ -1055,6 +1055,22 @@ def q_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity per document — the
+    reference n-gram smoothing (vs lm_perplexity's Stupid Backoff):
+    continuation probabilities are distinct counts over the bigram
+    TYPE table, so the entire model (discounting, reserved mass,
+    continuation fallback) trains as groupBys and replays exactly in
+    SQL.  The backoff ladder (seen bigram -> lam*pcont -> pcont ->
+    floor) is a coalesce over three left joins."""
+    docs = _docs(spark, sf_dir)
+    bi, lam, cont = LM.train_kn_bigram(docs)
+    return (LM.kn_score(docs, bi, lam, cont)
+            .select("doc_id", "n_bigrams",
+                    F.round("kn_ppl", 6).alias("kn_ppl"))
+            .orderBy("doc_id"))
+
+
 def _synth_url(doc_id, source):
     """Deterministic synthetic crawl url (documents.parquet has no url
     column); mirrored 1:1 in SQL by _SYNTH_URL_SQL.  Mix of blocked
@@ -2964,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "kmv_vocab": q_kmv_vocab,
         "cms_heavy": q_cms_heavy,
+        "kn_perplexity": q_kn_perplexity,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3001,7 +3018,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_oracle": q_simhash_oracle,
         "edit_metric_by_source": q_edit_metric_by_source,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
@@ -3021,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "simhash_oracle": q_simhash_oracle,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
@@ -5468,6 +5485,55 @@ def oracle_sql() -> dict[str, str]:
                    when t = 2 then 'middle'
                    else 'tail' end as bucket
             from nt order by doc_id
+        """,
+        "kn_perplexity": f"""
+            with tok as (
+              select doc_id, {_AZ09_WORDS} as ws
+              from (select doc_id, text from documents)),
+            bge as (
+              select doc_id, b['w1'] as w1, b['w2'] as w2
+              from (select doc_id,
+                      unnest([{{'w1': ws[i], 'w2': ws[i+1]}}
+                              for i in range(1, len(ws))]) as b
+                    from tok)),
+            c12 as materialized (
+              select w1, w2, count(*)::bigint as c12
+              from bge group by w1, w2),
+            ctx as materialized (
+              select w1, sum(c12)::bigint as c1,
+                     count(*)::bigint as n_fwd
+              from c12 group by w1),
+            cont as materialized (
+              select w2, n_rev::double /
+                     (select count(*) from c12)::double as pcont
+              from (select w2, count(*)::bigint as n_rev
+                    from c12 group by w2)),
+            lam as materialized (
+              select w1, (0.75::double * n_fwd::double) / c1::double
+                     as lam from ctx),
+            bim as (
+              select c.w1, c.w2,
+                greatest(c.c12 - 0.75::double, 0.0::double) / x.c1::double
+                + ((0.75::double * x.n_fwd::double) / x.c1::double)
+                  * k.pcont as p
+              from c12 c
+              join ctx x on x.w1 = c.w1
+              join cont k on k.w2 = c.w2),
+            lp as (
+              select g.doc_id,
+                log10(coalesce(b.p, l.lam * k.pcont, k.pcont,
+                               1e-12)) as lp
+              from bge g
+              left join bim b on b.w1 = g.w1 and b.w2 = g.w2
+              left join lam l on l.w1 = g.w1
+              left join cont k on k.w2 = g.w2),
+            per as (select doc_id, sum(lp) as s, count(*)::bigint as n
+                    from lp group by doc_id)
+            select d.doc_id, coalesce(per.n, 0)::bigint as n_bigrams,
+              round(case when per.n > 0 then pow(10, -per.s / per.n)
+                    end, 6) as kn_ppl
+            from documents d left join per using (doc_id)
+            order by d.doc_id
         """,
         "dedup_clusters": f"""
             with recursive {_MINHASH_CTES},

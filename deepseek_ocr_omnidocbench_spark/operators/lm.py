@@ -127,3 +127,92 @@ def ppl_buckets(scored: DataFrame, part_col: str = "lang",
     return (nn.withColumn("bucket", bucket)
             .unionByName(scored.where(F.col("ppl").isNull())
                          .withColumn("bucket", F.lit("na"))))
+
+
+def train_kn_bigram(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    discount: float = 0.75
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman's empirical study 1999) -> (bigram_model, backoff_model,
+    cont_model).
+
+    Where Stupid Backoff (``train_bigram_lm``) is the cheap
+    score-shaped heuristic, KN is the reference smoothing for n-gram
+    LMs — and its signature quantity, the *continuation probability*
+    P_cont(w) = N1+(. w) / N1+(. .), is purely relational: a distinct
+    count over the bigram TYPE table.  Everything here is groupBys
+    over that table:
+
+    * bigram_model (w1, w2, p):
+      p = max(c12 - D, 0)/c(w1) + (D * N1+(w1 .)/c(w1)) * P_cont(w2)
+    * backoff_model (w1, lam):   lam = D * N1+(w1 .) / c(w1)
+      — the probability mass the discount reserved for unseen
+      continuations of w1.
+    * cont_model (w2, pcont):    the zero-gram fallback.
+
+    Scale shape: one corpus-wide bigram groupBy (the only pass over
+    the data), then model-sized groupBys/joins; the bigram-type count
+    is a 1-row broadcast.  Unlike Katz/Good-Turing there is no
+    count-of-counts renormalization loop — the reason KN (like Stupid
+    Backoff) is the smoothing that distributes.
+    """
+    d = float(discount)
+    c12 = (_doc_bigrams(docs, text_col, id_col)
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    ctx = (c12.groupBy("w1")
+           .agg(F.sum("c12").alias("c1"),
+                F.count(F.lit(1)).alias("n_fwd")))     # N1+(w1 .)
+    n_rev = (c12.groupBy("w2")
+             .agg(F.count(F.lit(1)).alias("n_rev")))   # N1+(. w2)
+    n_types = c12.agg(F.count(F.lit(1)).alias("_nt"))  # N1+(. .)
+    cont_model = (n_rev.crossJoin(F.broadcast(n_types))
+                  .select("w2",
+                          (F.col("n_rev").cast("double")
+                           / F.col("_nt").cast("double")).alias("pcont")))
+    backoff_model = ctx.select(
+        "w1",
+        ((F.lit(d) * F.col("n_fwd").cast("double"))
+         / F.col("c1").cast("double")).alias("lam"))
+    bigram_model = (c12.join(ctx, "w1").join(cont_model, "w2")
+                    .select(
+                        "w1", "w2",
+                        (F.greatest(F.col("c12") - F.lit(d), F.lit(0.0))
+                         / F.col("c1").cast("double")
+                         + ((F.lit(d) * F.col("n_fwd").cast("double"))
+                            / F.col("c1").cast("double"))
+                         * F.col("pcont")).alias("p")))
+    return bigram_model, backoff_model, cont_model
+
+
+def kn_score(docs: DataFrame, bigram_model: DataFrame,
+             backoff_model: DataFrame, cont_model: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id",
+             floor: float = 1e-12) -> DataFrame:
+    """Per-document Kneser-Ney perplexity -> (id, n_bigrams, kn_ppl).
+
+    Backoff ladder, all deterministic joins: seen bigram -> model p;
+    seen w1 only -> lam(w1) * pcont(w2); unseen w1 -> pcont(w2);
+    w2 never seen as a continuation -> ``floor``.  Docs with < 2
+    words get NULL ppl (no bigram evidence), mirroring lm_score."""
+    tok = _doc_bigrams(docs, text_col, id_col)
+    scored = (tok
+              .join(bigram_model, ["w1", "w2"], "left")
+              .join(backoff_model, "w1", "left")
+              .join(cont_model, "w2", "left")
+              .select(id_col,
+                      F.log10(F.coalesce(
+                          F.col("p"),
+                          F.col("lam") * F.col("pcont"),
+                          F.col("pcont"),
+                          F.lit(floor))).alias("lp")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.sum("lp").alias("lp_sum"),
+                    F.count(F.lit(1)).alias("n_bigrams")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.when(F.col("n_bigrams") > 0,
+                           F.pow(F.lit(10.0),
+                                 -F.col("lp_sum") / F.col("n_bigrams")))
+                    .alias("kn_ppl")))
