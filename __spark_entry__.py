@@ -1003,6 +1003,31 @@ def q_cms_heavy(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient over the
+    kcore fixture graph (planted circulant ring = triangle-dense core,
+    sparse periphery = near-zero clustering) — the link-ring density
+    report.  Degree-ordered orientation counts each triangle once at
+    its lowest-rank corner; integer counts and one 6dp-rounded ratio
+    keep the parity exact."""
+    docs = _docs(spark, sf_dir)
+    periphery = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 150).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"),
+                 ((F.col("doc_id") * 7 + F.expr("doc_id div 150") * 11
+                   + 3) % 150).cast("string")).alias("dst"))
+    core = (docs.where(F.col("doc_id") < 60)
+            .select((F.col("doc_id") % 12).alias("a"),
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+            .select(F.concat(F.lit("n"), F.col("a").cast("string"))
+                    .alias("src"),
+                    F.concat(F.lit("n"), ((F.col("a") + F.col("j")) % 12)
+                             .cast("string")).alias("dst")))
+    return GR.triangle_counts(periphery.unionByName(core)) \
+        .orderBy("node")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Bigram collocation mining by PMI (min_count=5, top 50) — the
     corpus-analysis pass behind tokenizer-vocabulary and multi-word-
@@ -2981,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab": q_kmv_vocab,
         "cms_heavy": q_cms_heavy,
         "kn_perplexity": q_kn_perplexity,
+        "triangles": q_triangles,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3018,7 +3044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
-        "edit_metric_by_source": q_edit_metric_by_source,
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -3037,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "edit_metric_by_source": q_edit_metric_by_source,
         "simhash_oracle": q_simhash_oracle,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3585,6 +3611,49 @@ _CMS_HEAVY_ORACLE = """
            (e.cms_est - p.exact_c)::bigint as overestimate
     from probes p join est e using (term)
     order by term
+"""
+
+
+_TRIANGLES_ORACLE = """
+    with links as materialized (
+      select 'n' || (doc_id % 150) as s,
+             'n' || ((doc_id * 7 + (doc_id // 150) * 11 + 3) % 150) as t
+      from documents
+      union all
+      select 'n' || (doc_id % 12) as s,
+             'n' || ((doc_id % 12 + t.j) % 12) as t
+      from documents, unnest(range(1, 4)) as t(j)
+      where doc_id < 60),
+    und as materialized (
+      select a, b from (
+        select s as a, t as b from links union select t, s from links)
+      where a <> b),
+    deg as materialized (
+      select a as node, count(*)::bigint as deg from und group by a),
+    o as materialized (
+      select case when x.deg < y.deg or (x.deg = y.deg and c.a < c.b)
+                  then c.a else c.b end as lo,
+             case when x.deg < y.deg or (x.deg = y.deg and c.a < c.b)
+                  then c.b else c.a end as hi
+      from (select a, b from und where a < b) c
+      join deg x on x.node = c.a
+      join deg y on y.node = c.b),
+    tri as (
+      select w.x, w.y, w.z
+      from (select e1.lo as x, e1.hi as y, e2.hi as z
+            from o e1 join o e2 on e2.lo = e1.hi) w
+      join o e3 on e3.lo = w.x and e3.hi = w.z),
+    per as (
+      select node, count(*)::bigint as n_triangles
+      from (select unnest([x, y, z]) as node from tri)
+      group by node)
+    select d.node, d.deg as degree,
+           coalesce(p.n_triangles, 0)::bigint as n_triangles,
+           case when d.deg > 1 then
+             round(2.0 * coalesce(p.n_triangles, 0)
+                   / (d.deg * (d.deg - 1)), 6) end as clustering
+    from deg d left join per p using (node)
+    order by d.node
 """
 
 
@@ -4644,6 +4713,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_oracle_sql(),
         "kmv_vocab": _KMV_VOCAB_ORACLE.format(words=_AZ09_WORDS),
         "cms_heavy": _CMS_HEAVY_ORACLE.format(words=_AZ09_WORDS),
+        "triangles": _TRIANGLES_ORACLE,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

@@ -617,3 +617,68 @@ def k_core(edges: DataFrame, k: int = 3, max_iters: int = 8,
         n_edges = n_nxt
     return (cur.groupBy(F.col("a").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient ->
+    (node, degree, n_triangles, clustering).
+
+    Triangles are the primitive behind link-farm density scores and
+    clustering-coefficient graph health checks (a mutual-promotion
+    ring is triangle-dense; organic link neighborhoods are sparse).
+    Uses the degree-ordered orientation (Chiba & Nishizeki 1985; the
+    standard distributed formulation): orient every undirected edge
+    from the endpoint with smaller (degree, id) to the larger, so each
+    triangle is counted exactly once at its lowest-rank corner and —
+    the scale property — every node's oriented out-degree is bounded
+    by O(sqrt(|E|)) regardless of its raw degree, which caps the wedge
+    join's fanout on power-law graphs (the hub that would produce
+    deg^2 wedges produces almost none once oriented).
+
+    Plan shape: one symmetric distinct, one degree groupBy, the
+    orientation projection, one self-join on the wedge pivot, one
+    semi-join against the oriented edge set to close the wedge, one
+    explode+groupBy to attribute corners.  All |E|-bounded shuffles.
+    clustering = 2*T / (deg * (deg-1)), 6dp, NULL for degree-1 nodes.
+    """
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .union(edges.select(F.col(dst_col).alias("a"),
+                               F.col(src_col).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    deg = und.groupBy(F.col("a").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("deg"))
+    canon = und.where(F.col("a") < F.col("b"))
+    with_deg = (canon
+                .join(deg.select(F.col("node").alias("a"),
+                                 F.col("deg").alias("da")), "a")
+                .join(deg.select(F.col("node").alias("b"),
+                                 F.col("deg").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi")) \
+        .localCheckpoint(eager=True)
+    wedges = (o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+              .join(o.select(F.col("lo").alias("y"),
+                             F.col("hi").alias("z")), "y"))
+    tri = wedges.join(
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("z")),
+        ["x", "z"])
+    per_node = (tri.select(F.explode(F.array("x", "y", "z"))
+                           .alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", F.col("deg").cast("long").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0).cast("long"))
+                    .alias("n_triangles"),
+                    F.when(F.col("deg") > 1,
+                           F.round(2.0 * F.coalesce("n_triangles",
+                                                    F.lit(0))
+                                   / (F.col("deg")
+                                      * (F.col("deg") - F.lit(1))), 6))
+                    .alias("clustering")))

@@ -579,3 +579,59 @@ class TestKCore:
         want = {n: len(nb) for n, nb in adj.items()}
         got = self._cores(spark, edges, k=k, max_iters=30)
         assert got == want
+
+
+class TestTriangles:
+    def _tri(self, spark, edges):
+        from deepseek_ocr_omnidocbench_spark.operators.graph import (
+            triangle_counts,
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+                for r in triangle_counts(df).collect()}
+
+    def test_single_triangle(self, spark):
+        got = self._tri(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert got == {"a": (2, 1, 1.0), "b": (2, 1, 1.0),
+                       "c": (2, 1, 1.0)}
+
+    def test_square_has_none(self, spark):
+        got = self._tri(spark, [("a", "b"), ("b", "c"),
+                                ("c", "d"), ("d", "a")])
+        assert all(t == 0 for _, t, _ in got.values())
+
+    def test_k4_every_node_in_three(self, spark):
+        edges = [(x, y) for i, x in enumerate("abcd")
+                 for y in "abcd"[i + 1:]]
+        got = self._tri(spark, edges)
+        # K4: each node in C(3,2)=3 triangles, clustering 1.0
+        assert got == {n: (3, 3, 1.0) for n in "abcd"}
+
+    def test_direction_and_dups_ignored(self, spark):
+        got = self._tri(spark, [("a", "b"), ("b", "a"), ("b", "c"),
+                                ("c", "a"), ("a", "c")])
+        assert got["a"] == (2, 1, 1.0)
+
+    def test_matches_brute_force(self, spark):
+        edges = [(f"n{(7 * i) % 19}", f"n{(5 * i + 2) % 19}")
+                 for i in range(40)]
+        adj: dict[str, set[str]] = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        want = {}
+        for n, nb in adj.items():
+            t = sum(1 for u in nb for v in nb
+                    if u < v and v in adj.get(u, set()))
+            d = len(nb)
+            cc = round(2.0 * t / (d * (d - 1)), 6) if d > 1 else None
+            want[n] = (d, t, cc)
+        got = self._tri(spark, edges)
+        assert got == want
+
+    def test_degree_one_clustering_null(self, spark):
+        got = self._tri(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                                ("c", "d")])
+        assert got["d"] == (1, 0, None)
