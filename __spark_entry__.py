@@ -1003,6 +1003,15 @@ def q_cms_heavy(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_source_entropy(spark, sf_dir):
+    """Per-source unigram entropy / type-token ratio / effective
+    vocabulary — the per-domain term-distribution health probe
+    (template domains collapse entropy; zipf_stats is the corpus-wide
+    sibling).  Two uniform-key groupBys; the entropy fold and the
+    2^H perplexity reading replay exactly in SQL."""
+    return TS.source_entropy(_docs(spark, sf_dir)).orderBy("source")
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts + clustering coefficient over the
     kcore fixture graph (planted circulant ring = triangle-dense core,
@@ -3007,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "kn_perplexity": q_kn_perplexity,
         "triangles": q_triangles,
+        "source_entropy": q_source_entropy,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3041,7 +3051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 3: r3-verified, due on the 2-round cadence ---------------
         "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "quality_scores": q_quality_scores,
@@ -3062,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "dsir_sample": q_dsir_sample,
         "edit_metric_by_source": q_edit_metric_by_source,
         "simhash_oracle": q_simhash_oracle,
         "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -4714,6 +4724,31 @@ def oracle_sql() -> dict[str, str]:
         "kmv_vocab": _KMV_VOCAB_ORACLE.format(words=_AZ09_WORDS),
         "cms_heavy": _CMS_HEAVY_ORACLE.format(words=_AZ09_WORDS),
         "triangles": _TRIANGLES_ORACLE,
+        "source_entropy": f"""
+            with t as (select source, unnest({_AZ09_WORDS}) as w
+                       from documents),
+            tf as materialized (
+              select source, w, count(*)::bigint as c
+              from t group by source, w),
+            tot as (select source, sum(c)::bigint as n_tokens,
+                           count(*)::bigint as n_types
+                    from tf group by source),
+            agg as (
+              select j.source,
+                     max(j.n_tokens)::bigint as n_tokens,
+                     max(j.n_types)::bigint as n_types,
+                     sum(-((j.c::double / j.n_tokens::double)
+                           * log2(j.c::double / j.n_tokens::double)))
+                       as h
+              from (select tf.source, tf.c, tot.n_tokens, tot.n_types
+                    from tf join tot using (source)) j
+              group by j.source)
+            select source, n_tokens, n_types,
+                   round(n_types::double / n_tokens::double, 6) as ttr,
+                   round(h, 6) as entropy_bits,
+                   round(pow(2.0::double, h), 6) as eff_vocab
+            from agg order by source
+        """,
         "hits_scores": _hits_oracle_sql(),
         "pmi_collocations": f"""
             with t as (select {_WORDS_EXPR} as w from documents),

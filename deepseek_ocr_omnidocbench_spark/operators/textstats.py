@@ -914,3 +914,44 @@ def zipf_stats(docs: DataFrame, text_col: str = "text",
                 F.round(F.col("vocab").cast("double")
                         / F.pow(F.col("n_tokens").cast("double"), beta),
                         6).alias("heaps_k")))
+
+
+def source_entropy(docs: DataFrame, part_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-partition unigram-distribution health -> (part, n_tokens,
+    n_types, ttr, entropy_bits, eff_vocab).
+
+    Shannon entropy of the word-unigram distribution per source plus
+    type-token ratio: the per-domain complement to the corpus-wide
+    :func:`zipf_stats` probe.  Template/spam domains collapse entropy
+    (a few boilerplate tokens dominate); natural prose sits near the
+    language's ~9-11 bits.  ``eff_vocab = 2^H`` is the
+    perplexity-of-unigrams reading ("behaves like a uniform vocab of
+    N words") used to compare domains of very different sizes.
+
+    Scale shape: one (part, word) groupBy builds the frequency table,
+    one part-level agg folds it — both shuffles on uniform keys;
+    no windows, no driver collection."""
+    from .dedup import normalized_words
+
+    words = normalized_words(F.col(text_col))
+    tf = (docs.select(F.col(part_col).alias("part"),
+                      F.explode(words).alias("w"))
+          .groupBy("part", "w")
+          .agg(F.count(F.lit(1)).alias("c")))
+    tot = tf.groupBy("part").agg(F.sum("c").alias("n_tokens"),
+                                 F.count(F.lit(1)).alias("n_types"))
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    return (tf.join(tot, "part")
+            .groupBy("part")
+            .agg(F.max("n_tokens").cast("long").alias("n_tokens"),
+                 F.max("n_types").cast("long").alias("n_types"),
+                 F.sum(-(p * F.log2(p))).alias("_h"))
+            .select(F.col("part").alias(part_col),
+                    "n_tokens", "n_types",
+                    F.round(F.col("n_types").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("ttr"),
+                    F.round("_h", 6).alias("entropy_bits"),
+                    F.round(F.pow(F.lit(2.0), F.col("_h")), 6)
+                    .alias("eff_vocab")))

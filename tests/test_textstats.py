@@ -577,3 +577,26 @@ def test_fingerprint_pairs_planted_copy(spark):
            for r in fingerprint_pairs(df, min_shared=3, df_cap=3).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 3
     assert all(k == (1, 2) for k in got), got
+
+
+class TestSourceEntropy:
+    def test_uniform_and_skewed(self, spark):
+        import math
+        from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+            source_entropy,
+        )
+        docs = spark.createDataFrame(
+            [("u", "aa bb cc dd"),          # uniform over 4 -> H=2 bits
+             ("s", "aa aa aa aa aa aa bb"),  # skewed
+             ("one", "zz zz zz")],           # single type -> H=0
+            "source string, text string")
+        got = {r["source"]: r for r in
+               source_entropy(docs).collect()}
+        assert got["u"]["entropy_bits"] == 2.0
+        assert got["u"]["eff_vocab"] == 4.0
+        assert got["u"]["ttr"] == 1.0
+        h = -(6 / 7 * math.log2(6 / 7) + 1 / 7 * math.log2(1 / 7))
+        assert got["s"]["entropy_bits"] == round(h, 6)
+        assert got["one"]["entropy_bits"] == 0.0
+        assert got["one"]["eff_vocab"] == 1.0
+        assert got["one"]["n_tokens"] == 3 and got["one"]["n_types"] == 1
