@@ -217,6 +217,17 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     q_sd = entry.queries()["snapshot_delta"]
     _, times["snapshot_delta"] = _steady(
         lambda: q_sd(spark, sf_dir).agg(F.sum("n_changed")).collect())
+    # resumed-session ops (computed-column forcing throughout)
+    for name, col in [("kcore", "core_degree"),
+                      ("triangles", "n_triangles"),
+                      ("kmv_vocab", "est_distinct"),
+                      ("cms_heavy", "cms_est"),
+                      ("kn_perplexity", "kn_ppl"),
+                      ("source_entropy", "entropy_bits")]:
+        q = entry.queries()[name]
+        _, times[name] = _steady(
+            lambda q=q, col=col:
+            q(spark, sf_dir).agg(F.sum(col)).collect())
 
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries
