@@ -2191,6 +2191,23 @@ def q_bleu_by_source(spark, sf_dir):
     return d.groupBy("source").applyInPandas(_group, schema).orderBy("source")
 
 
+def q_chrf(spark, sf_dir):
+    """A4-family chrF2 (Popović 2015) per document on the BLEU fixture
+    (pred = text minus first word) — the tokenizer-free member of the
+    metric family, and unlike the BLEU/METEOR Python kernels it is
+    pure Columns end to end (n-gram explode, one full-outer count
+    join, two aggs), so the whole metric replays in SQL."""
+    from deepseek_ocr_omnidocbench_spark.functions.chrf import chrf_scores
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "text",
+                    F.regexp_replace("text", r"^\S+\s*", "")
+                    .alias("pred"))
+    return (chrf_scores(d, "pred", "text", id_col="doc_id")
+            .select("doc_id", F.round("chrf", 6).alias("chrf"))
+            .orderBy("doc_id"))
+
+
 def q_meteor_by_source(spark, sf_dir):
     """A4 mean METEOR per source group (pred = text minus first word),
     computed in applyInPandas workers — grouping is the Spark part."""
@@ -2292,6 +2309,60 @@ def q_rule_checks(spark, sf_dir):
              F.sum(F.col("passed").cast("int")).alias("n_passed"))
         .orderBy("rule_type")
     )
+
+
+def _chrf_oracle_sql(n_max: int = 6) -> str:
+    """DuckDB mirror of q_chrf: per-order char-n-gram count tables on
+    both sides (list-comprehension n-gram enumeration), one full-outer
+    join, clipped-match / total aggregates per (doc, order), the
+    realized-order precision/recall means, and the beta=2 F-fold —
+    exactly functions/chrf.py."""
+    hs, rs = [], []
+    for n in range(1, n_max + 1):
+        grams = (f"[substring(s, i, {n}) "
+                 f"for i in range(1, len(s) - {n} + 2)]")
+        hs.append(f"select doc_id, {n} as n, unnest("
+                  f"{grams.replace('s,', 'h,').replace('(s)', '(h)')}"
+                  f") as gram from t where len(h) >= {n}")
+        rs.append(f"select doc_id, {n} as n, unnest("
+                  f"{grams.replace('s,', 'r,').replace('(s)', '(r)')}"
+                  f") as gram from t where len(r) >= {n}")
+    return f"""
+    with t as (
+      select doc_id,
+             regexp_replace(regexp_replace(text, '^\\S+\\s*', ''),
+                            '\\s+', '', 'g') as h,
+             regexp_replace(text, '\\s+', '', 'g') as r
+      from documents),
+    hg as materialized (
+      select doc_id, n, gram, count(*)::bigint as ch
+      from ({' union all '.join(hs)}) group by doc_id, n, gram),
+    rg as materialized (
+      select doc_id, n, gram, count(*)::bigint as cr
+      from ({' union all '.join(rs)}) group by doc_id, n, gram),
+    j as (
+      select coalesce(hg.doc_id, rg.doc_id) as doc_id,
+             coalesce(hg.n, rg.n) as n,
+             coalesce(ch, 0) as ch, coalesce(cr, 0) as cr
+      from hg full outer join rg
+        on rg.doc_id = hg.doc_id and rg.n = hg.n and rg.gram = hg.gram),
+    po as (
+      select doc_id, n, sum(least(ch, cr))::bigint as m,
+             sum(ch)::bigint as th, sum(cr)::bigint as tr
+      from j group by doc_id, n),
+    pr as (
+      select doc_id, avg(m::double / th::double) as p,
+             avg(m::double / tr::double) as r
+      from po where th > 0 and tr > 0 group by doc_id)
+    select d.doc_id,
+           round(coalesce(
+             case when pr.p + pr.r > 0
+                  then (5.0::double * pr.p * pr.r)
+                       / (4.0::double * pr.p + pr.r)
+                  else 0.0::double end, 0.0::double), 6) as chrf
+    from documents d left join pr using (doc_id)
+    order by d.doc_id
+"""
 
 
 def _bleu_oracle_sql(max_n: int = 4) -> str:
@@ -3017,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "triangles": q_triangles,
         "source_entropy": q_source_entropy,
+        "chrf": q_chrf,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3049,7 +3121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "curate_pipeline": q_curate_pipeline,
         # --- tier 3: r3-verified, due on the 2-round cadence ---------------
-        "domain_quota": q_domain_quota,
         "dsir_weights": q_dsir_weights,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
@@ -3071,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "domain_quota": q_domain_quota,
         "dsir_sample": q_dsir_sample,
         "edit_metric_by_source": q_edit_metric_by_source,
         "simhash_oracle": q_simhash_oracle,
@@ -4505,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, term, tf, df, round(score, 6) as score
             from rk where r <= 3 order by doc_id, term
         """,
+        "chrf": _chrf_oracle_sql(),
         "bleu_by_source": _bleu_oracle_sql(),
         "meteor_by_source": _meteor_oracle_sql(),
         "url_dedup": """
