@@ -2191,6 +2191,30 @@ def q_bleu_by_source(spark, sf_dir):
     return d.groupBy("source").applyInPandas(_group, schema).orderBy("source")
 
 
+def q_wordpiece(spark, sf_dir):
+    """WordPiece tokenizer end to end: frequency vocabulary (weighted
+    positional-substring counts with the single-char coverage floor)
+    + greedy longest-match-first encode of every distinct corpus word
+    -> (word, freq, n_pieces, pieces).  Deterministic set-membership
+    semantics make both stages replay exactly in SQL (the greedy walk
+    is a recursive CTE over a precomputed longest-match table)."""
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        wordpiece_encode, wordpiece_vocab,
+    )
+
+    docs = _docs(spark, sf_dir)
+    wf = (docs.select(F.explode(D.normalized_words(F.col("text")))
+                      .alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    vocab = {r["piece"] for r in
+             wordpiece_vocab(wf, min_count=1000, max_len=6).collect()}
+    enc = wordpiece_encode(wf, vocab, text_col="word")
+    return (enc.select("word", "freq",
+                       F.col("wp_n").cast("long").alias("n_pieces"),
+                       F.concat_ws(" ", "wp_tokens").alias("pieces"))
+            .orderBy("word"))
+
+
 def q_chrf(spark, sf_dir):
     """A4-family chrF2 (Popović 2015) per document on the BLEU fixture
     (pred = text minus first word) — the tokenizer-free member of the
@@ -2309,6 +2333,61 @@ def q_rule_checks(spark, sf_dir):
              F.sum(F.col("passed").cast("int")).alias("n_passed"))
         .orderBy("rule_type")
     )
+
+
+def _wordpiece_oracle_sql(min_count: int = 1000, max_len: int = 6) -> str:
+    """DuckDB mirror of q_wordpiece: the weighted positional-substring
+    vocabulary (single-char floor included), a longest-match table per
+    (word, position), and the greedy walk as a recursive CTE — exactly
+    operators/bpe.py:wordpiece_vocab + wordpiece_encode."""
+    return f"""
+    with recursive wf as materialized (
+      select w as word, count(*)::bigint as freq
+      from (select unnest({_AZ09_WORDS}) as w from documents)
+      group by w),
+    subs as (
+      select case when i.i = 1 then substring(word, i.i, l.l)
+             else '##' || substring(word, i.i, l.l) end as piece, freq
+      from wf,
+           unnest(range(1, len(word) + 1)) as i(i),
+           unnest(range(1, least({max_len}, len(word) - i.i + 1) + 1))
+             as l(l)),
+    vocab as materialized (
+      select piece from (
+        select piece, sum(freq)::bigint as c from subs group by piece)
+      where c >= {min_count}
+         or length(regexp_replace(piece, '^##', '')) = 1),
+    starts as (
+      select word, i.i as pos
+      from wf, unnest(range(1, len(word) + 1)) as i(i)),
+    matches as materialized (
+      select word, pos, max(l) as best_l from (
+        select s.word, s.pos, l.l as l,
+               case when s.pos = 1 then substring(s.word, s.pos, l.l)
+                    else '##' || substring(s.word, s.pos, l.l) end
+                 as piece
+        from starts s,
+             unnest(range(1, least({max_len},
+                                   len(s.word) - s.pos + 1) + 1))
+               as l(l)) c
+      join vocab v using (piece)
+      group by word, pos),
+    walk(word, pos, n, toks) as (
+      select word, 1::bigint, 0::bigint, '' from wf
+      union all
+      select w.word, w.pos + m.best_l, w.n + 1,
+             w.toks || case when w.toks = '' then '' else ' ' end ||
+               case when w.pos = 1
+                    then substring(w.word, w.pos::int, m.best_l::int)
+                    else '##' || substring(w.word, w.pos::int,
+                                           m.best_l::int) end
+      from walk w join matches m on m.word = w.word and m.pos = w.pos
+      where w.pos <= len(w.word))
+    select f.word, wf.freq, f.n as n_pieces, f.toks as pieces
+    from (select * from walk where pos = len(word) + 1) f
+    join wf using (word)
+    order by f.word
+"""
 
 
 def _chrf_oracle_sql(n_max: int = 6) -> str:
@@ -3089,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "source_entropy": q_source_entropy,
         "chrf": q_chrf,
+        "wordpiece": q_wordpiece,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3121,7 +3201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "curate_pipeline": q_curate_pipeline,
         # --- tier 3: r3-verified, due on the 2-round cadence ---------------
-        "dsir_weights": q_dsir_weights,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "quality_scores": q_quality_scores,
@@ -3142,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "dsir_weights": q_dsir_weights,
         "domain_quota": q_domain_quota,
         "dsir_sample": q_dsir_sample,
         "edit_metric_by_source": q_edit_metric_by_source,
@@ -4578,6 +4658,7 @@ def oracle_sql() -> dict[str, str]:
             from rk where r <= 3 order by doc_id, term
         """,
         "chrf": _chrf_oracle_sql(),
+        "wordpiece": _wordpiece_oracle_sql(),
         "bleu_by_source": _bleu_oracle_sql(),
         "meteor_by_source": _meteor_oracle_sql(),
         "url_dedup": """

@@ -182,3 +182,106 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
     return (docs
             .withColumn("tokens", enc(F.col(text_col)))
             .withColumn("n_tokens", F.size("tokens")))
+
+
+# --- WordPiece (greedy longest-match-first) --------------------------------
+#
+# The BERT-family tokenizer (Wu et al. 2016; Devlin et al. 2019): encode
+# each word by repeatedly taking the LONGEST vocabulary piece matching at
+# the cursor, with non-initial pieces spelled '##'+s.  Unlike BPE's
+# rank-replay, encoding depends only on set membership, so the whole
+# tokenizer — vocabulary construction AND the greedy walk — is
+# deterministic integer/string work that replays exactly in SQL.
+#
+# Vocabulary here is the frequency variant: every positional substring
+# piece (prefix form or ## form, length <= max_len) whose weighted
+# occurrence count across the distinct-word table reaches min_count,
+# plus ALL single-character pieces in both forms (the coverage floor
+# that bounds UNK to genuinely unseen characters).  Scale shape mirrors
+# learn_bpe: one corpus explode+groupBy to (word, freq), then all work
+# runs on the Zipf-small distinct-word table (substring explode is
+# O(len * max_len) per DISTINCT word).
+
+
+def wordpiece_vocab(words: DataFrame, min_count: int = 2,
+                    max_len: int = 6, word_col: str = "word",
+                    freq_col: str = "freq") -> DataFrame:
+    """(piece, c) vocabulary from a (word, freq) table.
+
+    piece = word[i:i+l] for i = 1 (as-is) or i > 1 ('##' + s),
+    l <= max_len; kept when sum(freq over positional occurrences)
+    >= min_count OR the piece is a single character (either form)."""
+    w = F.col(word_col)
+    subs = (words
+            .select(w.alias("_w"), F.col(freq_col).alias("_f"),
+                    F.explode(F.sequence(F.lit(1), F.length(w)))
+                    .alias("i"))
+            .select("_w", "_f", "i",
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(max_len),
+                                F.length("_w") - F.col("i") + 1)))
+                    .alias("l"))
+            .select(F.when(F.col("i") == 1,
+                           F.expr("substring(_w, i, l)"))
+                    .otherwise(F.concat(F.lit("##"),
+                                        F.expr("substring(_w, i, l)")))
+                    .alias("piece"),
+                    F.col("_f")))
+    counts = subs.groupBy("piece").agg(F.sum("_f").alias("c"))
+    single = F.length(F.regexp_replace("piece", r"^##", "")) == 1
+    return counts.where((F.col("c") >= min_count) | single)
+
+
+def wordpiece_encode_udf(vocab: set[str], unk: str = "[UNK]",
+                         max_word_len: int = 200):
+    """array<string> pandas UDF: greedy longest-match WordPiece encode.
+    ``vocab`` ships in the closure like the BPE merge table (model-
+    sized); per-batch word cache exploits the Zipf distribution."""
+    vset = frozenset(vocab)
+
+    def _word(w: str, cache: dict) -> list:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        out: list = []
+        if len(w) > max_word_len:
+            out = [unk]
+        else:
+            start = 0
+            while start < len(w):
+                end, cur = len(w), None
+                while start < end:
+                    piece = w[start:end]
+                    if start > 0:
+                        piece = "##" + piece
+                    if piece in vset:
+                        cur = piece
+                        break
+                    end -= 1
+                if cur is None:
+                    out = [unk]
+                    break
+                out.append(cur)
+                start = end
+        cache[w] = out
+        return out
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: [tok for w in (t or "").split()
+                       for tok in _word(w, cache)])
+
+    return enc
+
+
+def wordpiece_encode(docs: DataFrame, vocab: set[str],
+                     text_col: str = "text",
+                     unk: str = "[UNK]") -> DataFrame:
+    """Add ``wp_tokens`` (array<string>) and ``wp_n`` columns."""
+    enc = wordpiece_encode_udf(vocab, unk=unk)
+    return (docs
+            .withColumn("wp_tokens", enc(F.col(text_col)))
+            .withColumn("wp_n", F.size("wp_tokens")))

@@ -147,3 +147,67 @@ def test_fertility_query_shape(spark):
         assert r.chars_per_token > 0
         assert r.n_tokens >= r.n_words > 0
         assert abs(r.fertility - r.n_tokens / r.n_words) < 1e-6
+
+
+class TestWordPiece:
+    def test_greedy_longest_match(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+            wordpiece_encode,
+        )
+        vocab = {"un", "##aff", "##able", "##a", "##f", "##b", "##l",
+                 "##e", "u", "##n", "unaff"}
+        docs = spark.createDataFrame([(0, "unaffable")],
+                                     "doc_id long, text string")
+        got = wordpiece_encode(docs, vocab).collect()[0]
+        # longest match at cursor: 'unaff' beats 'un'
+        assert got["wp_tokens"] == ["unaff", "##able"]
+        assert got["wp_n"] == 2
+
+    def test_unk_on_uncoverable(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+            wordpiece_encode,
+        )
+        vocab = {"a", "##a"}
+        docs = spark.createDataFrame([(0, "aaa xyz")],
+                                     "doc_id long, text string")
+        got = wordpiece_encode(docs, vocab).collect()[0]
+        assert got["wp_tokens"] == ["a", "##a", "##a", "[UNK]"]
+
+    def test_vocab_counts_and_single_char_floor(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+            wordpiece_vocab,
+        )
+        words = spark.createDataFrame(
+            [("abab", 3), ("ab", 2), ("q", 1)],
+            "word string, freq long")
+        got = {r["piece"]: r["c"]
+               for r in wordpiece_vocab(words, min_count=5,
+                                        max_len=3).collect()}
+        # 'ab' prefix occurrences: abab(3) + ab(2) = 5 -> kept
+        assert got["ab"] == 5
+        # '##ab' occurs only at position 3 of abab: 3 < 5 -> dropped
+        assert "##ab" not in got
+        # 'aba' prefix: only abab -> 3 < 5 -> dropped
+        assert "aba" not in got
+        # '##b': abab positions 2 and 4 (3+3) + ab position 2 (2) = 8
+        assert got["##b"] == 8
+        # single chars always kept, even below min_count
+        assert got["q"] == 1 and got["a"] == 5 and got["##a"] == 3
+
+    def test_roundtrip_concat(self, spark):
+        # stripping '##' and concatenating tokens reconstructs the word
+        from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+            wordpiece_encode, wordpiece_vocab,
+        )
+        words = spark.createDataFrame(
+            [("tokenization", 5), ("token", 9), ("ization", 2)],
+            "word string, freq long")
+        vocab = {r["piece"] for r in
+                 wordpiece_vocab(words, min_count=4, max_len=6).collect()}
+        docs = spark.createDataFrame(
+            [(0, "tokenization token ization")],
+            "doc_id long, text string")
+        toks = wordpiece_encode(docs, vocab).collect()[0]["wp_tokens"]
+        rebuilt = "".join(t[2:] if t.startswith("##") else " " + t
+                          for t in toks).strip()
+        assert rebuilt == "tokenization token ization"
