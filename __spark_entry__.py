@@ -951,22 +951,8 @@ def q_kcore(spark, sf_dir):
     peels the periphery in genuine cascades and keeps exactly the
     planted dense core (12 nodes at sf0.01, fixpoint within 8
     peels — verified against a 12-peel replay)."""
-    docs = _docs(spark, sf_dir)
-    periphery = docs.select(
-        F.concat(F.lit("n"), (F.col("doc_id") % 150).cast("string"))
-        .alias("src"),
-        F.concat(F.lit("n"),
-                 ((F.col("doc_id") * 7 + F.expr("doc_id div 150") * 11
-                   + 3) % 150).cast("string")).alias("dst"))
-    core = (docs.where(F.col("doc_id") < 60)
-            .select((F.col("doc_id") % 12).alias("a"),
-                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
-            .select(F.concat(F.lit("n"), F.col("a").cast("string"))
-                    .alias("src"),
-                    F.concat(F.lit("n"), ((F.col("a") + F.col("j")) % 12)
-                             .cast("string")).alias("dst")))
-    return GR.k_core(periphery.unionByName(core), k=6, max_iters=8) \
-        .orderBy("node")
+    links = _kcore_fixture_links(_docs(spark, sf_dir))
+    return GR.k_core(links, k=6, max_iters=8).orderBy("node")
 
 
 def q_kmv_vocab(spark, sf_dir):
@@ -1003,6 +989,49 @@ def q_cms_heavy(spark, sf_dir):
             .orderBy("term"))
 
 
+def _kcore_fixture_links(docs):
+    """The shared sparse-periphery + planted-circulant-core host graph
+    (see q_kcore); reused by q_triangles / q_assortativity so the
+    graph-health reports describe ONE graph."""
+    periphery = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 150).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"),
+                 ((F.col("doc_id") * 7 + F.expr("doc_id div 150") * 11
+                   + 3) % 150).cast("string")).alias("dst"))
+    core = (docs.where(F.col("doc_id") < 60)
+            .select((F.col("doc_id") % 12).alias("a"),
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+            .select(F.concat(F.lit("n"), F.col("a").cast("string"))
+                    .alias("src"),
+                    F.concat(F.lit("n"), ((F.col("a") + F.col("j")) % 12)
+                             .cast("string")).alias("dst")))
+    return periphery.unionByName(core)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity over the kcore fixture graph — web graphs
+    are disassortative (hubs -> leaves, r < 0); near-zero/positive r
+    is the link-ring signature.  Five exact bigint co-moments folded
+    through one closed-form double expression, so the single output
+    value is bit-identical across engines before the 6dp round."""
+    return GR.assortativity(_kcore_fixture_links(_docs(spark, sf_dir)))
+
+
+def q_passages(spark, sf_dir):
+    """Retrieval-index passage chunking (size 32, stride 24): the
+    row-local, shuffle-free prep every BM25/dense index runs before
+    scoring — overlapping windows keep boundary-straddling answers
+    findable.  Chunk count is closed-form integer math; slices and
+    joins replay exactly in SQL."""
+    return (RK.passage_chunks(_docs(spark, sf_dir), size=32, stride=24)
+            .select("doc_id", F.col("chunk_id").cast("long")
+                    .alias("chunk_id"),
+                    F.col("start_word").cast("long").alias("start_word"),
+                    "n_words", "chunk")
+            .orderBy("doc_id", "chunk_id"))
+
+
 def q_source_entropy(spark, sf_dir):
     """Per-source unigram entropy / type-token ratio / effective
     vocabulary — the per-domain term-distribution health probe
@@ -1019,22 +1048,8 @@ def q_triangles(spark, sf_dir):
     report.  Degree-ordered orientation counts each triangle once at
     its lowest-rank corner; integer counts and one 6dp-rounded ratio
     keep the parity exact."""
-    docs = _docs(spark, sf_dir)
-    periphery = docs.select(
-        F.concat(F.lit("n"), (F.col("doc_id") % 150).cast("string"))
-        .alias("src"),
-        F.concat(F.lit("n"),
-                 ((F.col("doc_id") * 7 + F.expr("doc_id div 150") * 11
-                   + 3) % 150).cast("string")).alias("dst"))
-    core = (docs.where(F.col("doc_id") < 60)
-            .select((F.col("doc_id") % 12).alias("a"),
-                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
-            .select(F.concat(F.lit("n"), F.col("a").cast("string"))
-                    .alias("src"),
-                    F.concat(F.lit("n"), ((F.col("a") + F.col("j")) % 12)
-                             .cast("string")).alias("dst")))
-    return GR.triangle_counts(periphery.unionByName(core)) \
-        .orderBy("node")
+    links = _kcore_fixture_links(_docs(spark, sf_dir))
+    return GR.triangle_counts(links).orderBy("node")
 
 
 def q_pmi_collocations(spark, sf_dir):
@@ -3169,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": q_source_entropy,
         "chrf": q_chrf,
         "wordpiece": q_wordpiece,
+        "assortativity": q_assortativity,
+        "passages": q_passages,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3200,9 +3217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "curation_pipeline": q_curation_pipeline,
         "curate_pipeline": q_curate_pipeline,
-        # --- tier 3: r3-verified, due on the 2-round cadence ---------------
-        "lm_perplexity": q_lm_perplexity,
-        "dedup_clusters": q_dedup_clusters,
+        # --- tier 3: r3-verified, due on the 2-round cadence (this
+        # round's resumed session displaced all but quality_scores —
+        # which carries the new readability columns — into tier 3b;
+        # never-driver-verified value oracles outrank the refresh) -----
         "quality_scores": q_quality_scores,
         # --- tier 4: rows-only queries with no r4 driver row (verified
         # r1-r3; in-window so every queries() entry has a driver row
@@ -3221,6 +3239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "lm_perplexity": q_lm_perplexity,
+        "dedup_clusters": q_dedup_clusters,
         "dsir_weights": q_dsir_weights,
         "domain_quota": q_domain_quota,
         "dsir_sample": q_dsir_sample,
@@ -3775,6 +3795,61 @@ _CMS_HEAVY_ORACLE = """
     order by term
 """
 
+
+_ASSORTATIVITY_ORACLE = """
+    with links as materialized (
+      select 'n' || (doc_id % 150) as s,
+             'n' || ((doc_id * 7 + (doc_id // 150) * 11 + 3) % 150) as t
+      from documents
+      union all
+      select 'n' || (doc_id % 12) as s,
+             'n' || ((doc_id % 12 + t.j) % 12) as t
+      from documents, unnest(range(1, 4)) as t(j)
+      where doc_id < 60),
+    und as materialized (
+      select a, b from (
+        select s as a, t as b from links union select t, s from links)
+      where a <> b),
+    deg as materialized (
+      select a as node, count(*)::bigint as deg from und group by a),
+    m as (
+      select count(*)::bigint as n,
+             sum(x)::bigint as sx, sum(y)::bigint as sy,
+             sum(x * y)::bigint as sxy,
+             sum(x * x)::bigint as sxx, sum(y * y)::bigint as syy
+      from (select dx.deg as x, dy.deg as y
+            from und e
+            join deg dx on dx.node = e.a
+            join deg dy on dy.node = e.b))
+    select n as n_edges,
+           case when sqrt(n::double * sxx - sx * sx)
+                     * sqrt(n::double * syy - sy * sy) > 0
+                then round((n::double * sxy - sx * sy)
+                           / (sqrt(n::double * sxx - sx * sx)
+                              * sqrt(n::double * syy - sy * sy)), 6)
+           end as assortativity
+    from m
+"""
+
+_PASSAGES_ORACLE = """
+    with t as (
+      select doc_id,
+             string_split_regex(trim(text), '\\s+') as ws
+      from documents),
+    c as (
+      select doc_id, len(ws) as n, ws,
+             unnest(range(0,
+               ((greatest(len(ws) - 32, 0) + 23) // 24) + 1))
+               as chunk_id
+      from t)
+    select doc_id, chunk_id::bigint as chunk_id,
+           (chunk_id * 24 + 1)::bigint as start_word,
+           least(32, n - chunk_id * 24)::bigint as n_words,
+           array_to_string(ws[(chunk_id * 24 + 1):
+                              (chunk_id * 24 + 32)], ' ') as chunk
+    from c
+    order by doc_id, chunk_id
+"""
 
 _TRIANGLES_ORACLE = """
     with links as materialized (
@@ -4659,6 +4734,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chrf": _chrf_oracle_sql(),
         "wordpiece": _wordpiece_oracle_sql(),
+        "assortativity": _ASSORTATIVITY_ORACLE,
+        "passages": _PASSAGES_ORACLE,
         "bleu_by_source": _bleu_oracle_sql(),
         "meteor_by_source": _meteor_oracle_sql(),
         "url_dedup": """

@@ -682,3 +682,46 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
                                    / (F.col("deg")
                                       * (F.col("deg") - F.lit(1))), 6))
                     .alias("clustering")))
+
+
+def assortativity(edges: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) -> one row
+    (n_edges, assortativity): the Pearson correlation of endpoint
+    degrees across the symmetric edge set.  Web graphs are strongly
+    DISassortative (hubs link to leaves, r < 0); a near-zero or
+    positive r over a host subgraph is the link-farm signature (rings
+    wire similar-degree hosts together), making this the one-number
+    companion to degree_distribution / triangle_counts.
+
+    Computed from the five integer co-moments (n, sum x, sum y,
+    sum xy, sum x^2/y^2 with x = deg(a), y = deg(b)) — exact bigint
+    aggregates folded through ONE closed-form double expression, so
+    the value replays bit-for-bit in any engine (a streaming corr()
+    would accumulate in engine-specific order).  Shape: one degree
+    groupBy + two broadcast-join degree attachments + one 1-row agg."""
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .union(edges.select(F.col(dst_col).alias("a"),
+                               F.col(src_col).alias("b")))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    deg = und.groupBy(F.col("a").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("deg"))
+    j = (und
+         .join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("x")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("y")), "b"))
+    m = j.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(F.col("n").cast("long").alias("n_edges"),
+                    F.when(den > 0, F.round(num / den, 6))
+                    .alias("assortativity"))

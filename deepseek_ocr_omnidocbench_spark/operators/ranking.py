@@ -126,3 +126,38 @@ def rrf_fuse(lexical: DataFrame, semantic: DataFrame, id_col: str,
     return (fused.withColumn("rank", F.row_number().over(wt))
             .where(F.col("rank") <= top)
             .select(id_col, "rank_lex", "rank_sem", "rrf", "rank"))
+
+
+def passage_chunks(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", size: int = 64,
+                   stride: int = 48) -> DataFrame:
+    """Overlapping fixed-size passage windows -> (id, chunk_id,
+    start_word, n_words, chunk): the standard retrieval-indexing prep
+    (BM25 / dense indexes score passages, not 10k-word documents; the
+    overlap keeps answers that straddle a boundary findable).
+
+    Chunk count is the closed integer form ceil(max(n - size, 0) /
+    stride) + 1, so starts are 1, 1+stride, ... and the last chunk may
+    be short — integer math that replays exactly in SQL.  Pure
+    Columns: one whitespace split, one sequence explode, one slice per
+    chunk; no shuffle at all (chunking is row-local), which is the
+    whole point at corpus scale — the expensive part downstream is the
+    index build, never this pass."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = ((F.greatest(n - size, F.lit(0)) + (stride - 1))
+                .cast("long") / stride).cast("long") + 1
+    return (docs
+            .select(F.col(id_col), words.alias("_ws"), n.alias("_n"),
+                    F.explode(F.sequence(F.lit(0),
+                                         (n_chunks - 1).cast("int")))
+                    .alias("chunk_id"))
+            .select(id_col, "chunk_id",
+                    (F.col("chunk_id") * stride + 1).alias("start_word"),
+                    F.least(F.lit(size),
+                            F.col("_n") - F.col("chunk_id") * stride)
+                    .cast("long").alias("n_words"),
+                    F.array_join(
+                        F.slice(F.col("_ws"),
+                                (F.col("chunk_id") * stride + 1)
+                                .cast("int"), size), " ").alias("chunk")))

@@ -635,3 +635,47 @@ class TestTriangles:
         got = self._tri(spark, [("a", "b"), ("b", "c"), ("c", "a"),
                                 ("c", "d")])
         assert got["d"] == (1, 0, None)
+
+
+class TestAssortativity:
+    def _r(self, spark, edges):
+        from deepseek_ocr_omnidocbench_spark.operators.graph import (
+            assortativity,
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return assortativity(df).collect()[0]
+
+    def test_star_is_minus_one(self, spark):
+        got = self._r(spark, [("c", "l1"), ("c", "l2"), ("c", "l3")])
+        assert got["n_edges"] == 6
+        assert got["assortativity"] == -1.0
+
+    def test_regular_graph_undefined(self, spark):
+        # cycle: every degree 2 -> zero variance -> NULL
+        got = self._r(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert got["assortativity"] is None
+
+    def test_matches_numpy(self, spark):
+        import math
+        edges = [(f"n{(7 * i) % 13}", f"n{(5 * i + 2) % 13}")
+                 for i in range(30)]
+        edges += [("hub", f"n{i}") for i in range(9)]   # degree spread
+        pairs = set()
+        for s, t in edges:
+            if s != t:
+                pairs.add((s, t))
+                pairs.add((t, s))
+        deg: dict[str, int] = {}
+        for s, _t in pairs:
+            deg[s] = deg.get(s, 0) + 1
+        xs = [deg[s] for s, _ in pairs]
+        ys = [deg[t] for _, t in pairs]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        want = round((n * sxy - sx * sy)
+                     / (math.sqrt(n * sxx - sx * sx)
+                        * math.sqrt(n * syy - sy * sy)), 6)
+        got = self._r(spark, edges)
+        assert got["assortativity"] == want

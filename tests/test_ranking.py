@@ -152,3 +152,45 @@ def test_rrf_randomized_invariants(spark):
             want += 1 / (60 + r["rank_sem"])
         assert r["rrf"] == pytest.approx(round(want, 6), abs=1e-9)
     assert min(out, key=lambda r: r["rank"])["doc_id"] == 99
+
+
+class TestPassageChunks:
+    def _chunks(self, spark, text, **kw):
+        from deepseek_ocr_omnidocbench_spark.operators.ranking import (
+            passage_chunks,
+        )
+        df = spark.createDataFrame([(0, text)],
+                                   "doc_id long, text string")
+        return sorted(passage_chunks(df, **kw).collect(),
+                      key=lambda r: r["chunk_id"])
+
+    def test_exact_cover(self, spark):
+        words = " ".join(f"w{i}" for i in range(10))
+        got = self._chunks(spark, words, size=4, stride=3)
+        assert [(r["start_word"], r["n_words"]) for r in got] == \
+            [(1, 4), (4, 4), (7, 4)]
+        assert got[0]["chunk"] == "w0 w1 w2 w3"
+        assert got[2]["chunk"] == "w6 w7 w8 w9"
+        # overlap: each consecutive pair shares size - stride = 1 word
+        assert got[0]["chunk"].split()[-1] == got[1]["chunk"].split()[0]
+
+    def test_short_tail_chunk(self, spark):
+        words = " ".join(f"w{i}" for i in range(11))
+        got = self._chunks(spark, words, size=4, stride=3)
+        assert [(r["start_word"], r["n_words"]) for r in got] == \
+            [(1, 4), (4, 4), (7, 4), (10, 2)]
+        assert got[3]["chunk"] == "w9 w10"
+
+    def test_doc_shorter_than_size(self, spark):
+        got = self._chunks(spark, "a b c", size=64, stride=48)
+        assert len(got) == 1
+        assert got[0]["n_words"] == 3 and got[0]["chunk"] == "a b c"
+
+    def test_full_coverage_no_gaps(self, spark):
+        words = " ".join(f"w{i}" for i in range(257))
+        got = self._chunks(spark, words, size=64, stride=48)
+        covered = set()
+        for r in got:
+            covered.update(range(r["start_word"],
+                                 r["start_word"] + r["n_words"]))
+        assert covered == set(range(1, 258))
