@@ -223,7 +223,11 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("kmv_vocab", "est_distinct"),
                       ("cms_heavy", "cms_est"),
                       ("kn_perplexity", "kn_ppl"),
-                      ("source_entropy", "entropy_bits")]:
+                      ("source_entropy", "entropy_bits"),
+                      ("chrf", "chrf"),
+                      ("wordpiece", "n_pieces"),
+                      ("assortativity", "assortativity"),
+                      ("passages", "n_words")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
