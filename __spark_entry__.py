@@ -955,6 +955,17 @@ def q_kcore(spark, sf_dir):
     return GR.k_core(links, k=6, max_iters=8).orderBy("node")
 
 
+def q_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator audit (n_match/k vs exact shingle Jaccard per
+    LSH candidate pair) — completes the sketch-accuracy family next to
+    quantized_recall / pq_recall / bloom_probe.  Integer match counts
+    keep the estimate engine-exact; k=8/bands=4 md5 twin of the
+    production xxhash64 path."""
+    return (D.minhash_accuracy(_docs(spark, sf_dir), k=8, bands=4,
+                               hash_fn=D.md5_hash64)
+            .orderBy("doc_a", "doc_b"))
+
+
 def q_kmv_vocab(spark, sf_dir):
     """Per-source vocabulary-size estimation with a KMV bottom-64
     sketch — the fixed-memory replacement for exact per-host distinct
@@ -3186,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece": q_wordpiece,
         "assortativity": q_assortativity,
         "passages": q_passages,
+        "minhash_accuracy": q_minhash_accuracy,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3227,7 +3239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dated r4 or r5 — VERDICT r4 "Next round" #2's done-criterion) --
         "rule_checks": q_rule_checks,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "extract_pipeline": q_extract_pipeline,
         "knn_ivf": q_knn_ivf,
         "eval_fixture_report": q_eval_fixture_report,
@@ -3239,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict sweep stay green on current code, and a future round
         # should rotate them forward first. ---------------------------------
         "rule_presence": q_rule_presence,
+        "simhash_pairs": q_simhash_pairs,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "dsir_weights": q_dsir_weights,
@@ -4736,6 +4748,24 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece": _wordpiece_oracle_sql(),
         "assortativity": _ASSORTATIVITY_ORACLE,
         "passages": _PASSAGES_ORACLE,
+        "minhash_accuracy": f"""
+            with {_MINHASH_CTES},
+            m as (
+              select c.doc_a, c.doc_b,
+                     len(list_filter(range(1, 9),
+                                     i -> sa.sig[i] = sb.sig[i]))::bigint
+                       as n_match
+              from cand c
+              join sig sa on sa.doc_id = c.doc_a
+              join sig sb on sb.doc_id = c.doc_b)
+            select m.doc_a, m.doc_b, m.n_match,
+                   round(m.n_match::double / 8, 6) as est_jaccard,
+                   j.jaccard as exact_jaccard,
+                   round(abs(m.n_match::double / 8 - j.jaccard), 6)
+                     as abs_err
+            from m join j on j.doc_a = m.doc_a and j.doc_b = m.doc_b
+            order by m.doc_a, m.doc_b
+        """,
         "bleu_by_source": _bleu_oracle_sql(),
         "meteor_by_source": _meteor_oracle_sql(),
         "url_dedup": """

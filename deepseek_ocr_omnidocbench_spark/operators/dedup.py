@@ -843,3 +843,38 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
                         F.round(F.lit(1.0)
                                 - F.col("n_distinct_chunks")
                                 / F.col("n_chunks"), 6)))
+
+
+def minhash_accuracy(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8,
+                     bands: int = 4, hash_fn=None) -> DataFrame:
+    """MinHash estimator audit over the LSH candidate pairs ->
+    (doc_a, doc_b, n_match, est_jaccard, exact_jaccard, abs_err).
+
+    The sketch-accuracy report completing the audit family
+    (quantized_recall / pq_recall / bloom_probe): the MinHash estimate
+    ĵ = (matching signature components) / k is what the banded join
+    ACTS on at corpus scale; this report quantifies it against the
+    exact shingle Jaccard on the candidate set, where exactness is
+    still affordable.  Integer match counts keep the estimate
+    engine-exact.  Shape: the candidate join (already banded/bounded)
+    plus two signature attachments — no new all-pairs term."""
+    pairs = lsh_candidate_pairs(docs, text_col, id_col, k=k,
+                                bands=bands, hash_fn=hash_fn)
+    sig = minhash_signatures(docs, text_col, id_col, k=k,
+                             hash_fn=hash_fn).select(id_col, "sig")
+    j = (pairs
+         .join(sig.select(F.col(id_col).alias("doc_a"),
+                          F.col("sig").alias("sa")), "doc_a")
+         .join(sig.select(F.col(id_col).alias("doc_b"),
+                          F.col("sig").alias("sb")), "doc_b"))
+    n_match = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)")
+    est = n_match.cast("double") / k
+    exact = F.round("jaccard", 6)
+    return j.select("doc_a", "doc_b",
+                    n_match.cast("long").alias("n_match"),
+                    F.round(est, 6).alias("est_jaccard"),
+                    exact.alias("exact_jaccard"),
+                    F.round(F.abs(est - exact), 6).alias("abs_err"))

@@ -272,3 +272,31 @@ def test_cdc_chunks_partition_property():
                        for c in raw]
 
     prop()
+
+
+def test_minhash_accuracy_audit(spark):
+    """est = n_match/k matches a manual signature comparison and the
+    exact jaccard column agrees with set arithmetic."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        md5_hash64, minhash_accuracy, minhash_signatures,
+    )
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " extra tail words here"),
+         (2, "completely unrelated text about something else entirely "
+             "with many distinct words to avoid any shingle overlap")],
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in minhash_accuracy(docs, k=8, bands=4,
+                                     hash_fn=md5_hash64).collect()}
+    assert (0, 1) in out          # near-dups must be candidates
+    r = out[(0, 1)]
+    sigs = {s["doc_id"]: s["sig"]
+            for s in minhash_signatures(docs, k=8,
+                                        hash_fn=md5_hash64).collect()}
+    want_match = sum(1 for a, b in zip(sigs[0], sigs[1]) if a == b)
+    assert r["n_match"] == want_match
+    assert r["est_jaccard"] == round(want_match / 8, 6)
+    assert 0.0 <= r["abs_err"] <= 1.0
+    assert abs(r["est_jaccard"] - r["exact_jaccard"]) == \
+        pytest.approx(r["abs_err"], abs=1e-6)
