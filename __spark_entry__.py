@@ -3152,6 +3152,312 @@ def q_pdf_images(spark, sf_dir):
             .orderBy("page", "fmt"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 4: ROUGE-N, encoding health, dehyphenation, host
+# boilerplate prefix, sampled quantiles
+# ---------------------------------------------------------------------------
+
+from deepseek_ocr_omnidocbench_spark.operators import encoding as EN  # noqa: E402
+
+# Deterministic encoding-damage injection, written in the SQL dialect
+# intersection (replace/chr/||/case parse identically in Spark SQL and
+# DuckDB) so BOTH engines damage the clean [a-z0-9 ] corpus the same
+# way: class 0 mojibake 'e'->'Ã©' (repairable), class 1
+# trailing U+FFFD, class 2 a C0 control inside 'th', class 3 quote
+# mojibake (repairable), classes 4-6 clean.
+_ENC_DAMAGE_SQL = (
+    "case when doc_id % 7 = 0 then replace(text, 'e', '"
+    + EN.MOJIBAKE_MARKERS[3] + "') "
+    "when doc_id % 7 = 1 then text || ' \ufffd\ufffd' "
+    "when doc_id % 7 = 2 then replace(text, 'th', 't' || chr(2) || 'h') "
+    "when doc_id % 7 = 3 then replace(text, 'a ', '"
+    + EN.MOJIBAKE_MARKERS[0] + " ') "
+    "else text end")
+
+# Line-break hyphen inside every 'th' + a soft hyphen after every 'e':
+# repairing returns the original text exactly, so the gate can state
+# byte-identity.
+_DEHYPH_DAMAGE_SQL = ("replace(replace(text, 'th', 't-' || chr(10) || 'h'),"
+                      " 'e', 'e' || chr(173))")
+
+# Shared banner prepended to every doc of every third source.
+_BANNER_SQL = ("case when cast(substr(source, 4) as int) % 3 = 0 "
+               "then 'breaking news from the ' || source || ' desk ' || text "
+               "else text end")
+
+
+def q_rouge(spark, sf_dir):
+    """A4-family ROUGE-1/2 (Lin 2004) per document on the BLEU fixture
+    (pred = text minus first word) — the recall-oriented member of the
+    text-metric family next to BLEU/METEOR/chrF.  Pure Columns: word
+    n-gram explode, one full-outer count join, per-order clipped
+    fold — the whole metric replays in SQL."""
+    from deepseek_ocr_omnidocbench_spark.functions.rouge import rouge_n_scores
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "text",
+                    F.regexp_replace("text", r"^\S+\s*", "").alias("pred"))
+    return (rouge_n_scores(d, "pred", "text", id_col="doc_id")
+            .orderBy("doc_id"))
+
+
+def q_encoding_health(spark, sf_dir):
+    """Encoding-damage report per source (ftfy-style signals): U+FFFD
+    replacement chars, cp1252 double-encoding mojibake (counted as
+    LITERAL substrings — replace-length math, zero regex dialect
+    surface), C0 controls, and how many damaged docs the literal
+    repair fully cleans.  Damage is injected deterministically by
+    doc_id class via _ENC_DAMAGE_SQL, which parses identically in
+    both engines, so the report is value-exact under the gate."""
+    docs = _docs(spark, sf_dir).select(
+        "source", F.expr(_ENC_DAMAGE_SQL).alias("text"))
+    return EN.encoding_report(docs).orderBy("source")
+
+
+def q_dehyphenate(spark, sf_dir):
+    """N13 dehyphenation under a byte-identity roundtrip gate: inject
+    line-break hyphens into every 'th' and a soft hyphen after every
+    'e' (chr-only SQL, identical in both engines), repair with the
+    normalizer, and report per doc the damage counts plus
+    roundtrip = (repaired == original) — the oracle states roundtrip
+    for every row, so ANY byte the repair misses or mutates reds the
+    value gate (the extraction_roundtrip precedent)."""
+    from deepseek_ocr_omnidocbench_spark.functions.normalize import (
+        dehyphenate_col)
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "text",
+                    F.expr(_DEHYPH_DAMAGE_SQL).alias("dmg"))
+    n_soft = (F.length("dmg")
+              - F.length(F.replace(F.col("dmg"), F.lit("\u00ad"))))
+    d = d.select("doc_id", "text", "dmg",
+                 dehyphenate_col(F.col("dmg")).alias("rep"),
+                 n_soft.cast("bigint").alias("n_soft"))
+    return (d.select(
+        "doc_id",
+        F.length("dmg").cast("bigint").alias("len_damaged"),
+        "n_soft",
+        ((F.length("dmg") - F.col("n_soft") - F.length("rep")) / 2)
+        .cast("bigint").alias("n_joins"),
+        (F.col("rep") == F.col("text")).alias("roundtrip"))
+        .orderBy("doc_id"))
+
+
+def q_host_prefix(spark, sf_dir):
+    """Per-host shared-prefix boilerplate detection: a deterministic
+    banner is prepended to every doc of every third source (SQL-
+    intersection fragment, both engines), then the min/max common-
+    prefix identity reduces detection to ONE map-side-combinable
+    aggregation — O(1) state per host, the same single-exchange plan
+    at 10^12 docs."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        host_prefix_stats)
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.expr(_BANNER_SQL).alias("text"))
+    return host_prefix_stats(docs).orderBy("host")
+
+
+def q_sampled_quantiles(spark, sf_dir):
+    """Per-source doc-length quantiles from a deterministic 1/4
+    md5-hash sample (mergeable: the sample of a union is the union of
+    samples) with the exact rank statistic as the audit pair — the
+    fixed-fraction cousin of the KMV sketch.  Quantiles are the
+    interpolation-free value-at-ceil(q*n) order statistic under
+    (value, id) ordering, so both engines agree bit-for-bit;
+    ::double literals force IEEE rank math."""
+    from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+        sampled_quantiles)
+
+    return (sampled_quantiles(_docs(spark, sf_dir), "source", "n_chars",
+                              "doc_id", rate=4, qs=(0.5, 0.9, 0.99))
+            .orderBy("key"))
+
+
+def _rouge_oracle_sql(n_max: int = 2) -> str:
+    """DuckDB mirror of q_rouge: per-order word-n-gram count tables on
+    both sides, one full-outer join, clipped aggregates, the zero-
+    convention P/R/F per order, pivot, and a left join back onto
+    documents for all-zero rows — exactly functions/rouge.py."""
+    hs, rs = [], []
+    for n in range(1, n_max + 1):
+        if n == 1:
+            hs.append("select doc_id, 1 as n, unnest(pw) as gram from t")
+            rs.append("select doc_id, 1 as n, unnest(rw) as gram from t")
+        else:
+            g = (f"[array_to_string(pw[i:i+{n - 1}], ' ') "
+                 f"for i in range(1, greatest(len(pw) - {n - 1}, 0) + 1)]")
+            hs.append(f"select doc_id, {n} as n, unnest({g}) as gram from t")
+            rs.append("select doc_id, %d as n, unnest(%s) as gram from t"
+                      % (n, g.replace("pw", "rw")))
+    pivots = []
+    outs = []
+    for n in range(1, n_max + 1):
+        for m in ("p", "r", "f"):
+            pivots.append(f"max(case when n = {n} then {m} end) as {m}{n}")
+            outs.append(f"round(coalesce({m}{n}, 0.0::double), 6)"
+                        f" as rouge{n}_{m}")
+    w_ref = _AZ09_WORDS
+    w_hyp = _AZ09_WORDS.replace("text", "pred")
+    return f"""
+    with t as (
+      select doc_id, {w_ref} as rw, {w_hyp} as pw
+      from (select doc_id, text,
+                   regexp_replace(text, '^\\S+\\s*', '') as pred
+            from documents)),
+    hg as materialized (
+      select doc_id, n, gram, count(*)::bigint as ch
+      from ({' union all '.join(hs)}) group by doc_id, n, gram),
+    rg as materialized (
+      select doc_id, n, gram, count(*)::bigint as cr
+      from ({' union all '.join(rs)}) group by doc_id, n, gram),
+    j as (
+      select coalesce(hg.doc_id, rg.doc_id) as doc_id,
+             coalesce(hg.n, rg.n) as n,
+             coalesce(ch, 0) as ch, coalesce(cr, 0) as cr
+      from hg full outer join rg
+        on rg.doc_id = hg.doc_id and rg.n = hg.n and rg.gram = hg.gram),
+    po as (
+      select doc_id, n, sum(least(ch, cr))::bigint as m,
+             sum(ch)::bigint as th, sum(cr)::bigint as tr
+      from j group by doc_id, n),
+    sc as (
+      select doc_id, n,
+             case when th > 0 then m::double / th::double
+                  else 0.0::double end as p,
+             case when tr > 0 then m::double / tr::double
+                  else 0.0::double end as r
+      from po),
+    sf as (
+      select doc_id, n, p, r,
+             case when p + r > 0
+                  then 2.0::double * p * r / (p + r)
+                  else 0.0::double end as f
+      from sc),
+    pv as (select doc_id, {', '.join(pivots)} from sf group by doc_id)
+    select d.doc_id, {', '.join(outs)}
+    from documents d left join pv using (doc_id)
+    order by d.doc_id
+"""
+
+
+def _encoding_oracle_sql() -> str:
+    """DuckDB mirror of q_encoding_health: the same injection fragment,
+    literal replace-length marker counts, the RE2-side control-char
+    count, the repair chain, and the per-source aggregation."""
+    def cnt(expr: str, m: str) -> str:
+        return (f"(len({expr}) - len(replace({expr}, '{m}', '')))"
+                f" // {len(m)}")
+
+    def moji(expr: str) -> str:
+        return " + ".join(cnt(expr, m) for m in EN.MOJIBAKE_MARKERS)
+
+    fix = "t"
+    for m, good in EN.MOJIBAKE_REPAIRS:
+        fix = f"replace({fix}, '{m}', '{good}')"
+    ctl = EN.CONTROL_RE
+    return f"""
+    with d as (select source, {_ENC_DAMAGE_SQL} as t from documents),
+    s0 as (select source, t, {fix} as ft from d),
+    s as (
+      select source,
+        {cnt('t', chr(0xFFFD))} as nr,
+        {moji('t')} as nm,
+        len(regexp_extract_all(t, '{ctl}')) as nc,
+        case when {cnt('ft', chr(0xFFFD))} + {moji('ft')}
+                  + len(regexp_extract_all(ft, '{ctl}')) > 0
+             then 1 else 0 end as dmg_f
+      from s0),
+    s2 as (
+      select source, nr, nm, nc,
+        case when nr + nm + nc > 0 then 1 else 0 end as dmg, dmg_f
+      from s)
+    select source, count(*)::bigint as n_docs,
+           sum(dmg)::bigint as n_damaged,
+           sum(case when dmg = 1 and dmg_f = 0 then 1 else 0 end)::bigint
+             as n_repairable,
+           sum(nr)::bigint as n_replacement,
+           sum(nm)::bigint as n_mojibake,
+           sum(nc)::bigint as n_control,
+           round(avg(dmg), 6) as damaged_share
+    from s2 group by source order by source
+"""
+
+
+_DEHYPH_ORACLE = f"""
+    with d as (select doc_id, text, {_DEHYPH_DAMAGE_SQL} as dmg
+               from documents),
+    r as (select doc_id, text, dmg,
+                 len(dmg) - len(replace(dmg, chr(173), '')) as n_soft,
+                 regexp_replace(replace(dmg, chr(173), ''),
+                                '([a-z])- *\\n *([a-z])', '\\1\\2', 'g')
+                   as rep
+          from d)
+    select doc_id, len(dmg)::bigint as len_damaged,
+           n_soft::bigint as n_soft,
+           ((len(dmg) - n_soft - len(rep)) // 2)::bigint as n_joins,
+           rep = text as roundtrip
+    from r order by doc_id
+"""
+
+
+_HOST_PREFIX_ORACLE = f"""
+    with d as (select source as host, {_BANNER_SQL} as t from documents),
+    agg as (select host, count(*)::bigint as n_docs,
+                   min(t) as lo, max(t) as hi
+            from d group by host),
+    p as (select host, n_docs, lo,
+                 coalesce(list_max(
+                   [case when substr(lo, 1, k) = substr(hi, 1, k)
+                         then k else 0 end
+                    for k in range(1, least(len(lo), len(hi), 200) + 1)]),
+                   0) as plen
+          from agg)
+    select host, n_docs, plen::int as prefix_len,
+           substr(lo, 1, plen::int) as shared_prefix,
+           (n_docs >= 2 and plen >= 12) as is_boilerplate
+    from p order by host
+"""
+
+
+def _sampled_quantiles_oracle_sql(rate: int = 4) -> str:
+    qs = (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99"))
+
+    def stats(prefix: str) -> str:
+        return ", ".join(
+            f"max(case when rn = ceil({q}::double * n)::bigint"
+            f" then val end) as {prefix}_{lbl}" for lbl, q in qs)
+
+    return f"""
+    with d as (select source as key, n_chars::bigint as val, doc_id
+               from documents),
+    tot as (select key, count(*)::bigint as n_rows from d group by key),
+    samp as (select * from d
+             where ('0x' || substr(md5('qsk:' || cast(doc_id as varchar)),
+                                   1, 15))::bigint % {rate} = 0),
+    rs as (select key, val,
+                  row_number() over (partition by key
+                                     order by val, doc_id) as rn,
+                  count(*) over (partition by key) as n
+           from samp),
+    est as (select key, max(n)::bigint as n_sampled, {stats('est')}
+            from rs group by key),
+    re as (select key, val,
+                  row_number() over (partition by key
+                                     order by val, doc_id) as rn,
+                  count(*) over (partition by key) as n
+           from d),
+    ex as (select key, {stats('exact')} from re group by key)
+    select tot.key, tot.n_rows, est.n_sampled,
+           est.est_p50, est.est_p90, est.est_p99,
+           ex.exact_p50, ex.exact_p90, ex.exact_p99
+    from tot left join est using (key) left join ex using (key)
+    order by tot.key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -3168,6 +3474,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable oracles beyond the window (every one has a driver row dated
     # r4), (6) remaining rows-only queries (all driver-executed r4).
     return {
+        # --- tier 0000: round-5 batch 4 (never driver-verified, all
+        # value-oracled; displaces the five tier-4 rows-only entries —
+        # driver rows r1-r3, weaker rows-only checks, locally executed
+        # every sweep — past the 50-slot window) ------------------------
+        "rouge": q_rouge,
+        "encoding_health": q_encoding_health,
+        "dehyphenate": q_dehyphenate,
+        "host_prefix": q_host_prefix,
+        "sampled_quantiles": q_sampled_quantiles,
         # --- tier 00: round-5 continuation graph layer (never driver-
         # verified; displaces the 4 tier-3 queries at the tier-3b marker
         # below, which are pure-Column ops untouched since their r3
@@ -4496,6 +4811,11 @@ def _hybrid_rrf_oracle_sql(terms: list[str]) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rouge": _rouge_oracle_sql(),
+        "encoding_health": _encoding_oracle_sql(),
+        "dehyphenate": _DEHYPH_ORACLE,
+        "host_prefix": _HOST_PREFIX_ORACLE,
+        "sampled_quantiles": _sampled_quantiles_oracle_sql(),
         "bm25": _bm25_oracle_sql(BM25_TERMS),
         "hybrid_rrf": _hybrid_rrf_oracle_sql(BM25_TERMS),
         "pq_codes": _pq_codes_oracle_sql(),

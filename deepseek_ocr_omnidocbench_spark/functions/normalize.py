@@ -401,3 +401,31 @@ def md_escape(s: str) -> str:
 
 def formula_as_text(latex: str) -> str:
     return clean_string(latex_to_text(latex))
+
+
+# --------------------------------------------------------------------------
+# N13 dehyphenation — PDF/column line-break hyphen repair.
+# Extracted PDF text carries typographic line-break hyphens
+# ("exam-\nple" -> "example"); every extraction stack repairs them
+# before tokenization.  Two rules, applied in order:
+#   1. letter "-" optional-spaces newline optional-spaces letter  ->
+#      join (drop hyphen + break)
+#   2. soft hyphens (U+00AD) are always discarded.
+# Restricted to [a-z] on both sides so a numeric range ("3-\n4") or
+# an em-dash context is never joined.  Same pattern string compiles
+# in Java regex (Spark) and in Python re; replacement backreference
+# syntax is the only dialect split ($1$2 vs \1\2), handled per engine.
+# --------------------------------------------------------------------------
+
+_DEHYPHEN_RE = r"([a-z])- *\n *([a-z])"
+_SOFT_HYPHEN = "­"
+
+
+def dehyphenate(s: str) -> str:
+    s = s.replace(_SOFT_HYPHEN, "")
+    return re.sub(_DEHYPHEN_RE, r"\1\2", s)
+
+
+def dehyphenate_col(c: Column) -> Column:
+    c = F.replace(c, F.lit(_SOFT_HYPHEN))
+    return F.regexp_replace(c, F.lit(_DEHYPHEN_RE), F.lit("$1$2"))

@@ -138,3 +138,66 @@ def cms_probe(cms: DataFrame, probes: DataFrame, term_col: str = "term",
            .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
                 .alias("cms_est")))
     return probes.join(est, term_col)
+
+
+def _rank_quantile(q: float) -> Column:
+    """Aggregate expression: the value at rank ceil(q * n) under
+    (value, id) ordering — the interpolation-free order statistic that
+    replays identically in any engine.  Expects columns rn (1-based
+    row_number per key) and n (group size) on the grouped frame."""
+    return F.max(F.when(
+        F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+        F.col("val")))
+
+
+def sampled_quantiles(df: DataFrame, key_col: str, value_col: str,
+                      id_col: str, rate: int = 4,
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                      hash_fn=md5_hash64,
+                      with_exact: bool = True) -> DataFrame:
+    """Per-key quantile estimates from a deterministic 1/rate hash
+    sample -> (key, n_rows, n_sampled, est_p*, exact_p*?).
+
+    The fixed-fraction cousin of KMV: keep rows whose md5-derived
+    60-bit id-hash is 0 mod ``rate`` (deterministic, so the sample of
+    a union is the union of samples — mergeable across partitions and
+    snapshots), then read order statistics off the sample.  Quantile
+    definition is the interpolation-free rank statistic ``value at
+    row_number ceil(q*n)`` under (value, id) ordering, so both engines
+    produce the exact same value — no percentile-interpolation
+    semantics anywhere (the zipf_stats precedent).
+
+    Scale shape: the full corpus contributes one filter + one count
+    agg; only the 1/rate sample is sorted (per-key streaming rank
+    window, no arrays).  ``with_exact`` attaches the same rank
+    statistic over ALL rows as the audit column pair — gate-scale
+    only; at 10^12 docs the exact side is what the sample replaces.
+    Production swaps hash_fn=xxhash64 and rate ~ 10^4.
+    """
+    keyed = df.select(F.col(key_col).alias("key"),
+                      F.col(value_col).cast("long").alias("val"),
+                      F.col(id_col).alias("_id"))
+    totals = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+    def order_stats(rows: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("key").orderBy("val", "_id")
+        n = Window.partitionBy("key")
+        ranked = (rows.withColumn("rn", F.row_number().over(w))
+                  .withColumn("n", F.count(F.lit(1)).over(n)))
+        aggs = [F.max("n").cast("long").alias(f"{prefix}_n")] + [
+            _rank_quantile(q)
+            .alias(f"{prefix}_p{int(round(q * 100))}") for q in qs]
+        return ranked.groupBy("key").agg(*aggs)
+
+    sample = keyed.where(
+        F.pmod(hash_fn(F.concat(F.lit("qsk:"),
+                                F.col("_id").cast("string"))),
+               F.lit(rate)) == 0)
+    est = (order_stats(sample, "est")
+           .withColumnRenamed("est_n", "n_sampled"))
+    out = totals.join(est, "key", "left")
+    if with_exact:
+        out = out.join(order_stats(keyed, "exact")
+                       .drop("exact_n"), "key", "left")
+    return out
