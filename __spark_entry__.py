@@ -3549,9 +3549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which carries the new readability columns — into tier 3b;
         # never-driver-verified value oracles outrank the refresh) -----
         "quality_scores": q_quality_scores,
-        # --- tier 4: rows-only queries with no r4 driver row (verified
-        # r1-r3; in-window so every queries() entry has a driver row
-        # dated r4 or r5 — VERDICT r4 "Next round" #2's done-criterion) --
+        # --- tier 4: rows-only queries (driver-executed r1-r3).  The
+        # batch-4 tier-0000 insertions displaced this block to slots
+        # 51-55: never-driver-verified VALUE oracles outrank a rows-only
+        # execution refresh.  All five run in every local check_oracle
+        # sweep (rows-only: runs + stable row count) on current code. --
         "rule_checks": q_rule_checks,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "extract_pipeline": q_extract_pipeline,

@@ -227,7 +227,13 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("chrf", "chrf"),
                       ("wordpiece", "n_pieces"),
                       ("assortativity", "assortativity"),
-                      ("passages", "n_words")]:
+                      ("passages", "n_words"),
+                      # batch-4 ops (computed-column forcing)
+                      ("rouge", "rouge1_f"),
+                      ("encoding_health", "n_replacement"),
+                      ("dehyphenate", "n_joins"),
+                      ("host_prefix", "prefix_len"),
+                      ("sampled_quantiles", "est_p90")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
