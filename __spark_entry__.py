@@ -3458,6 +3458,64 @@ def _sampled_quantiles_oracle_sql(rate: int = 4) -> str:
 """
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """The second half of the Gopher repetition gate (Rae et al. 2021
+    §A1.1): per-doc fraction of word characters covered by DUPLICATED
+    word n-grams, n = 5..10 (repetition_stats reports the 2..4-gram
+    top-coverage half).  Non-overlap-corrected estimate, one shared
+    lead window + per-n uniform-key groupBys — value-parity oracled."""
+    docs = _docs(spark, sf_dir)
+    return TS.dup_ngram_stats(docs).orderBy("doc_id")
+
+
+def q_source_drift(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution — the drift probe next to source_entropy.  The
+    absent-word mass folds to (1 - sum p) analytically, so every term
+    lives on the source's own vocabulary: no full-vocab expand, two
+    uniform-key groupBys + a word join + a 1-row broadcast total."""
+    docs = _docs(spark, sf_dir)
+    return TS.source_js_divergence(docs).orderBy("source")
+
+
+def _dup_ngram_oracle_sql(ngrams=(5, 6, 7, 8, 9, 10)) -> str:
+    """DuckDB replay of dup_ngram_stats: per-n gram tables via list
+    comprehension (the repetition_stats pattern) with sum-of-duplicated
+    coverage instead of max."""
+    ctes, joins, cols = [], [], []
+    for n in ngrams:
+        ctes.append(f"""
+            g{n} as (select doc_id,
+                       sum(case when cnt > 1
+                           then (length(gram) - {n - 1}) * cnt
+                           else 0 end)::bigint as dup{n} from (
+                     select doc_id, gram, count(*) as cnt from (
+                       select doc_id,
+                         unnest([array_to_string(words[i:i+{n - 1}], ' ')
+                         for i in range(1, greatest(len(words) - {n - 1}, 0)
+                                        + 1)]) as gram
+                       from t) group by doc_id, gram) group by doc_id)""")
+        joins.append(f"left join g{n} on g{n}.doc_id = t.doc_id")
+        cols.append(f"""round(case when tc.tcv > 0 and g{n}.dup{n} is not null
+                    then g{n}.dup{n}::double / tc.tcv else 0.0 end, 6)
+                    as dup{n}gram_char_frac""")
+    return f"""
+            with t as (
+              select doc_id,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0) as words
+              from documents),
+            tc as (select doc_id,
+                          length(array_to_string(words, '')) as tcv from t),
+            {','.join(ctes)}
+            select t.doc_id, {', '.join(cols)}
+            from t
+            left join tc on tc.doc_id = t.doc_id
+            {' '.join(joins)}
+            order by t.doc_id
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -3483,6 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dehyphenate": q_dehyphenate,
         "host_prefix": q_host_prefix,
         "sampled_quantiles": q_sampled_quantiles,
+        "dup_ngrams": q_dup_ngrams,
+        "source_drift": q_source_drift,
         # --- tier 00: round-5 continuation graph layer (never driver-
         # verified; displaces the 4 tier-3 queries at the tier-3b marker
         # below, which are pure-Column ops untouched since their r3
@@ -3542,8 +3602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
-        "curation_pipeline": q_curation_pipeline,
-        "curate_pipeline": q_curate_pipeline,
+        # (curation_pipeline / curate_pipeline moved to tier 5 to make
+        # room for the two batch-5 queries above: both r4 driver-green,
+        # and the only r5 change to curation.py touched mixture_weights
+        # alone (899a402), so their gated outputs are byte-identical to
+        # the r4-verified code.)
         # --- tier 3: r3-verified, due on the 2-round cadence (this
         # round's resumed session displaced all but quality_scores —
         # which carries the new readability columns — into tier 3b;
@@ -3601,6 +3664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 5: r4-green stable oracles past the 50-slot window -------
         "anchor_text": q_anchor_text,
         "extraction_roundtrip": q_extraction_roundtrip,
+        "curation_pipeline": q_curation_pipeline,
+        "curate_pipeline": q_curate_pipeline,
         "paragraph_dedup": q_paragraph_dedup,
         "minhash_lsh_oracle": q_minhash_lsh_oracle,
         "substring_spans": q_substring_spans,
@@ -5330,6 +5395,45 @@ def oracle_sql() -> dict[str, str]:
                    round(n_types::double / n_tokens::double, 6) as ttr,
                    round(h, 6) as entropy_bits,
                    round(pow(2.0::double, h), 6) as eff_vocab
+            from agg order by source
+        """,
+        "dup_ngrams": _dup_ngram_oracle_sql(),
+        "source_drift": f"""
+            with t as (select source, unnest({_AZ09_WORDS}) as w
+                       from documents),
+            tf as materialized (
+              select source, w, count(*)::bigint as c
+              from t group by source, w),
+            gf as (select w, sum(c)::bigint as gc from tf group by w),
+            gt as (select sum(gc)::bigint as g from gf),
+            stot as (select source, sum(c)::bigint as n_tokens,
+                            count(*)::bigint as n_types
+                     from tf group by source),
+            j as (select tf.source, tf.c, gf.gc,
+                         stot.n_tokens, stot.n_types, gt.g
+                  from tf
+                  join gf using (w)
+                  join stot using (source)
+                  cross join gt),
+            agg as (
+              select source,
+                     max(n_tokens)::bigint as n_tokens,
+                     max(n_types)::bigint as n_types,
+                     sum(gc::double / g::double) as pmass,
+                     sum((gc::double / g::double)
+                         * log2(2.0::double * (gc::double / g::double)
+                                / ((gc::double / g::double)
+                                   + (c::double / n_tokens::double))))
+                       as tp,
+                     sum((c::double / n_tokens::double)
+                         * log2(2.0::double * (c::double / n_tokens::double)
+                                / ((gc::double / g::double)
+                                   + (c::double / n_tokens::double))))
+                       as tq
+              from j group by source)
+            select source, n_tokens, n_types,
+                   round(0.5::double * ((1.0::double - pmass) + tp)
+                         + 0.5::double * tq, 6) as jsd_bits
             from agg order by source
         """,
         "hits_scores": _hits_oracle_sql(),

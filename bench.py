@@ -233,7 +233,10 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("encoding_health", "n_replacement"),
                       ("dehyphenate", "n_joins"),
                       ("host_prefix", "prefix_len"),
-                      ("sampled_quantiles", "est_p90")]:
+                      ("sampled_quantiles", "est_p90"),
+                      # batch-5 ops
+                      ("dup_ngrams", "dup5gram_char_frac"),
+                      ("source_drift", "jsd_bits")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

@@ -955,3 +955,117 @@ def source_entropy(docs: DataFrame, part_col: str = "source",
                     F.round("_h", 6).alias("entropy_bits"),
                     F.round(F.pow(F.lit(2.0), F.col("_h")), 6)
                     .alias("eff_vocab")))
+
+
+def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    ngrams: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """The second half of the Gopher repetition gate (Rae et al. 2021
+    §A1.1): per document, the fraction of word characters covered by
+    DUPLICATED word n-grams for n in 5..10 ->
+    (doc_id, dup{n}gram_char_frac ...).
+
+    Where :func:`repetition_stats` reports the single heaviest n-gram
+    (top-n coverage, n = 2..4), this reports the mass of ALL n-grams
+    occurring more than once: ``sum over grams with count > 1 of
+    count * word-chars(gram) / total word chars`` — the standard
+    non-overlap-corrected estimate used by public reimplementations
+    (overlapping occurrences count their characters each time, so the
+    value can exceed 1 for pathologically loopy text; the filter
+    thresholds are calibrated to that same estimate).
+
+    Scale shape: one posexplode + ONE partitionBy(doc) window shared
+    by every lead() (the repetition_stats plan), then per-n (doc,
+    gram) groupBys — all shuffles on ``id_col``; no arrays carried
+    through aggregation, no driver collection.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    words_arr = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    base = docs.select(id_col, F.posexplode(words_arr).alias("pos", "w1"))
+    for j in range(1, max(ngrams)):
+        base = base.withColumn("w%d" % (j + 1), F.lead("w1", j).over(win))
+    total_chars = docs.select(
+        id_col, F.length(F.concat_ws("", words_arr)).alias("tc"))
+
+    out = docs.select(id_col).join(total_chars, id_col, "left")
+    for n in ngrams:
+        g = (base.where(F.col("w%d" % n).isNotNull())
+             .select(id_col,
+                     F.concat_ws(" ", *["w%d" % (j + 1)
+                                        for j in range(n)]).alias("gram")))
+        dup = (g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+               .groupBy(id_col)
+               .agg(F.sum(F.when(F.col("cnt") > 1,
+                                 (F.length("gram") - (n - 1)) * F.col("cnt"))
+                          .otherwise(F.lit(0))).alias("dup%d" % n)))
+        out = out.join(dup, id_col, "left")
+    sel = [F.col(id_col)]
+    for n in ngrams:
+        sel.append(
+            F.round(F.when((F.col("tc") > 0) & F.col("dup%d" % n).isNotNull(),
+                           F.col("dup%d" % n).cast("double")
+                           / F.col("tc").cast("double"))
+                    .otherwise(F.lit(0.0)), 6)
+            .alias("dup%dgram_char_frac" % n))
+    return out.select(*sel)
+
+
+def source_js_divergence(docs: DataFrame, part_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution -> (source, n_tokens, n_types, jsd_bits).
+
+    The drift probe next to :func:`source_entropy`: JSD(P, Q_s) where
+    P is the whole-corpus word distribution and Q_s the source's.
+    Template/spam sources and off-language domains drift high; a
+    source matching corpus-typical prose sits near 0.  Bounded [0, 1]
+    in bits, symmetric, always finite (unlike raw KL).
+
+    The absent-word mass needs no full-vocab expand: for words the
+    source never emits, q = 0 and the KL(P||M) term is exactly p
+    (since m = p/2), so
+
+        JSD_s = 0.5 * [(1 - sum_{w in s} p_w)
+                        + sum_{w in s} p_w * log2(2 p_w / (p_w + q_w))]
+              + 0.5 *    sum_{w in s} q_w * log2(2 q_w / (p_w + q_w))
+
+    — every term lives on the source's OWN vocabulary, so the plan is
+    one (source, word) groupBy, one word-level corpus rollup derived
+    from it (map-side combinable), a join on word, and a source-level
+    fold.  Zero windows, no per-source vocab materialization; the
+    1-row corpus total is a broadcast join.  Same plan at 10^12 docs.
+    """
+    from .dedup import normalized_words
+
+    words = normalized_words(F.col(text_col))
+    tf = (docs.select(F.col(part_col).alias("part"),
+                      F.explode(words).alias("w"))
+          .groupBy("part", "w")
+          .agg(F.count(F.lit(1)).alias("c")))
+    gf = tf.groupBy("w").agg(F.sum("c").alias("gc"))
+    gtot = gf.agg(F.sum("gc").alias("gt"))
+    stot = tf.groupBy("part").agg(F.sum("c").alias("n_tokens"),
+                                  F.count(F.lit(1)).alias("n_types"))
+    j = (tf.join(gf, "w")
+         .join(stot, "part")
+         .crossJoin(F.broadcast(gtot)))
+    p = F.col("gc").cast("double") / F.col("gt").cast("double")
+    q = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    t_p = p * F.log2(F.lit(2.0) * p / (p + q))
+    t_q = q * F.log2(F.lit(2.0) * q / (p + q))
+    return (j.groupBy("part")
+            .agg(F.max("n_tokens").cast("long").alias("n_tokens"),
+                 F.max("n_types").cast("long").alias("n_types"),
+                 F.sum(p).alias("_pmass"),
+                 F.sum(t_p).alias("_tp"),
+                 F.sum(t_q).alias("_tq"))
+            .select(F.col("part").alias(part_col),
+                    "n_tokens", "n_types",
+                    F.round(F.lit(0.5) * ((F.lit(1.0) - F.col("_pmass"))
+                                          + F.col("_tp"))
+                            + F.lit(0.5) * F.col("_tq"), 6)
+                    .alias("jsd_bits")))
