@@ -3516,6 +3516,344 @@ def _dup_ngram_oracle_sql(ngrams=(5, 6, 7, 8, 9, 10)) -> str:
         """
 
 
+# --- round-5 batch 5: classifier evaluation, footer boilerplate, feed
+# parsing, page-level robots directives, cross-split leakage ---------------
+
+# Dyadic-rational scored fixture shared by q_auc_report / q_calibration:
+# k, l are independent md5-derived integers in [0, 1024); score = k/1024
+# (exact double sums in any order), label = [2l < 400 + k] so the positive
+# rate rises with the score (AUC meaningfully > 0.5).  Pure integer math
+# until the final divisions — both engines agree bit-for-bit.
+_SCORED_SQL_K = "('0x' || substr(md5('s,' || doc_id::varchar), 1, 15))::bigint % 1024"
+_SCORED_SQL_L = "('0x' || substr(md5('l,' || doc_id::varchar), 1, 15))::bigint % 1024"
+
+
+def _scored_fixture(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    k = F.pmod(D.md5_hash64(F.concat(F.lit("s,"),
+                                     F.col("doc_id").cast("string"))),
+               F.lit(1024))
+    lbl_h = F.pmod(D.md5_hash64(F.concat(F.lit("l,"),
+                                         F.col("doc_id").cast("string"))),
+                   F.lit(1024))
+    return d.select(
+        "doc_id", "source",
+        (k.cast("double") / F.lit(1024.0)).alias("score"),
+        F.when(F.lit(2) * lbl_h < F.lit(400) + k, F.lit(1))
+        .otherwise(F.lit(0)).alias("label"))
+
+
+def q_auc_report(spark, sf_dir):
+    """Per-source classifier evaluation: ROC AUC via the Mann-Whitney
+    rank statistic (2*avg_rank stays bigint-exact through ties) plus
+    the threshold-0.5 confusion block and derived P/R/F1/accuracy —
+    the audit a DCLM/FineWeb-style quality-filter sweep runs at corpus
+    scale.  One rank window + one agg; every double is a single
+    division of exact bigints."""
+    from deepseek_ocr_omnidocbench_spark.operators.classifier import (
+        auc_report)
+
+    return (auc_report(_scored_fixture(spark, sf_dir), group_col="source")
+            .orderBy("source"))
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability-diagram bins over the dyadic scored fixture: per
+    confidence decile the mean predicted confidence, empirical
+    positive rate, |gap|, and the ECE mixing weight.  One groupBy on a
+    10-ary key + a 1-row broadcast total; dyadic scores make the
+    double sums order-independent, so the gate is exact."""
+    from deepseek_ocr_omnidocbench_spark.operators.classifier import (
+        calibration_report)
+
+    return (calibration_report(_scored_fixture(spark, sf_dir), bins=10)
+            .orderBy("bin"))
+
+
+_FOOTER_SQL = ("case when cast(substr(source, 4) as int) % 3 = 1 "
+               "then text || ' copyright ' || source "
+               "|| ' all rights reserved' else text end")
+
+
+def q_host_suffix(spark, sf_dir):
+    """Per-host shared-SUFFIX boilerplate (footer/copyright blocks):
+    a deterministic footer is appended to every doc of every third
+    source, then the min/max-of-reversed-text identity reduces
+    detection to one map-side-combinable aggregation — the footer-side
+    twin of host_prefix."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        host_suffix_stats)
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.expr(_FOOTER_SQL).alias("text"))
+    return host_suffix_stats(docs).orderBy("host")
+
+
+def q_feeds(spark, sf_dir):
+    """RSS/Atom feed parsing for crawl-frontier freshness seeding:
+    even docs emit an RSS channel (two <item>s, pubDate on a modular
+    subset, whitespace-padded links), odd docs an Atom feed (<link
+    href=...> attribute form) — both parsed block-first so optional
+    fields can't shift against each other, replayed with the same
+    regexps in DuckDB."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        parse_feeds)
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 9).cast("string"), F.lit(".example"))
+    pubdate = F.when(did % 3 == 0, F.concat(
+        F.lit("<pubDate>Mon, 0"), (did % 7 + 1).cast("string"),
+        F.lit(" Jan 2024</pubDate>"))).otherwise(F.lit(""))
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>post "), did.cast("string"),
+        F.lit("</title><link>https://"), host, F.lit("/r/"),
+        did.cast("string"), F.lit("</link>"), pubdate,
+        F.lit("</item><item><link> https://"), host, F.lit("/r2/"),
+        did.cast("string"), F.lit(" </link></item></channel></rss>"))
+    atom = F.concat(
+        F.lit("<feed><entry><title>entry "), did.cast("string"),
+        F.lit('</title><link href="https://'), host, F.lit("/a/"),
+        did.cast("string"), F.lit('"/><updated>2024-01-0'),
+        (did % 9 + 1).cast("string"),
+        F.lit("</updated></entry></feed>"))
+    xml = F.when(did % 2 == 0, rss).otherwise(atom)
+    feeds = d.select(host.alias("host"), xml.alias("xml"))
+    return parse_feeds(feeds).orderBy("link")
+
+
+def q_meta_robots(spark, sf_dir):
+    """Page-level indexing directives: deterministic HTML heads carry
+    robots <meta> tags (noindex/nofollow, index/follow, an uppercase
+    NOFOLLOW class) and <link rel=canonical> on modular doc classes;
+    the gate extracts directives + the canonical dedup key — the
+    in-page companion of the robots.txt gate, applied BEFORE
+    extraction."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        meta_robots_gate)
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    meta = F.when(did % 3 == 0, F.lit(
+        '<meta name="robots" content="noindex, nofollow">')) \
+        .when((did % 3 == 1) & (did % 5 == 0), F.lit(
+            '<meta name="robots" content="NOFOLLOW">')) \
+        .when(did % 3 == 1, F.lit(
+            '<meta name="robots" content="index, follow">')) \
+        .otherwise(F.lit(""))
+    canon = F.when(did % 4 == 0, F.concat(
+        F.lit('<link rel="canonical" href="https://c.example/page'),
+        (did % 50).cast("string"), F.lit('">'))).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head><title>x</title>"), meta, canon,
+                    F.lit("</head><body>b</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://m.example/"), did.cast("string"))
+        .alias("url"),
+        html.alias("html"))
+    return meta_robots_gate(pages).orderBy("url")
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-duplicate leakage audit: MinHash-LSH candidate
+    pairs (md5 hash family, k=8, bands=4) joined against the
+    host-split assignment; any pair whose members land in different
+    splits is reported with its exact Jaccard — the audit that
+    validates host_split actually prevented eval leakage.  Composition
+    of two gated operators; both halves replay in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        host_split)
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs, k=8, bands=4,
+                                  hash_fn=D.md5_hash64)
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 97)
+                 .cast("string"), F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    splits = host_split(aug).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "split_a", "split_b",
+                    F.round("jaccard", R).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+_AUC_ORACLE = f"""
+    with s as (
+      select source, {_SCORED_SQL_K} as k, {_SCORED_SQL_L} as l
+      from documents),
+    t as (
+      select source, (k::double / 1024.0) as score,
+             case when 2*l < 400 + k then 1 else 0 end as y
+      from s),
+    r as (
+      select source, y,
+        (2*rank() over (partition by source order by score)
+         + count(*) over (partition by source, score) - 1)::bigint as r2,
+        case when score >= 0.5 then 1 else 0 end as p
+      from t),
+    a as (
+      select source,
+        sum(y)::bigint as n_pos, sum(1 - y)::bigint as n_neg,
+        sum(case when y = 1 then r2 else 0 end)::bigint as s2,
+        sum(y * p)::bigint as tp, sum((1 - y) * p)::bigint as fp,
+        sum(y * (1 - p))::bigint as fn,
+        sum((1 - y) * (1 - p))::bigint as tn
+      from r group by source)
+    select source, n_pos, n_neg,
+      round(case when n_pos > 0 and n_neg > 0
+        then (s2 - n_pos*(n_pos + 1))::double
+             / (2*n_pos*n_neg)::double end, 6) as auc,
+      tp, fp, fn, tn,
+      round(case when tp + fp > 0
+        then tp::double / (tp + fp)::double else 0.0 end, 6) as "precision",
+      round(case when tp + fn > 0
+        then tp::double / (tp + fn)::double else 0.0 end, 6) as recall,
+      round(case when 2*tp + fp + fn > 0
+        then (2*tp)::double / (2*tp + fp + fn)::double
+        else 0.0 end, 6) as f1,
+      round((tp + tn)::double / (n_pos + n_neg)::double, 6) as accuracy
+    from a order by source
+"""
+
+_CALIBRATION_ORACLE = f"""
+    with s as (
+      select {_SCORED_SQL_K} as k, {_SCORED_SQL_L} as l from documents),
+    t as (
+      select (k::double / 1024.0) as score,
+             case when 2*l < 400 + k then 1 else 0 end as y
+      from s),
+    b as (
+      select least(floor(score * 10), 9)::int as bin, score, y from t),
+    agg as (
+      select bin, count(*)::bigint as n, sum(y)::bigint as n_pos,
+             sum(score) as cs
+      from b group by bin),
+    tot as (select sum(n)::bigint as tot from agg)
+    select bin, n, n_pos,
+      round(cs / n::double, 6) as conf_avg,
+      round(n_pos::double / n::double, 6) as acc,
+      round(abs(cs / n::double - n_pos::double / n::double), 6) as gap,
+      round(n::double / tot::double, 6) as weight
+    from agg cross join tot order by bin
+"""
+
+_HOST_SUFFIX_ORACLE = f"""
+    with d as (select source as host, {_FOOTER_SQL} as t from documents),
+    r as (select host, reverse(t) as rt from d),
+    agg as (select host, count(*)::bigint as n_docs,
+                   min(rt) as lo, max(rt) as hi
+            from r group by host),
+    p as (select host, n_docs, lo,
+                 coalesce(list_max(
+                   [case when substr(lo, 1, k) = substr(hi, 1, k)
+                         then k else 0 end
+                    for k in range(1, least(len(lo), len(hi), 200) + 1)]),
+                   0) as slen
+          from agg)
+    select host, n_docs, slen::int as suffix_len,
+           reverse(substr(lo, 1, slen::int)) as shared_suffix,
+           (n_docs >= 2 and slen >= 12) as is_boilerplate
+    from p order by host
+"""
+
+_FEEDS_ORACLE = """
+    with d as (
+      select doc_id,
+        'h' || (doc_id % 9)::varchar || '.example' as host,
+        case when doc_id % 2 = 0 then
+          '<rss><channel><item><title>post ' || doc_id::varchar
+          || '</title><link>https://h' || (doc_id % 9)::varchar
+          || '.example/r/' || doc_id::varchar || '</link>'
+          || case when doc_id % 3 = 0
+             then '<pubDate>Mon, 0' || (doc_id % 7 + 1)::varchar
+               || ' Jan 2024</pubDate>' else '' end
+          || '</item><item><link> https://h' || (doc_id % 9)::varchar
+          || '.example/r2/' || doc_id::varchar
+          || ' </link></item></channel></rss>'
+        else
+          '<feed><entry><title>entry ' || doc_id::varchar
+          || '</title><link href="https://h' || (doc_id % 9)::varchar
+          || '.example/a/' || doc_id::varchar
+          || '"/><updated>2024-01-0' || (doc_id % 9 + 1)::varchar
+          || '</updated></entry></feed>'
+        end as xml
+      from documents),
+    blocks as (
+      select host, 'rss' as kind,
+        unnest(regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1)) as body
+      from d
+      union all
+      select host, 'atom' as kind,
+        unnest(regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1))
+          as body
+      from d),
+    p as (
+      select host,
+        case when kind = 'rss'
+          then regexp_extract(body, '<link>\\s*(.*?)\\s*</link>', 1)
+          else regexp_extract(body,
+                 '<link[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1)
+        end as link,
+        nullif(regexp_extract(body, '<title>\\s*(.*?)\\s*</title>', 1),
+               '') as title,
+        coalesce(
+          nullif(regexp_extract(body,
+                   '<pubDate>\\s*(.*?)\\s*</pubDate>', 1), ''),
+          nullif(regexp_extract(body,
+                   '<updated>\\s*(.*?)\\s*</updated>', 1), ''),
+          nullif(regexp_extract(body,
+                   '<published>\\s*(.*?)\\s*</published>', 1), ''))
+          as published,
+        kind
+      from blocks)
+    select * from p where len(link) > 0 order by link
+"""
+
+_META_ROBOTS_ORACLE = """
+    with d as (
+      select doc_id,
+        'https://m.example/' || doc_id::varchar as url,
+        '<html><head><title>x</title>'
+        || case when doc_id % 3 = 0
+             then '<meta name="robots" content="noindex, nofollow">'
+           when doc_id % 3 = 1 and doc_id % 5 = 0
+             then '<meta name="robots" content="NOFOLLOW">'
+           when doc_id % 3 = 1
+             then '<meta name="robots" content="index, follow">'
+           else '' end
+        || case when doc_id % 4 = 0
+             then '<link rel="canonical" href="https://c.example/page'
+               || (doc_id % 50)::varchar || '">'
+           else '' end
+        || '</head><body>b</body></html>' as html
+      from d0),
+    m as (
+      select url,
+        regexp_extract(html,
+          '(?is)<meta\\s+[^>]*name\\s*=\\s*["'']robots["''][^>]*'
+          || 'content\\s*=\\s*["'']([^"'']*)["'']', 1) as raw_meta,
+        regexp_extract(html,
+          '(?is)<link\\s+[^>]*rel\\s*=\\s*["'']canonical["''][^>]*'
+          || 'href\\s*=\\s*["'']([^"'']*)["'']', 1) as raw_canon
+      from d)
+    select url,
+      nullif(raw_meta, '') as robots_meta,
+      coalesce(regexp_matches(lower(raw_meta),
+        '(^|[,\\s])(noindex|none)([,\\s]|$)'), false) as noindex,
+      coalesce(regexp_matches(lower(raw_meta),
+        '(^|[,\\s])(nofollow|none)([,\\s]|$)'), false) as nofollow,
+      nullif(raw_canon, '') as canonical,
+      coalesce(nullif(raw_canon, ''), url) as dedup_key
+    from m order by url
+""".replace("from d0", "from documents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -3532,6 +3870,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable oracles beyond the window (every one has a driver row dated
     # r4), (6) remaining rows-only queries (all driver-executed r4).
     return {
+        # --- tier 00000: round-5 batch 5 high-risk heads (new module
+        # code: rank-tie AUC math + calibration bins; never driver-
+        # verified).  They displace ngram_jaccard + quality_scores past
+        # the window: both r4 driver-green and byte-stable since —
+        # ngram_jaccard_pairs only gained a min_shared=1 DEFAULT
+        # parameter (old behavior), quality_scores untouched.  The
+        # other four batch-5 queries (host_suffix, feeds, meta_robots,
+        # split_leakage) sit just past the window at the tier-4b
+        # marker: each is a close mirror of a driver-green precedent
+        # (host_prefix, sitemaps, robots_gate fixtures, minhash_lsh +
+        # host_split composition) and is strict-swept locally. --------
+        "auc_report": q_auc_report,
+        "calibration": q_calibration,
         # --- tier 0000: round-5 batch 4 (never driver-verified, all
         # value-oracled; displaces the five tier-4 rows-only entries —
         # driver rows r1-r3, weaker rows-only checks, locally executed
@@ -3612,6 +3963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which carries the new readability columns — into tier 3b;
         # never-driver-verified value oracles outrank the refresh) -----
         "quality_scores": q_quality_scores,
+        # --- tier 4b: round-5 batch 5 beyond-window entries (see the
+        # tier-00000 note: mirrors of driver-green precedents, all
+        # value-oracled + strict-swept locally at sf0.01) ---------------
+        "host_suffix": q_host_suffix,
+        "feeds": q_feeds,
+        "meta_robots": q_meta_robots,
+        "split_leakage": q_split_leakage,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -4882,6 +5240,39 @@ def oracle_sql() -> dict[str, str]:
         "encoding_health": _encoding_oracle_sql(),
         "dehyphenate": _DEHYPH_ORACLE,
         "host_prefix": _HOST_PREFIX_ORACLE,
+        "auc_report": _AUC_ORACLE,
+        "calibration": _CALIBRATION_ORACLE,
+        "host_suffix": _HOST_SUFFIX_ORACLE,
+        "feeds": _FEEDS_ORACLE,
+        "meta_robots": _META_ROBOTS_ORACLE,
+        "split_leakage": f"""
+            with recursive {_MINHASH_CTES},
+            u as (
+              select doc_id,
+                'https://host' || (doc_id % 97)::varchar
+                  || '.example.com/p/' || doc_id::varchar as url
+              from documents),
+            h as (
+              select doc_id,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as host
+              from u),
+            sp as (
+              select doc_id,
+                case when (('0x' || substr(md5(host), 1, 8))::bigint
+                           % 100)::int < 10 then 'val'
+                     when (('0x' || substr(md5(host), 1, 8))::bigint
+                           % 100)::int < 20 then 'test'
+                     else 'train' end as split
+              from h)
+            select j.doc_a, j.doc_b,
+                   sa.split as split_a, sb.split as split_b, j.jaccard
+            from j
+            join sp sa on sa.doc_id = j.doc_a
+            join sp sb on sb.doc_id = j.doc_b
+            where sa.split <> sb.split
+            order by j.doc_a, j.doc_b
+        """,
         "sampled_quantiles": _sampled_quantiles_oracle_sql(),
         "bm25": _bm25_oracle_sql(BM25_TERMS),
         "hybrid_rrf": _hybrid_rrf_oracle_sql(BM25_TERMS),

@@ -236,11 +236,25 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("sampled_quantiles", "est_p90"),
                       # batch-5 ops
                       ("dup_ngrams", "dup5gram_char_frac"),
-                      ("source_drift", "jsd_bits")]:
+                      ("source_drift", "jsd_bits"),
+                      # batch-6 ops (classifier eval, footer
+                      # boilerplate, feed parse, meta robots, leakage)
+                      ("auc_report", "auc"),
+                      ("calibration", "gap"),
+                      ("host_suffix", "suffix_len"),
+                      ("split_leakage", "jaccard")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
             q(spark, sf_dir).agg(F.sum(col)).collect())
+    # string-output batch-6 ops: count(col)'s null check forces the
+    # computed value (sum would be an ANSI string cast)
+    for name, col in [("feeds", "published"),
+                      ("meta_robots", "canonical")]:
+        q = entry.queries()[name]
+        _, times[name] = _steady(
+            lambda q=q, col=col:
+            q(spark, sf_dir).agg(F.count(col)).collect())
 
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries

@@ -127,3 +127,114 @@ def deterministic_weights(dim: int, spark) -> DataFrame:
                                           F.col("bucket").cast("string")))
                       % 1000001) / F.lit(1000000.0) - F.lit(0.5))
                     .alias("weight")))
+
+
+def auc_report(scored: DataFrame, group_col: str = "source",
+               score_col: str = "score", label_col: str = "label",
+               threshold: float = 0.5) -> DataFrame:
+    """Distributed classifier evaluation -> one row per group:
+    (group, n_pos, n_neg, auc, tp, fp, fn, tn, precision, recall,
+    f1, accuracy).
+
+    ROC AUC is the Mann-Whitney rank statistic: with S = the sum of
+    positive-class ranks (average rank over score ties),
+    AUC = (S - n_pos(n_pos+1)/2) / (n_pos * n_neg).  This is how a
+    quality-filter sweep is scored at corpus scale (DCLM / FineWeb-Edu
+    style classifier audits): no threshold sweep, no per-pair loop —
+    one rank window plus one aggregation, two exchanges total, the
+    same plan at 10^12 docs.
+
+    Everything stays exact-integer until a single final division:
+    2*avg_rank = 2*rank_min + n_ties - 1 (bigint), so both engines
+    agree bit-for-bit.  Groups missing a class get NULL auc rather
+    than a fabricated 0.5.  The threshold confusion block (tp/fp/
+    fn/tn and the derived P/R/F1/accuracy) rides the same agg."""
+    from pyspark.sql import Window
+
+    g, s, y = F.col(group_col), F.col(score_col), F.col(label_col)
+    w_rank = Window.partitionBy(group_col).orderBy(score_col)
+    w_tie = Window.partitionBy(group_col, score_col)
+    r2 = (F.lit(2) * F.rank().over(w_rank)
+          + F.count(F.lit(1)).over(w_tie) - F.lit(1)).cast("long")
+    pred = (s >= F.lit(float(threshold))).cast("int")
+    t = scored.select(
+        g.alias("grp"), y.cast("int").alias("y"), pred.alias("p"),
+        r2.alias("r2"))
+    agg = (t.groupBy(F.col("grp").alias(group_col))
+           .agg(F.sum("y").cast("long").alias("n_pos"),
+                F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+                F.sum(F.when(F.col("y") == 1, F.col("r2"))
+                      .otherwise(F.lit(0))).cast("long").alias("_s2"),
+                F.sum(F.col("y") * F.col("p")).cast("long").alias("tp"),
+                F.sum((1 - F.col("y")) * F.col("p")).cast("long")
+                .alias("fp"),
+                F.sum(F.col("y") * (1 - F.col("p"))).cast("long")
+                .alias("fn"),
+                F.sum((1 - F.col("y")) * (1 - F.col("p"))).cast("long")
+                .alias("tn")))
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = F.when((np_ > 0) & (nn > 0),
+                 (F.col("_s2") - np_ * (np_ + 1)).cast("double")
+                 / (F.lit(2) * np_ * nn).cast("double"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp").cast("double")
+                  / (F.col("tp") + F.col("fp")).cast("double")) \
+        .otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp").cast("double")
+                 / (F.col("tp") + F.col("fn")).cast("double")) \
+        .otherwise(F.lit(0.0))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+                .cast("double")).otherwise(F.lit(0.0))
+    acc = ((F.col("tp") + F.col("tn")).cast("double")
+           / (np_ + nn).cast("double"))
+    return agg.select(
+        group_col, "n_pos", "n_neg",
+        F.round(auc, 6).alias("auc"),
+        "tp", "fp", "fn", "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(acc, 6).alias("accuracy"))
+
+
+def calibration_report(scored: DataFrame, score_col: str = "score",
+                       label_col: str = "label",
+                       bins: int = 10) -> DataFrame:
+    """Reliability diagram -> one row per confidence bin:
+    (bin, n, n_pos, conf_avg, acc, gap, weight).
+
+    ECE's ingredients, distributed: bin = min(floor(score*bins),
+    bins-1); per bin the mean predicted confidence, the empirical
+    positive rate, and |conf - acc|.  ``weight`` = n_bin / N is the
+    ECE mixing weight (summing weight*gap gives ECE; the per-bin rows
+    are the gateable artifact — a cross-bin double fold would be
+    summation-order-dependent).  One groupBy on a <=bins-cardinality
+    key plus a 1-row broadcast total: map-side combine does all the
+    work, the same two-exchange plan at any corpus size.
+
+    Exactness contract: mean confidence is sum(score)/n, a sum of
+    doubles — callers that need bit-parity across engines (the value
+    gate does) should feed dyadic-rational scores (k / 2^m), whose
+    double sums are exact in any order."""
+    s, y = F.col(score_col), F.col(label_col)
+    b = F.least(F.floor(s * F.lit(bins)).cast("int"), F.lit(bins - 1))
+    t = scored.select(b.alias("bin"), s.alias("s"),
+                      y.cast("long").alias("y"))
+    agg = (t.groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("n_pos"),
+                F.sum("s").alias("_cs")))
+    total = agg.agg(F.sum("n").alias("_tot"))
+    conf = F.col("_cs") / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return (agg.crossJoin(F.broadcast(total))
+            .select("bin", "n", "n_pos",
+                    F.round(conf, 6).alias("conf_avg"),
+                    F.round(acc, 6).alias("acc"),
+                    F.round(F.abs(conf - acc), 6).alias("gap"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("_tot").cast("double"), 6)
+                    .alias("weight")))

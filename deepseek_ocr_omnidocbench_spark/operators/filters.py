@@ -423,3 +423,77 @@ def host_prefix_stats(docs: DataFrame, text_col: str = "text",
                        .alias("shared_prefix"),
                        ((F.col("n_docs") >= 2) & (plen >= min_len))
                        .alias("is_boilerplate")))
+
+
+def host_suffix_stats(docs: DataFrame, text_col: str = "text",
+                      part_col: str = "source", max_suffix: int = 200,
+                      min_len: int = 12) -> DataFrame:
+    """Per-host shared-SUFFIX boilerplate report -> (host, n_docs,
+    suffix_len, shared_suffix, is_boilerplate) — the footer-side twin
+    of :func:`host_prefix_stats` (copyright lines, contact blocks,
+    cookie banners appended to every page of a template site).
+
+    Same order-statistics identity, applied to REVERSED text: the
+    common suffix of a group equals the common prefix of the
+    lexicographic min and max of the reversed strings.  One map-side-
+    combinable min/max aggregation with O(1) state per host; the
+    character comparison runs on one row per host.  Identical plan
+    shape at 10^12 docs: a single groupBy exchange."""
+    rev = F.reverse(F.col(text_col))
+    agg = (docs.select(F.col(part_col).alias("host"), rev.alias("_r"))
+           .groupBy("host")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.min("_r").alias("_lo"),
+                F.max("_r").alias("_hi")))
+    slen = _common_prefix_len(F.col("_lo"), F.col("_hi"), max_suffix)
+    return (agg.select("host", "n_docs", slen.alias("suffix_len"),
+                       F.reverse(F.col("_lo").substr(F.lit(1), slen))
+                       .alias("shared_suffix"),
+                       ((F.col("n_docs") >= 2) & (slen >= min_len))
+                       .alias("is_boilerplate")))
+
+
+def meta_robots_cols(html: Column) -> dict[str, Column]:
+    """Page-level indexing directives from raw HTML -> Columns:
+    ``noindex``, ``nofollow`` (robots <meta> directives, RFC 9309's
+    page-level companion) and ``canonical`` (the <link
+    rel="canonical"> target, NULL when absent).
+
+    A crawler must honor these BEFORE content extraction: noindex
+    pages leave the corpus, nofollow pages keep their outlinks out of
+    the frontier, and rel=canonical overrides URL-string
+    canonicalization with the author's own dedup key.  Pure Column
+    regexps over the html string — zero shuffle, inherits the scan
+    partitioning."""
+    meta = F.regexp_extract(
+        html,
+        r'(?is)<meta\s+[^>]*name\s*=\s*["\']robots["\'][^>]*'
+        r'content\s*=\s*["\']([^"\']*)["\']', 1)
+    low = F.lower(meta)
+    canon = F.regexp_extract(
+        html,
+        r'(?is)<link\s+[^>]*rel\s*=\s*["\']canonical["\'][^>]*'
+        r'href\s*=\s*["\']([^"\']*)["\']', 1)
+    return {
+        "robots_meta": F.nullif(meta, F.lit("")),
+        "noindex": (low.rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")),
+        "nofollow": (low.rlike(r"(^|[,\s])(nofollow|none)([,\s]|$)")),
+        "canonical": F.nullif(canon, F.lit("")),
+    }
+
+
+def meta_robots_gate(pages: DataFrame, html_col: str = "html",
+                     url_col: str = "url") -> DataFrame:
+    """Apply page-level directives -> (url, robots_meta, noindex,
+    nofollow, canonical, dedup_key): the corpus keeps rows with
+    ``noindex = false``; ``dedup_key`` is the canonical target when
+    the author declared one, else the page's own url — the key the
+    URL-dedup pass groups on."""
+    cols = meta_robots_cols(F.col(html_col))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        cols["robots_meta"].alias("robots_meta"),
+        cols["noindex"].alias("noindex"),
+        cols["nofollow"].alias("nofollow"),
+        cols["canonical"].alias("canonical"),
+        F.coalesce(cols["canonical"], F.col(url_col)).alias("dedup_key"))

@@ -298,3 +298,48 @@ def crawl_budget(host_stats: DataFrame, cycle_s: float = 3600.0,
                     F.round(share, 6).alias("share"),
                     F.least(cap, F.floor(share).cast("long"))
                     .alias("quota")))
+
+
+def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
+                host_col: str = "host") -> DataFrame:
+    """RSS 2.0 / Atom feed XML -> one row per entry: (host, link,
+    title, published, kind) — the freshness-seeding companion of
+    :func:`parse_sitemaps` (feeds announce NEW urls hours before
+    sitemaps regenerate, so crawl schedulers poll them for discovery).
+
+    Alignment-safe like the sitemap parser: each <item> (RSS) or
+    <entry> (Atom) block is extracted and exploded FIRST, then every
+    field is pulled from its own block — per-field arrays would shift
+    whenever an entry omits a date or title.  RSS links are element
+    text (<link>url</link>); Atom links are attributes (<link
+    href="url"/>): both are probed per block and coalesced.  Pure
+    Columns, no UDF, no shuffle."""
+    x = F.col(xml_col)
+    items = F.regexp_extract_all(x, F.lit(r"(?s)<item>(.*?)</item>"), 1)
+    entries = F.regexp_extract_all(x, F.lit(r"(?s)<entry>(.*?)</entry>"), 1)
+    blocks = F.concat(
+        F.transform(items, lambda b: F.struct(
+            F.lit("rss").alias("kind"), b.alias("body"))),
+        F.transform(entries, lambda b: F.struct(
+            F.lit("atom").alias("kind"), b.alias("body"))))
+
+    def field(tag: str) -> "F.Column":
+        return F.regexp_extract(F.col("_b.body"),
+                                r"<%s>\s*(.*?)\s*</%s>" % (tag, tag), 1)
+
+    href = F.regexp_extract(F.col("_b.body"),
+                            r'<link[^>]*href\s*=\s*["\']([^"\']*)["\']', 1)
+    link = F.when(F.col("_b.kind") == "rss", field("link")) \
+        .otherwise(href)
+    published = F.coalesce(F.nullif(field("pubDate"), F.lit("")),
+                           F.nullif(field("updated"), F.lit("")),
+                           F.nullif(field("published"), F.lit("")))
+    out = (feeds
+           .select(F.col(host_col).alias("host"),
+                   F.explode(blocks).alias("_b"))
+           .select("host",
+                   link.alias("link"),
+                   F.nullif(field("title"), F.lit("")).alias("title"),
+                   published.alias("published"),
+                   F.col("_b.kind").alias("kind")))
+    return out.where(F.length("link") > 0)

@@ -1,0 +1,218 @@
+"""Round-5 batch 5: classifier evaluation (ROC AUC via rank statistic,
+calibration bins), footer boilerplate, RSS/Atom feed parsing, and
+page-level robots directives."""
+
+from __future__ import annotations
+
+from deepseek_ocr_omnidocbench_spark.operators.classifier import (
+    auc_report,
+    calibration_report,
+)
+from deepseek_ocr_omnidocbench_spark.operators.filters import (
+    host_suffix_stats,
+    meta_robots_gate,
+)
+from deepseek_ocr_omnidocbench_spark.operators.robots import parse_feeds
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, score double, label int")
+
+
+class TestAucReport:
+    def test_perfect_separation(self, spark):
+        rows = [("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0)]
+        out = auc_report(_scored(spark, rows)).collect()[0]
+        assert out["auc"] == 1.0
+        assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (2, 0, 0, 2)
+        assert out["precision"] == 1.0 and out["recall"] == 1.0
+        assert out["f1"] == 1.0 and out["accuracy"] == 1.0
+
+    def test_hand_computed_with_ties(self, spark):
+        # scores: pos at .7, .5; neg at .5, .3.  Pairs (pos, neg):
+        # (.7,.5)=1, (.7,.3)=1, (.5,.5)=0.5 (tie), (.5,.3)=1
+        # AUC = 3.5/4 = 0.875.
+        rows = [("a", 0.7, 1), ("a", 0.5, 1), ("a", 0.5, 0), ("a", 0.3, 0)]
+        out = auc_report(_scored(spark, rows)).collect()[0]
+        assert out["auc"] == 0.875
+        # threshold 0.5: preds pos for .7,.5,.5 -> tp=2 fp=1 fn=0 tn=1
+        assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (2, 1, 0, 1)
+        assert out["precision"] == round(2 / 3, 6)
+        assert out["recall"] == 1.0
+        assert out["f1"] == 0.8
+        assert out["accuracy"] == 0.75
+
+    def test_reversed_classifier_auc_zero(self, spark):
+        rows = [("a", 0.9, 0), ("a", 0.1, 1)]
+        out = auc_report(_scored(spark, rows)).collect()[0]
+        assert out["auc"] == 0.0
+
+    def test_single_class_group_null_auc(self, spark):
+        rows = [("a", 0.9, 1), ("a", 0.1, 1)]
+        out = auc_report(_scored(spark, rows)).collect()[0]
+        assert out["auc"] is None
+        assert out["n_neg"] == 0
+        # P/R still defined from the confusion block
+        assert out["recall"] == 0.5
+
+    def test_groups_independent(self, spark):
+        rows = [("a", 0.9, 1), ("a", 0.1, 0),
+                ("b", 0.9, 0), ("b", 0.1, 1)]
+        out = {r["source"]: r for r in
+               auc_report(_scored(spark, rows)).collect()}
+        assert out["a"]["auc"] == 1.0 and out["b"]["auc"] == 0.0
+
+
+class TestCalibrationReport:
+    def test_hand_computed_bins(self, spark):
+        # bin 0: scores .0 and .05 (one pos) -> conf .025, acc .5
+        # bin 9: scores .95 and 1.0-eps... use .95, .9 (both pos)
+        rows = [("a", 0.0, 0), ("a", 0.05, 1),
+                ("a", 0.9, 1), ("a", 0.95, 1)]
+        out = {r["bin"]: r for r in
+               calibration_report(_scored(spark, rows)).collect()}
+        assert set(out) == {0, 9}
+        assert out[0]["n"] == 2 and out[0]["n_pos"] == 1
+        assert out[0]["conf_avg"] == 0.025 and out[0]["acc"] == 0.5
+        assert out[0]["gap"] == 0.475
+        assert out[0]["weight"] == 0.5
+        assert out[9]["conf_avg"] == 0.925 and out[9]["acc"] == 1.0
+        assert out[9]["gap"] == 0.075
+
+    def test_score_one_clamps_to_top_bin(self, spark):
+        rows = [("a", 1.0, 1)]
+        out = calibration_report(_scored(spark, rows)).collect()
+        assert len(out) == 1 and out[0]["bin"] == 9
+
+
+class TestHostSuffixStats:
+    def _stats(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {r["host"]: r for r in host_suffix_stats(df, **kw).collect()}
+
+    def test_shared_footer_detected(self, spark):
+        footer = " (c) 2024 example corp all rights reserved"
+        out = self._stats(spark, [
+            ("h1", "first doc body" + footer),
+            ("h1", "a different second doc" + footer),
+            ("h1", "third one entirely" + footer)])
+        r = out["h1"]
+        assert r["shared_suffix"] == footer
+        assert r["suffix_len"] == len(footer)
+        assert r["is_boilerplate"]
+
+    def test_no_shared_suffix(self, spark):
+        out = self._stats(spark, [("h1", "alpha ends x"),
+                                  ("h1", "beta ends y")])
+        assert out["h1"]["suffix_len"] == 0
+        assert not out["h1"]["is_boilerplate"]
+
+    def test_single_doc_not_boilerplate(self, spark):
+        out = self._stats(spark, [("h1", "only doc long enough suffix")])
+        # whole text is its own common suffix, but n_docs < 2
+        assert not out["h1"]["is_boilerplate"]
+
+    def test_cap_respected(self, spark):
+        long_footer = "z" * 500
+        out = self._stats(spark, [("h1", "a " + long_footer),
+                                  ("h1", "b " + long_footer)],
+                          max_suffix=200)
+        assert out["h1"]["suffix_len"] == 200
+        assert out["h1"]["shared_suffix"] == "z" * 200
+
+
+class TestParseFeeds:
+    def _parse(self, spark, xml):
+        df = spark.createDataFrame([("h.example", xml)],
+                                   "host string, xml string")
+        return parse_feeds(df).orderBy("link").collect()
+
+    def test_rss_items(self, spark):
+        xml = ("<rss><channel>"
+               "<item><title>A</title><link>https://h/1</link>"
+               "<pubDate>Mon, 01 Jan 2024</pubDate></item>"
+               "<item><link> https://h/2 </link></item>"
+               "</channel></rss>")
+        out = self._parse(spark, xml)
+        assert [(r["link"], r["title"], r["published"], r["kind"])
+                for r in out] == [
+            ("https://h/1", "A", "Mon, 01 Jan 2024", "rss"),
+            ("https://h/2", None, None, "rss")]
+
+    def test_atom_entries(self, spark):
+        xml = ('<feed><entry><title>B</title>'
+               '<link href="https://h/a"/>'
+               "<updated>2024-01-02</updated></entry></feed>")
+        out = self._parse(spark, xml)
+        assert len(out) == 1
+        r = out[0]
+        assert (r["link"], r["title"], r["published"], r["kind"]) == \
+            ("https://h/a", "B", "2024-01-02", "atom")
+
+    def test_missing_link_dropped(self, spark):
+        xml = "<rss><channel><item><title>no link</title></item></channel></rss>"
+        assert self._parse(spark, xml) == []
+
+    def test_optional_fields_do_not_shift(self, spark):
+        # first item has no date; second does — block-first parsing
+        # must not let the second date attach to the first item.
+        xml = ("<rss><channel>"
+               "<item><link>https://h/1</link></item>"
+               "<item><link>https://h/2</link>"
+               "<pubDate>D2</pubDate></item></channel></rss>")
+        out = self._parse(spark, xml)
+        assert [(r["link"], r["published"]) for r in out] == [
+            ("https://h/1", None), ("https://h/2", "D2")]
+
+
+class TestMetaRobots:
+    def _gate(self, spark, html, url="https://u/1"):
+        df = spark.createDataFrame([(url, html)], "url string, html string")
+        return meta_robots_gate(df).collect()[0]
+
+    def test_noindex_nofollow(self, spark):
+        r = self._gate(
+            spark,
+            '<head><meta name="robots" content="noindex, nofollow"></head>')
+        assert r["noindex"] and r["nofollow"]
+        assert r["robots_meta"] == "noindex, nofollow"
+
+    def test_none_directive_means_both(self, spark):
+        r = self._gate(spark,
+                       '<head><meta name="robots" content="none"></head>')
+        assert r["noindex"] and r["nofollow"]
+
+    def test_index_follow_keeps(self, spark):
+        r = self._gate(
+            spark,
+            '<head><meta name="robots" content="index, follow"></head>')
+        assert not r["noindex"] and not r["nofollow"]
+
+    def test_case_insensitive(self, spark):
+        r = self._gate(
+            spark, "<head><META NAME='ROBOTS' CONTENT='NOINDEX'></head>")
+        assert r["noindex"] and not r["nofollow"]
+
+    def test_substring_token_does_not_match(self, spark):
+        # "nosnippet" contains neither token; "noindexing" must not
+        # match the noindex token boundary.
+        r = self._gate(
+            spark,
+            '<head><meta name="robots" content="noindexing,nosnippet">'
+            "</head>")
+        assert not r["noindex"] and not r["nofollow"]
+
+    def test_canonical_overrides_dedup_key(self, spark):
+        r = self._gate(
+            spark,
+            '<head><link rel="canonical" href="https://c/x"></head>',
+            url="https://u/dup")
+        assert r["canonical"] == "https://c/x"
+        assert r["dedup_key"] == "https://c/x"
+
+    def test_no_directives_defaults(self, spark):
+        r = self._gate(spark, "<head><title>t</title></head>")
+        assert r["robots_meta"] is None and r["canonical"] is None
+        assert not r["noindex"] and not r["nofollow"]
+        assert r["dedup_key"] == "https://u/1"
