@@ -3854,6 +3854,141 @@ _META_ROBOTS_ORACLE = """
 """.replace("from d0", "from documents")
 
 
+def _web_graph_fixture(spark, sf_dir):
+    """Deterministic bow-tie-shaped digraph on doc_ids < 120: a core
+    ring (ids ≡0 mod 7, wrap at 120), IN feeders (≡1 → +6 into the
+    ring), OUT spokes (ring → ≡2), mutual disconnected pairs
+    (≡3 mod 14 ↔ +1), and tendrils hanging off the IN side (≡1 → +5).
+    Mirrored verbatim as UNION ALL arms in the DuckDB oracles."""
+    d = (_docs(spark, sf_dir)
+         .select(F.col("doc_id").alias("n")).where(F.col("n") < 120))
+    n = F.col("n")
+    # ring chords (+21, +49 = 3 and 7 ring-hops) keep the core one SCC
+    # while cutting its diameter from 17 to ~4: directed min-label
+    # reachability is inherently O(diameter) rounds (the wave moves one
+    # hop per round; pointer jumping can't accelerate a self-vs-minimum
+    # label pattern), so fixture diameter is gate wall-time.
+    arms = [
+        d.where(n % 7 == 0).select(
+            n.alias("src"), ((n + 7) % 126).alias("dst")),
+        d.where(n % 7 == 0).select(
+            n.alias("src"), ((n + 21) % 126).alias("dst")),
+        d.where(n % 7 == 0).select(
+            n.alias("src"), ((n + 49) % 126).alias("dst")),
+        d.where((n % 7 == 1) & (n < 113)).select(
+            n.alias("src"), (n + 6).alias("dst")),
+        d.where((n % 7 == 2) & (n >= 7)).select(
+            (n - 2).alias("src"), n.alias("dst")),
+        d.where((n % 14 == 3) & (n < 119)).select(
+            n.alias("src"), (n + 1).alias("dst")),
+        d.where((n % 14 == 3) & (n < 119)).select(
+            (n + 1).alias("src"), n.alias("dst")),
+        d.where((n % 7 == 1) & (n < 112)).select(
+            n.alias("src"), (n + 5).alias("dst")),
+    ]
+    e = arms[0]
+    for a in arms[1:]:
+        e = e.union(a)
+    return e
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the bow-tie fixture digraph:
+    forward-backward anchor extraction with pointer-jumped directed
+    min-label fixpoints (graph.py:scc) — the cycle/structure
+    decomposition behind Broder-style web analysis and crawl loop
+    breaking.  Oracle: recursive-CTE transitive closure; scc_id(u) =
+    min id mutually reachable with u."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import scc
+
+    return (scc(_web_graph_fixture(spark, sf_dir))
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("scc_id").cast("long").alias("scc_id"))
+            .orderBy("node"))
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the fixture digraph: largest
+    SCC = core, sentinel-seeded directed reachability fixpoints for
+    in/out, weak-component membership for tendril vs disconnected.
+    The crawl-planning artifact that says which frontier seeds can
+    ever reach which content."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import bowtie
+
+    return (bowtie(_web_graph_fixture(spark, sf_dir))
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("scc_id").cast("long").alias("scc_id"),
+                    "region")
+            .orderBy("node"))
+
+
+_WEB_GRAPH_SQL = """
+    ns as (select doc_id as n from documents where doc_id < 120),
+    e as (
+      select n as src, (n + 7) % 126 as dst from ns where n % 7 = 0
+      union all select n, (n + 21) % 126 from ns where n % 7 = 0
+      union all select n, (n + 49) % 126 from ns where n % 7 = 0
+      union all select n, n + 6 from ns where n % 7 = 1 and n < 113
+      union all select n - 2, n from ns where n % 7 = 2 and n >= 7
+      union all select n, n + 1 from ns where n % 14 = 3 and n < 119
+      union all select n + 1, n from ns where n % 14 = 3 and n < 119
+      union all select n, n + 5 from ns where n % 7 = 1 and n < 112),
+    v as (select src as node from e union select dst from e),
+    reach(a, b) as (
+      select src, dst from e
+      union
+      select r.a, e.dst from reach r join e on e.src = r.b),
+    mut as (
+      select ra.a as u, ra.b as m
+      from reach ra join reach rb on rb.a = ra.b and rb.b = ra.a),
+    scc as (
+      select v.node,
+             least(v.node, coalesce(min(mut.m), v.node)) as scc_id
+      from v left join mut on mut.u = v.node
+      group by v.node)
+"""
+
+_SCC_ORACLE = f"""
+    with recursive {_WEB_GRAPH_SQL}
+    select node::bigint as node, scc_id::bigint as scc_id
+    from scc order by node
+"""
+
+_BOWTIE_ORACLE = f"""
+    with recursive {_WEB_GRAPH_SQL},
+    sz as (select scc_id, count(*) as c from scc group by scc_id),
+    core_sel as (
+      select scc_id from sz order by c desc, scc_id asc limit 1),
+    corenodes as (select node from scc join core_sel using (scc_id)),
+    fwdhit as (
+      select distinct r.b as node
+      from reach r join corenodes c on r.a = c.node),
+    bwdhit as (
+      select distinct r.a as node
+      from reach r join corenodes c on r.b = c.node),
+    ue as (select src, dst from e union select dst, src from e),
+    ureach(a, b) as (
+      select src, dst from ue
+      union
+      select r.a, ue.dst from ureach r join ue on ue.src = r.b),
+    wcc as (
+      select v.node,
+             least(v.node, coalesce(min(ur.a), v.node)) as wid
+      from v left join ureach ur on ur.b = v.node
+      group by v.node),
+    corewcc as (
+      select min(wid) as w from wcc join corenodes using (node))
+    select s.node::bigint as node, s.scc_id::bigint as scc_id,
+      case when s.scc_id = (select scc_id from core_sel) then 'core'
+           when s.node in (select node from fwdhit) then 'out'
+           when s.node in (select node from bwdhit) then 'in'
+           when w.wid = (select w from corewcc) then 'tendril'
+           else 'disconnected' end as region
+    from scc s join wcc w on w.node = s.node
+    order by s.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -3970,6 +4105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feeds": q_feeds,
         "meta_robots": q_meta_robots,
         "split_leakage": q_split_leakage,
+        "scc": q_scc,
+        "bowtie": q_bowtie,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5242,6 +5379,8 @@ def oracle_sql() -> dict[str, str]:
         "host_prefix": _HOST_PREFIX_ORACLE,
         "auc_report": _AUC_ORACLE,
         "calibration": _CALIBRATION_ORACLE,
+        "scc": _SCC_ORACLE,
+        "bowtie": _BOWTIE_ORACLE,
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

@@ -256,6 +256,15 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
             lambda q=q, col=col:
             q(spark, sf_dir).agg(F.count(col)).collect())
 
+    # bow-tie decomposition (subsumes scc): single-shot — the cost is
+    # ~25 sequential fixpoint iterations of driver-loop jobs on the
+    # constant-size (<120-node) fixture, so min-of-2 would double a
+    # structurally deterministic wall time for no noise benefit
+    q_bt = entry.queries()["bowtie"]
+    t0 = time.time()
+    q_bt(spark, sf_dir).agg(F.sum("scc_id")).collect()
+    times["bowtie"] = round(time.time() - t0, 3)
+
     # EVERY loop query gets the min-of-2 treatment: a round-5 sample
     # caught an end-of-run host-noise burst reading sub-second queries
     # at 9-18 s single-shot (sessionize 0.9 -> 12.0, anchor_text

@@ -725,3 +725,170 @@ def assortativity(edges: DataFrame, src_col: str = "src",
     return m.select(F.col("n").cast("long").alias("n_edges"),
                     F.when(den > 0, F.round(num / den, 6))
                     .alias("assortativity"))
+
+
+def _reach_min(edges: DataFrame, nodes: DataFrame,
+               init: DataFrame | None = None,
+               max_iters: int = 30) -> DataFrame:
+    """Directed min-label reachability fixpoint -> (node, lbl) where
+    lbl(v) = min label among {v} ∪ {u : u reaches v} (labels default
+    to the node id itself; pass ``init`` (node, lbl) to seed, e.g. a
+    sentinel below every real id for set-reachability).
+
+    Pointer jumping is SOUND here even though edges are directed:
+    lbl(v) reaches v and lbl(lbl(v)) reaches lbl(v), so the
+    composition reaches v — each round halves remaining label-chain
+    lengths, giving O(log diameter) rounds like the undirected CC
+    kernel.  Per round: one groupBy keyed on dst + one label
+    self-join, both on node ids; lineage truncated with eager
+    localCheckpoints.  Labels only decrease, so zero changes ==
+    fixpoint (one count per round)."""
+    labels = (init if init is not None
+              else nodes.select("node", F.col("node").alias("lbl"))) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.select(F.col("node").alias("src"),
+                                        F.col("lbl").alias("nl")), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("nl").alias("lbl")))
+        new = (labels.union(nbr)
+               .groupBy("node").agg(F.min("lbl").alias("lbl")))
+        new = (new.join(labels.select(F.col("node").alias("lbl"),
+                                      F.col("lbl").alias("ll")),
+                        "lbl", "left")
+               .select("node",
+                       F.least(F.col("lbl"), F.coalesce("ll", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("lbl", "old"), "node")
+                   .where(F.col("lbl") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def scc(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+        max_rounds: int = 10, max_iters: int = 30) -> DataFrame:
+    """Strongly connected components of a directed graph ->
+    (node, scc_id) with scc_id = the component's minimum node id —
+    the decomposition behind every web-structure analysis since
+    Broder et al. 2000 (the bow-tie), and the cycle detector a crawl
+    scheduler needs to break redirect/link loops.
+
+    Forward-Backward anchor extraction, all DataFrame ops:
+    per outer round (1) F(u) = min id reaching u (directed min-label
+    fixpoint WITH pointer jumping — see _reach_min); every F-class is
+    anchored at its own minimum m (F(m) = m), and any u→…→m path
+    stays inside the class, so (2) R(u) = min id reachable from u
+    along F-EQUAL edges detects mutual reachability: SCC(m) =
+    {u : F(u) = m and R(u) = m}.  Extract every anchor SCC (one per
+    class, all classes in parallel), drop those nodes, repeat.
+
+    Scale: each round's state is |V| label rows + |E| edges keyed on
+    node ids; nothing quadratic.  Web graphs are bow-ties — one giant
+    SCC plus DAG periphery — so the giant core and every source-side
+    class anchor extract in round 1 and the DAG tail drains in a few
+    more; the adversarial worst case (a directed chain extracts one
+    anchor per round) is bounded by ``max_rounds``, after which any
+    unresolved nodes raise rather than return a wrong answer."""
+    remaining = (edges.select(F.col(src_col).alias("src"),
+                              F.col(dst_col).alias("dst"))
+                 .where(F.col("src") != F.col("dst"))
+                 .distinct().localCheckpoint(eager=True))
+    nodes = (remaining.select(F.col("src").alias("node"))
+             .union(remaining.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    out = None
+    for _ in range(max_rounds):
+        if nodes.limit(1).count() == 0:
+            break
+        fwd = _reach_min(remaining, nodes, max_iters=max_iters)
+        eq = (remaining
+              .join(fwd.select(F.col("node").alias("src"),
+                               F.col("lbl").alias("fa")), "src")
+              .join(fwd.select(F.col("node").alias("dst"),
+                               F.col("lbl").alias("fb")), "dst")
+              .where(F.col("fa") == F.col("fb"))
+              .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+              .localCheckpoint(eager=True))
+        back = _reach_min(eq, nodes, max_iters=max_iters)
+        done = (fwd.join(back.withColumnRenamed("lbl", "rl"), "node")
+                .where(F.col("lbl") == F.col("rl"))
+                .select("node", F.col("lbl").alias("scc_id"))
+                .localCheckpoint(eager=True))
+        out = done if out is None else out.union(done)
+        nodes = (nodes.join(done.select("node"), "node", "left_anti")
+                 .localCheckpoint(eager=True))
+        remaining = (remaining
+                     .join(nodes.select(F.col("node").alias("src")), "src")
+                     .join(nodes.select(F.col("node").alias("dst")), "dst")
+                     .localCheckpoint(eager=True))
+    if nodes.limit(1).count() > 0:
+        raise ValueError(
+            "scc: %d nodes unresolved after max_rounds=%d (adversarial "
+            "chain-shaped graph — raise max_rounds)"
+            % (nodes.count(), max_rounds))
+    if out is None:  # empty / self-loop-only edge list
+        return remaining.select(F.col("src").alias("node"),
+                                F.col("src").alias("scc_id")).limit(0)
+    return out.localCheckpoint(eager=True)
+
+
+def bowtie(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+           sentinel=-1, **scc_kw) -> DataFrame:
+    """Broder bow-tie decomposition -> (node, scc_id, region) with
+    region in {'core', 'in', 'out', 'tendril', 'disconnected'}:
+    the canonical map of web-graph macro-structure (Broder et al.
+    2000), and the crawl-planning artifact that says which frontier
+    seeds can ever reach which content.
+
+    core = the largest SCC (ties: smallest scc_id); in/out = nodes
+    that reach / are reached by the core (via one sentinel-seeded
+    directed min-label fixpoint each — the sentinel sorts below every
+    real id, seeds the core rows, and pointer jumping applies);
+    tendril = rest of the core's weakly connected component (Broder's
+    TENDRILS + TUBES, folded); disconnected = everything else.
+    Driver-side state: two 1-row scalars (core scc_id, core WCC id).
+    """
+    from .dedup import connected_components
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=True))
+    comps = scc(e, **scc_kw)
+    nodes = comps.select("node").localCheckpoint(eager=True)
+    top = (comps.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("scc_id")).limit(1).collect())
+    core_id = top[0]["scc_id"]
+    core = comps.where(F.col("scc_id") == F.lit(core_id)).select("node")
+
+    def _reached(edge_df: DataFrame) -> DataFrame:
+        """(node, hit) — hit iff some core node reaches `node`."""
+        seed = (nodes.join(core.withColumn("_c", F.lit(1)), "node", "left")
+                .select("node",
+                        F.when(F.col("_c").isNotNull(), F.lit(sentinel))
+                        .otherwise(F.col("node")).alias("lbl")))
+        r = _reach_min(edge_df, nodes, init=seed)
+        return r.select("node", (F.col("lbl") == F.lit(sentinel))
+                        .alias("hit"))
+
+    fwd = _reached(e).withColumnRenamed("hit", "fwd")
+    bwd = _reached(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"))) \
+        .withColumnRenamed("hit", "bwd")
+    wcc = connected_components(e, a_col="src", b_col="dst")
+    core_wcc = (wcc.join(core, wcc["node"] == core["node"])
+                .select(wcc["cluster_id"]).limit(1).collect()[0][0])
+    lab = (comps.join(fwd, "node").join(bwd, "node")
+           .join(wcc.withColumnRenamed("cluster_id", "wc"), "node"))
+    # fwd = core reaches the node (OUT side); bwd = the node reaches
+    # core (IN side).  For non-core nodes both can't hold (that would
+    # put the node in the core SCC).
+    region = (F.when(F.col("scc_id") == F.lit(core_id), "core")
+              .when(F.col("fwd"), "out")
+              .when(F.col("bwd"), "in")
+              .when(F.col("wc") == F.lit(core_wcc), "tendril")
+              .otherwise("disconnected"))
+    return lab.select("node", "scc_id", region.alias("region"))
