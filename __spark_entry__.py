@@ -3989,6 +3989,173 @@ _BOWTIE_ORACLE = f"""
 """
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """IR scorecard (nDCG@10 / MRR / recall / P@10) over a
+    deterministic multi-query fixture: 20 queries rank 200 docs by an
+    md5 pseudo-score (top-10 kept), graded judgments rel∈{0,1,2} from
+    an independent md5 stream.  DCG folds per-rank pivot terms through
+    one explicit left-associated sum with Python-precomputed 1/log2
+    weights embedded as identical literals in both engines."""
+    from deepseek_ocr_omnidocbench_spark.operators.ranking import (
+        retrieval_eval)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 200)
+    qs = (_docs(spark, sf_dir).select(F.col("doc_id").alias("query_id"))
+          .where(F.col("query_id") < 20))
+    pairs = d.crossJoin(F.broadcast(qs))  # 20-row dim: fixture-sized
+    h = D.md5_hash64(F.concat(F.col("query_id").cast("string"),
+                              F.lit(","),
+                              F.col("doc_id").cast("string"),
+                              F.lit(",s")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_s"),
+                                                F.asc("doc_id"))
+    runs = (pairs.select("query_id", "doc_id", h.alias("_s"))
+            .withColumn("rank", F.row_number().over(wq))
+            .where(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "rank"))
+    rh = F.pmod(D.md5_hash64(F.concat(F.col("query_id").cast("string"),
+                                      F.lit(",r,"),
+                                      F.col("doc_id").cast("string"))),
+                F.lit(10))
+    qrels = pairs.select(
+        "query_id", "doc_id",
+        F.when(rh == 0, F.lit(2)).when(rh == 1, F.lit(1))
+        .otherwise(F.lit(0)).alias("rel"))
+    return (retrieval_eval(runs, qrels, k=10)
+            .orderBy("query_id"))
+
+
+def q_ks_drift(spark, sf_dir):
+    """Per-source two-sample Kolmogorov-Smirnov drift test of the
+    doc-length distribution vs the rest of the corpus — exact-bigint
+    ECDF-step numerator, one final division, asymptotic Kolmogorov
+    p-value folded in fixed term order."""
+    return (TS.ks_by_group(_docs(spark, sf_dir), "n_chars")
+            .orderBy("source"))
+
+
+def _retrieval_eval_oracle_sql(k: int = 10) -> str:
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+    def dcg_terms(rank_col: str) -> str:
+        parts = [
+            "coalesce(max(case when %s = %d then g * %r::double end),"
+            " 0.0::double)" % (rank_col, i + 1, w[i])
+            for i in range(k)]
+        return " + ".join(parts)
+
+    return f"""
+    with d as (select doc_id from documents where doc_id < 200),
+    q as (select doc_id as query_id from documents where doc_id < 20),
+    pairs as (select query_id, doc_id from d cross join q),
+    scored_p as (
+      select query_id, doc_id,
+        ('0x' || substr(md5(query_id::varchar || ',' || doc_id::varchar
+                            || ',s'), 1, 15))::bigint as s,
+        ('0x' || substr(md5(query_id::varchar || ',r,'
+                            || doc_id::varchar), 1, 15))::bigint % 10
+          as rh
+      from pairs),
+    runs as (
+      select query_id, doc_id, r from (
+        select query_id, doc_id,
+          row_number() over (partition by query_id
+                             order by s desc, doc_id asc) as r
+        from scored_p) where r <= {k}),
+    jud as (
+      select query_id, doc_id,
+        case when rh = 0 then 2 else 1 end as rel,
+        (pow(2.0, (case when rh = 0 then 2 else 1 end)::double)
+         - 1.0) as g
+      from scored_p where rh <= 1),
+    sc as (
+      select runs.query_id as q2, runs.r, jud.g
+      from runs left join jud
+        on jud.query_id = runs.query_id and jud.doc_id = runs.doc_id),
+    dcg as (select q2, {dcg_terms('r')} as dcg from sc group by q2),
+    ideal as (
+      select query_id, g,
+        row_number() over (partition by query_id
+                           order by rel desc, doc_id asc) as ir
+      from jud),
+    idcg as (
+      select query_id, {dcg_terms('ir')} as idcg
+      from ideal where ir <= {k} group by query_id),
+    perq as (
+      select runs.query_id,
+        sum(case when jud.doc_id is not null then 1 else 0 end)::bigint
+          as hits,
+        min(case when jud.doc_id is not null then runs.r end) as first_rel
+      from runs left join jud
+        on jud.query_id = runs.query_id and jud.doc_id = runs.doc_id
+      group by runs.query_id),
+    nrel as (select query_id, count(*)::bigint as n_rel
+             from jud group by query_id),
+    base as (select distinct query_id from runs)
+    select b.query_id,
+      coalesce(n.n_rel, 0)::bigint as n_rel,
+      coalesce(p.hits, 0)::bigint as hits,
+      round(case when coalesce(i.idcg, 0.0::double) > 0
+        then dc.dcg / i.idcg else 0.0::double end, 6) as ndcg,
+      round(case when p.first_rel is not null
+        then 1.0::double / p.first_rel::double
+        else 0.0::double end, 6) as mrr,
+      round(case when coalesce(n.n_rel, 0) > 0
+        then coalesce(p.hits, 0)::double / n.n_rel::double
+        else 0.0::double end, 6) as recall,
+      round(coalesce(p.hits, 0)::double / {float(k)!r}::double, 6)
+        as "precision"
+    from base b
+    left join perq p on p.query_id = b.query_id
+    left join nrel n on n.query_id = b.query_id
+    left join dcg dc on dc.q2 = b.query_id
+    left join idcg i on i.query_id = b.query_id
+    order by b.query_id
+    """
+
+
+_KS_DRIFT_ORACLE = """
+    with v as (select source as grp, n_chars::bigint as val
+               from documents),
+    per as (select grp, val, count(*)::bigint as c
+            from v group by grp, val),
+    tot as (select val, count(*)::bigint as ct from v group by val),
+    grp_n as (select grp, count(*)::bigint as n_a from v group by grp),
+    nt as (select count(*)::bigint as n_t from v),
+    grid as (
+      select g.grp, t.val, g.n_a, t.ct, coalesce(p.c, 0) as c, nt.n_t
+      from grp_n g cross join tot t cross join nt
+      left join per p on p.grp = g.grp and p.val = t.val),
+    cums as (
+      select grp, n_a, (n_t - n_a)::bigint as n_b,
+        sum(c) over (partition by grp order by val) as cum_a,
+        sum(ct) over (partition by grp order by val) as cum_t
+      from grid),
+    agg as (
+      select grp, max(n_a)::bigint as n_a, max(n_b)::bigint as n_b,
+        max(abs(cum_a * n_b - (cum_t - cum_a) * n_a))::bigint as d_num
+      from cums group by grp),
+    st as (select grp, n_a, n_b,
+             d_num::double / (n_a * n_b)::double as d
+           from agg),
+    l as (select grp, n_a, n_b, d,
+            (d * d) * (n_a * n_b)::double / (n_a + n_b)::double as lam2
+          from st)
+    select grp as source, n_a, n_b, round(d, 6) as d_stat,
+      round(least(greatest(2.0::double * (
+        1.0::double * exp(-2.0::double * lam2)
+        + -1.0::double * exp(-8.0::double * lam2)
+        + 1.0::double * exp(-18.0::double * lam2)
+        + -1.0::double * exp(-32.0::double * lam2)
+        + 1.0::double * exp(-50.0::double * lam2)),
+        0.0::double), 1.0::double), 6) as p_approx
+    from l order by grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4107,6 +4274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "scc": q_scc,
         "bowtie": q_bowtie,
+        "retrieval_eval": q_retrieval_eval,
+        "ks_drift": q_ks_drift,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5381,6 +5550,8 @@ def oracle_sql() -> dict[str, str]:
         "calibration": _CALIBRATION_ORACLE,
         "scc": _SCC_ORACLE,
         "bowtie": _BOWTIE_ORACLE,
+        "retrieval_eval": _retrieval_eval_oracle_sql(),
+        "ks_drift": _KS_DRIFT_ORACLE,
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

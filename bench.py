@@ -242,7 +242,9 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("auc_report", "auc"),
                       ("calibration", "gap"),
                       ("host_suffix", "suffix_len"),
-                      ("split_leakage", "jaccard")]:
+                      ("split_leakage", "jaccard"),
+                      ("retrieval_eval", "ndcg"),
+                      ("ks_drift", "d_stat")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

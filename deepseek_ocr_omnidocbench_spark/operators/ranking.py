@@ -161,3 +161,88 @@ def passage_chunks(docs: DataFrame, text_col: str = "text",
                         F.slice(F.col("_ws"),
                                 (F.col("chunk_id") * stride + 1)
                                 .cast("int"), size), " ").alias("chunk")))
+
+
+def retrieval_eval(runs: DataFrame, qrels: DataFrame, k: int = 10,
+                   query_col: str = "query_id", id_col: str = "doc_id",
+                   rank_col: str = "rank",
+                   rel_col: str = "rel") -> DataFrame:
+    """Graded retrieval evaluation -> one row per query:
+    (query, n_rel, hits, ndcg, mrr, recall, precision) — the standard
+    IR scorecard (nDCG@k with the 2^rel-1 gain, MRR@k, recall@k,
+    P@k) that closes the loop on the BM25 / RRF / ANN retrieval layer:
+    a corpus-scale "did the index get better" job is exactly this over
+    millions of (query, ranked-list) pairs.
+
+    Engine-exact by construction: DCG folds k per-rank terms
+    gain_i * w_i through ONE explicit left-associated sum expression,
+    where w_i = 1/log2(i+1) are PYTHON-precomputed double literals
+    (embedding the same literal in Spark and the SQL oracle removes
+    the cross-engine libm-log2 last-ulp risk), and every other number
+    is a bigint until a single final division.  Unjudged ranked docs
+    gain 0 (standard trec_eval behavior); queries with no relevant
+    docs get ndcg/mrr/recall 0.
+
+    Scale: one join of the run table against qrels on (query, doc) —
+    both keyed uniform — then a k-column pivot per query: two
+    shuffles, no explode, state O(1) per query."""
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    q, d = F.col(query_col), F.col(id_col)
+    rel = F.col(rel_col).cast("long")
+    gain = (F.pow(F.lit(2.0), rel.cast("double")) - 1.0)
+
+    # judged gains joined onto the run; rank limited to k
+    run_k = runs.where(F.col(rank_col) <= k).select(
+        q.alias("q"), d.alias("d"), F.col(rank_col).alias("r"))
+    jud = qrels.where(rel > 0).select(
+        q.alias("q"), d.alias("d"), rel.alias("rel"), gain.alias("g"))
+    scored = run_k.join(jud.select("q", "d", "rel", "g"),
+                        ["q", "d"], "left")
+
+    def _dcg(col_rank: str, col_gain: str, src: DataFrame) -> DataFrame:
+        terms = [F.max(F.when(F.col(col_rank) == i + 1,
+                              F.col(col_gain) * F.lit(w[i])))
+                 for i in range(k)]
+        expr = F.coalesce(terms[0], F.lit(0.0))
+        for t in terms[1:]:
+            expr = expr + F.coalesce(t, F.lit(0.0))
+        return src.groupBy("q").agg(expr.alias("_v"))
+
+    dcg = _dcg("r", "g", scored).withColumnRenamed("_v", "dcg")
+    # ideal ranking: judged docs by rel desc (doc id tie-break)
+    wi = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("d"))
+    ideal = jud.withColumn("ir", F.row_number().over(wi)) \
+        .where(F.col("ir") <= k)
+    idcg = _dcg("ir", "g", ideal).withColumnRenamed("_v", "idcg")
+
+    per_q = (run_k.join(jud.select("q", "d", F.lit(1).alias("_hit")),
+                        ["q", "d"], "left")
+             .groupBy("q")
+             .agg(F.sum(F.when(F.col("_hit").isNotNull(), 1)
+                        .otherwise(0)).cast("long").alias("hits"),
+                  F.min(F.when(F.col("_hit").isNotNull(), F.col("r")))
+                  .alias("first_rel")))
+    n_rel = jud.groupBy("q").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_rel"))
+    base = runs.select(q.alias("q")).distinct()
+    out = (base.join(per_q, "q", "left").join(n_rel, "q", "left")
+           .join(dcg, "q", "left").join(idcg, "q", "left"))
+    nrel = F.coalesce("n_rel", F.lit(0))
+    hits = F.coalesce("hits", F.lit(0))
+    ndcg = F.when(F.coalesce("idcg", F.lit(0.0)) > 0,
+                  F.col("dcg") / F.col("idcg")).otherwise(F.lit(0.0))
+    mrr = F.when(F.col("first_rel").isNotNull(),
+                 F.lit(1.0) / F.col("first_rel").cast("double")) \
+        .otherwise(F.lit(0.0))
+    recall = F.when(nrel > 0, hits.cast("double") / nrel.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return out.select(
+        F.col("q").alias(query_col),
+        nrel.alias("n_rel"), hits.alias("hits"),
+        F.round(ndcg, 6).alias("ndcg"),
+        F.round(mrr, 6).alias("mrr"),
+        F.round(recall, 6).alias("recall"),
+        F.round(hits.cast("double") / F.lit(float(k)), 6)
+        .alias("precision"))

@@ -1069,3 +1069,65 @@ def source_js_divergence(docs: DataFrame, part_col: str = "source",
                                           + F.col("_tp"))
                             + F.lit(0.5) * F.col("_tq"), 6)
                     .alias("jsd_bits")))
+
+
+def ks_by_group(rows: DataFrame, value_col: str, group_col: str = "source",
+                terms: int = 5) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test of every group's value
+    distribution against the REST of the corpus -> (group, n_a, n_b,
+    d_stat, p_approx): the distribution-level drift alarm next to the
+    unigram JS divergence (source_js_divergence) — "did this source's
+    doc-length / quality-score distribution shift?" is the standard
+    per-snapshot corpus health check.
+
+    Exact-integer core: with cum_a(v) = #{group values <= v} and
+    cum_t(v) the corpus cumulative, the KS statistic is
+
+        D = max_v |cum_a*n_b - (cum_t-cum_a)*n_a| / (n_a*n_b)
+
+    — the numerator stays bigint (ECDF steps only occur at observed
+    values, so scanning distinct values is exhaustive), and the single
+    final division makes D bit-identical across engines.  The p-value
+    is the asymptotic Kolmogorov series 2*sum_j (-1)^(j-1)
+    exp(-2 j^2 lam^2) with lam = D*sqrt(n_a*n_b/(n_a+n_b)), folded in
+    fixed term order (j = 1..terms) and clamped to [0, 1].
+
+    Scale: one groupBy on (group, value), one on value, a groups x
+    distinct-values grid (bounded: value domains like doc length or
+    score deciles are small; 10^5 values x 10^3 sources is trivial
+    next to the corpus scan), and one cumulative window per group."""
+    from pyspark.sql import Window
+
+    v = rows.select(F.col(group_col).alias("grp"),
+                    F.col(value_col).cast("long").alias("val"))
+    per = v.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c"))
+    tot = v.groupBy("val").agg(F.count(F.lit(1)).alias("ct"))
+    groups = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n_a"))
+    n_t = v.count()  # one driver scalar, fixed for the whole job
+    grid = (groups.crossJoin(tot)
+            .join(per, ["grp", "val"], "left")
+            .select("grp", "val", "n_a", "ct",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    w = Window.partitionBy("grp").orderBy("val")
+    cum_a = F.sum("c").over(w)
+    cum_t = F.sum("ct").over(w)
+    n_b = (F.lit(n_t) - F.col("n_a")).cast("long")
+    d_num = F.abs(cum_a * n_b - (cum_t - cum_a) * F.col("n_a"))
+    stepped = grid.select("grp", "n_a", n_b.alias("n_b"),
+                          d_num.cast("long").alias("dn"))
+    agg = (stepped.groupBy("grp")
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.max("dn").alias("d_num")))
+    d = F.col("d_num").cast("double") \
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    lam2 = (d * d) * (F.col("n_a") * F.col("n_b")).cast("double") \
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    p = None
+    for j in range(1, terms + 1):
+        term = F.lit(float((-1) ** (j - 1))) \
+            * F.exp(F.lit(-2.0 * j * j) * lam2)
+        p = term if p is None else p + term
+    p = F.least(F.greatest(F.lit(2.0) * p, F.lit(0.0)), F.lit(1.0))
+    return agg.select(F.col("grp").alias(group_col), "n_a", "n_b",
+                      F.round(d, 6).alias("d_stat"),
+                      F.round(p, 6).alias("p_approx"))
