@@ -4156,6 +4156,140 @@ _KS_DRIFT_ORACLE = """
 """
 
 
+def _variant_pages(spark, sf_dir):
+    """Deterministic language-edition fixture: docs form groups of 3
+    (en/de/fr editions of one article); every page declares its two
+    sibling editions via <link rel=alternate hreflang> and the en
+    edition adds an amphtml mobile variant.  Boundary groups (corpus
+    size not divisible by 3) declare phantom siblings — parser and
+    clustering must handle declared-but-unfetched urls."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    g = (did - did % 3).cast("string")
+
+    def lang(m):
+        return (F.when(m == 0, "en").when(m == 1, "de")
+                .otherwise(F.lit("fr")))
+
+    m = did % 3
+    base = F.concat(F.lit("https://v.example/g"), g, F.lit("/"))
+    url = F.concat(base, lang(m))
+
+    def alt(mm):
+        lg = lang(mm)
+        return F.concat(F.lit('<link rel="alternate" hreflang="'), lg,
+                        F.lit('" href="'), base, lg, F.lit('">'))
+
+    amp = F.when(m == 0, F.concat(
+        F.lit('<link rel="amphtml" href="'), base,
+        F.lit('en/amp">'))).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head>"), alt((m + 1) % 3),
+                    alt((m + 2) % 3), amp,
+                    F.lit("</head><body>x</body></html>"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_hreflang(spark, sf_dir):
+    """hreflang / amphtml alternate extraction: block-first <link>-tag
+    parse (attribute order inside a tag can't shift fields) over the
+    language-edition fixture — the author-declared variant edges a
+    multilingual dedup pass consumes."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        page_alternates)
+
+    return (page_alternates(_variant_pages(spark, sf_dir))
+            .orderBy("url", "rel", "href"))
+
+
+def q_variant_clusters(spark, sf_dir):
+    """Language-edition clustering: string-node connected components
+    over the alternate-link graph -> every page mapped to its
+    lexicographically-smallest edition url.  The dedup key URL
+    canonicalization cannot derive (same article at /en/ /de/ /fr/
+    plus an AMP mirror is one family only the hreflang edges link)."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        variant_clusters)
+
+    return (variant_clusters(_variant_pages(spark, sf_dir))
+            .orderBy("url"))
+
+
+_VARIANT_PAGES_SQL = """
+    vp as (
+      select
+        'https://v.example/g' || (doc_id - doc_id % 3)::varchar || '/'
+          || (case doc_id % 3 when 0 then 'en' when 1 then 'de'
+              else 'fr' end) as url,
+        '<html><head>'
+        || '<link rel="alternate" hreflang="'
+        || (case (doc_id + 1) % 3 when 0 then 'en' when 1 then 'de'
+            else 'fr' end)
+        || '" href="https://v.example/g'
+        || (doc_id - doc_id % 3)::varchar || '/'
+        || (case (doc_id + 1) % 3 when 0 then 'en' when 1 then 'de'
+            else 'fr' end) || '">'
+        || '<link rel="alternate" hreflang="'
+        || (case (doc_id + 2) % 3 when 0 then 'en' when 1 then 'de'
+            else 'fr' end)
+        || '" href="https://v.example/g'
+        || (doc_id - doc_id % 3)::varchar || '/'
+        || (case (doc_id + 2) % 3 when 0 then 'en' when 1 then 'de'
+            else 'fr' end) || '">'
+        || case when doc_id % 3 = 0
+           then '<link rel="amphtml" href="https://v.example/g'
+             || (doc_id - doc_id % 3)::varchar || '/en/amp">'
+           else '' end
+        || '</head><body>x</body></html>' as html
+      from documents),
+    tags as (
+      select url,
+        unnest(regexp_extract_all(html, '(?is)<link\\s+[^>]*>', 0)) as t
+      from vp),
+    alts as (
+      select url,
+        lower(regexp_extract(t,
+          '(?is)\\brel\\s*=\\s*["'']([^"'']*)["'']', 1)) as rel,
+        nullif(lower(regexp_extract(t,
+          '(?is)\\bhreflang\\s*=\\s*["'']([^"'']*)["'']', 1)), '')
+          as hreflang,
+        regexp_extract(t,
+          '(?is)\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1) as href
+      from tags)
+    , av as (select * from alts
+             where rel in ('alternate', 'amphtml') and len(href) > 0)
+"""
+
+_HREFLANG_ORACLE = f"""
+    with {_VARIANT_PAGES_SQL}
+    select url, rel, hreflang, href from av order by url, rel, href
+"""
+
+# clustering oracle: the fixture's variant graphs have diameter <= 2
+# (every group is en/de/fr mutually declared + an amp leaf on en), so
+# the component minimum equals the min over the 2-hop neighborhood —
+# no iteration needed, making this an INDEPENDENT check of the CC
+# kernel rather than a replay of it.
+_VARIANT_CLUSTERS_ORACLE = f"""
+    with {_VARIANT_PAGES_SQL},
+    ue as (
+      select url as a, href as b from av
+      union
+      select href as a, url as b from av),
+    hop2 as (
+      select a, b from ue
+      union
+      select u1.a, u2.b from ue u1 join ue u2 on u2.a = u1.b
+      union
+      select a, a from ue),
+    cl as (
+      select a as url, min(b) as cmin from hop2 group by a)
+    select vp.url,
+      least(vp.url, coalesce(cl.cmin, vp.url)) as cluster_id
+    from vp left join cl on cl.url = vp.url
+    order by vp.url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4276,6 +4410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "retrieval_eval": q_retrieval_eval,
         "ks_drift": q_ks_drift,
+        "hreflang": q_hreflang,
+        "variant_clusters": q_variant_clusters,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5552,6 +5688,8 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": _BOWTIE_ORACLE,
         "retrieval_eval": _retrieval_eval_oracle_sql(),
         "ks_drift": _KS_DRIFT_ORACLE,
+        "hreflang": _HREFLANG_ORACLE,
+        "variant_clusters": _VARIANT_CLUSTERS_ORACLE,
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

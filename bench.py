@@ -252,7 +252,9 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     # string-output batch-6 ops: count(col)'s null check forces the
     # computed value (sum would be an ANSI string cast)
     for name, col in [("feeds", "published"),
-                      ("meta_robots", "canonical")]:
+                      ("meta_robots", "canonical"),
+                      ("hreflang", "href"),
+                      ("variant_clusters", "cluster_id")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

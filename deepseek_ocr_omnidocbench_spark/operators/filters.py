@@ -497,3 +497,61 @@ def meta_robots_gate(pages: DataFrame, html_col: str = "html",
         cols["nofollow"].alias("nofollow"),
         cols["canonical"].alias("canonical"),
         F.coalesce(cols["canonical"], F.col(url_col)).alias("dedup_key"))
+
+
+def page_alternates(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """<link> alternates from raw HTML -> one row per declared
+    variant: (url, rel, hreflang, href) for rel in {alternate,
+    amphtml} — hreflang alternates are the author-declared "this page
+    in another language" edges (language-edition dedup keys), amphtml
+    the mobile-variant duplicate pointer.
+
+    Block-first like the feed/sitemap parsers: every <link ...> tag is
+    extracted and exploded, then rel/hreflang/href are pulled from the
+    tag's own text so attribute ORDER inside the tag doesn't matter
+    and optional attributes can't shift across tags.  Pure Column
+    regexps; zero shuffle."""
+    tags = F.regexp_extract_all(F.col(html_col),
+                                F.lit(r"(?is)<link\s+[^>]*>"), 0)
+
+    def attr(name: str) -> Column:
+        return F.regexp_extract(
+            F.col("_t"),
+            r'(?is)\b%s\s*=\s*["\']([^"\']*)["\']' % name, 1)
+
+    out = (pages.select(F.col(url_col).alias("url"),
+                        F.explode(tags).alias("_t"))
+           .select("url",
+                   F.lower(attr("rel")).alias("rel"),
+                   F.nullif(F.lower(attr("hreflang")), F.lit(""))
+                   .alias("hreflang"),
+                   attr("href").alias("href")))
+    return out.where(F.col("rel").isin("alternate", "amphtml")
+                     & (F.length("href") > 0))
+
+
+def variant_clusters(pages: DataFrame, html_col: str = "html",
+                     url_col: str = "url") -> DataFrame:
+    """Language-edition / variant clusters -> (url, cluster_id):
+    connected components over the author-declared alternate-link
+    graph, cluster_id = the lexicographically smallest member url.
+
+    This is the dedup pass URL canonicalization cannot do: the same
+    article at /en/, /de/, /fr/ plus an AMP mirror is ONE logical
+    document family, and hreflang edges are the ground truth linking
+    them.  Edges are (page url -> declared href) for rel=alternate/
+    amphtml, symmetrized inside the string-node CC kernel (min-label +
+    pointer jumping, O(log diameter) rounds); pages declaring no
+    alternates stay singleton clusters."""
+    from .dedup import connected_components
+
+    alts = page_alternates(pages, html_col, url_col)
+    edges = alts.select(F.col("url").alias("doc_a"),
+                        F.col("href").alias("doc_b"))
+    cc = connected_components(edges, a_col="doc_a", b_col="doc_b")
+    base = pages.select(F.col(url_col).alias("url")).distinct()
+    return (base.join(cc.withColumnRenamed("node", "url"), "url", "left")
+            .select("url",
+                    F.coalesce("cluster_id", F.col("url"))
+                    .alias("cluster_id")))

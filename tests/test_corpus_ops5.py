@@ -216,3 +216,66 @@ class TestMetaRobots:
         assert r["robots_meta"] is None and r["canonical"] is None
         assert not r["noindex"] and not r["nofollow"]
         assert r["dedup_key"] == "https://u/1"
+
+
+class TestPageAlternates:
+    def _parse(self, spark, html, url="https://u/1"):
+        from deepseek_ocr_omnidocbench_spark.operators.filters import (
+            page_alternates)
+        df = spark.createDataFrame([(url, html)], "url string, html string")
+        return page_alternates(df).orderBy("href").collect()
+
+    def test_attribute_order_irrelevant(self, spark):
+        html = ('<head>'
+                '<link href="https://u/de" rel="alternate" hreflang="de">'
+                '<link rel="alternate" hreflang="fr" href="https://u/fr">'
+                "</head>")
+        out = self._parse(spark, html)
+        assert [(r["hreflang"], r["href"]) for r in out] == [
+            ("de", "https://u/de"), ("fr", "https://u/fr")]
+
+    def test_amphtml_no_hreflang(self, spark):
+        html = '<link rel="amphtml" href="https://u/amp">'
+        out = self._parse(spark, html)
+        assert len(out) == 1
+        assert out[0]["rel"] == "amphtml" and out[0]["hreflang"] is None
+
+    def test_other_rels_dropped(self, spark):
+        html = ('<link rel="stylesheet" href="https://u/s.css">'
+                '<link rel="canonical" href="https://u/c">')
+        assert self._parse(spark, html) == []
+
+    def test_case_insensitive_rel(self, spark):
+        html = "<LINK REL='ALTERNATE' HREFLANG='EN' HREF='https://u/en'>"
+        out = self._parse(spark, html)
+        assert out[0]["rel"] == "alternate" and out[0]["hreflang"] == "en"
+
+
+class TestVariantClusters:
+    def _cluster(self, spark, rows):
+        from deepseek_ocr_omnidocbench_spark.operators.filters import (
+            variant_clusters)
+        df = spark.createDataFrame(rows, "url string, html string")
+        return {r["url"]: r["cluster_id"]
+                for r in variant_clusters(df).collect()}
+
+    def test_mutual_editions_plus_amp_one_cluster(self, spark):
+        a = '<link rel="alternate" hreflang="de" href="https://u/de">' \
+            '<link rel="amphtml" href="https://u/amp">'
+        b = '<link rel="alternate" hreflang="en" href="https://u/en">'
+        out = self._cluster(spark, [("https://u/en", a),
+                                    ("https://u/de", b)])
+        # amp url joins the component; min member is https://u/amp
+        assert out["https://u/en"] == out["https://u/de"] == "https://u/amp"
+
+    def test_page_without_alternates_singleton(self, spark):
+        out = self._cluster(spark, [("https://u/solo", "<p>x</p>")])
+        assert out["https://u/solo"] == "https://u/solo"
+
+    def test_declared_phantom_target_links_cluster(self, spark):
+        # two pages never reference each other directly — both declare
+        # the same (unfetched) phantom edition, which bridges them
+        a = '<link rel="alternate" hreflang="fr" href="https://u/fr">'
+        out = self._cluster(spark, [("https://u/en", a),
+                                    ("https://u/de", a)])
+        assert out["https://u/en"] == out["https://u/de"]
