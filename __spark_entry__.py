@@ -4290,6 +4290,49 @@ _VARIANT_CLUSTERS_ORACLE = f"""
 """
 
 
+def q_skew(spark, sf_dir):
+    """Shuffle-key skew diagnostics over a deliberately skewed key
+    (every third doc lands on 'hot', the rest spread over 9 host
+    keys): per-key counts -> exact-bigint Gini via the sorted-rank
+    identity + the ceil(max*keys/rows) salt-factor advisor — the
+    measurement a 100 TB job runs before picking its partitioning."""
+    from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+        skew_stats)
+
+    did = F.col("doc_id")
+    keyed = _docs(spark, sf_dir).select(
+        F.when(did % 3 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("h"), (did % 9).cast("string")))
+        .alias("key"))
+    return skew_stats(keyed, "key")
+
+
+_SKEW_ORACLE = """
+    with k as (
+      select case when doc_id % 3 = 0 then 'hot'
+             else 'h' || (doc_id % 9)::varchar end as key
+      from documents),
+    counts as (select key, count(*)::bigint as c from k group by key),
+    ranked as (
+      select key, c,
+        row_number() over (order by c, key)::bigint as i
+      from counts),
+    agg as (
+      select count(*)::bigint as n_keys, sum(c)::bigint as n_rows,
+             max(c)::bigint as max_count, sum(i * c)::bigint as ic
+      from ranked),
+    mx as (select key as max_key from ranked
+           order by c desc, key desc limit 1)
+    select n_keys, n_rows, max_count, mx.max_key,
+      round(n_rows::double / n_keys::double, 6) as mean_count,
+      round((2*ic - (n_keys + 1)*n_rows)::double
+            / (n_keys*n_rows)::double, 6) as gini,
+      ((max_count * n_keys + n_rows - 1) // n_rows)::bigint
+        as salt_factor
+    from agg cross join mx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4412,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "hreflang": q_hreflang,
         "variant_clusters": q_variant_clusters,
+        "skew": q_skew,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5690,6 +5734,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _KS_DRIFT_ORACLE,
         "hreflang": _HREFLANG_ORACLE,
         "variant_clusters": _VARIANT_CLUSTERS_ORACLE,
+        "skew": _SKEW_ORACLE,
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

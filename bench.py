@@ -244,7 +244,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("host_suffix", "suffix_len"),
                       ("split_leakage", "jaccard"),
                       ("retrieval_eval", "ndcg"),
-                      ("ks_drift", "d_stat")]:
+                      ("ks_drift", "d_stat"),
+                      ("skew", "gini")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

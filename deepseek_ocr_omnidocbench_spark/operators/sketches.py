@@ -201,3 +201,47 @@ def sampled_quantiles(df: DataFrame, key_col: str, value_col: str,
         out = out.join(order_stats(keyed, "exact")
                        .drop("exact_n"), "key", "left")
     return out
+
+
+def skew_stats(rows: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-key skew diagnostics -> ONE row: (n_keys, n_rows,
+    max_count, max_key, mean_count, gini, salt_factor) — the
+    pre-flight check a 100 TB job runs on its join/groupBy key before
+    committing to a partitioning (VERDICT-grade skew handling starts
+    with measuring it, not guessing).
+
+    * ``gini`` of the per-key count distribution from the sorted-rank
+      identity G = (2*sum(i*c_i) - (n+1)*sum(c)) / (n*sum(c)) with
+      c_1 <= ... <= c_n — every term bigint, ONE final division, so
+      the number replays bit-for-bit in any engine.  0 = perfectly
+      uniform keys, -> 1 = one viral key owns the corpus.
+    * ``salt_factor`` = ceil(max_count * n_keys / n_rows) — how many
+      salt buckets bring the hottest key down to the MEAN key load
+      (1 = no salting needed); exact integer ceil via div arithmetic.
+
+    Cost: one groupBy on the key (the same shuffle the real job would
+    do), one sorted |keys|-row window, one 1-row agg."""
+    from pyspark.sql import Window
+
+    counts = (rows.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("c", "key")
+    ranked = counts.select("key", "c",
+                           F.row_number().over(w).cast("long").alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_count"),
+        F.max(F.struct(F.col("c"), F.col("key"))).alias("_mx"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("_ic"))
+    n, tot = F.col("n_keys"), F.col("n_rows")
+    gini = (F.lit(2) * F.col("_ic") - (n + 1) * tot).cast("double") \
+        / (n * tot).cast("double")
+    salt = F.expr("(max_count * n_keys + n_rows - 1) div n_rows")
+    return agg.select(
+        "n_keys", "n_rows", "max_count",
+        F.col("_mx.key").alias("max_key"),
+        F.round(tot.cast("double") / n.cast("double"), 6)
+        .alias("mean_count"),
+        F.round(gini, 6).alias("gini"),
+        salt.cast("long").alias("salt_factor"))

@@ -279,3 +279,31 @@ class TestVariantClusters:
         out = self._cluster(spark, [("https://u/en", a),
                                     ("https://u/de", a)])
         assert out["https://u/en"] == out["https://u/de"]
+
+
+class TestSkewStats:
+    def _stats(self, spark, keys):
+        from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+            skew_stats)
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        return skew_stats(df, "key").collect()[0]
+
+    def test_uniform_keys_gini_zero_salt_one(self, spark):
+        r = self._stats(spark, ["a", "a", "b", "b"])
+        assert r["gini"] == 0.0
+        assert r["salt_factor"] == 1
+        assert r["mean_count"] == 2.0
+
+    def test_hand_computed_skew(self, spark):
+        # counts a:1, b:3 sorted (1,3): G = (2*(1*1+2*3) - 3*4)/(2*4)
+        r = self._stats(spark, ["a", "b", "b", "b"])
+        assert r["gini"] == 0.25
+        assert r["max_key"] == "b" and r["max_count"] == 3
+        assert r["salt_factor"] == 2  # ceil(3*2/4)
+
+    def test_single_viral_key(self, spark):
+        r = self._stats(spark, ["v"] * 7 + ["a", "b", "c"])
+        # sorted (1,1,1,7): G = (2*(1+2+3+28) - 5*10)/(4*10) = 18/40
+        assert r["gini"] == 0.45
+        assert r["max_key"] == "v"
+        assert r["salt_factor"] == 3  # ceil(7*4/10)
