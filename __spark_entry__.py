@@ -4333,6 +4333,50 @@ _SKEW_ORACLE = """
 """
 
 
+def q_surt(spark, sf_dir):
+    """SURT url keys (the CDX index sort key) over adversarial
+    synthetic urls: mixed-case hosts, www prefixes, explicit ports,
+    query strings and multi-label subdomains — reversal makes each
+    domain a contiguous key range."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import surt_key
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW.Sub"), (did % 5).cast("string"),
+        F.lit(".Example"), (did % 7).cast("string"),
+        F.lit(".com:8080/Path/"), did.cast("string"),
+        F.when(did % 3 == 0, F.lit("?q=1")).otherwise(F.lit("")))
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return (d.select("doc_id", "url", surt_key(F.col("url"))
+                     .alias("urlkey"))
+            .orderBy("doc_id"))
+
+
+_SURT_ORACLE = """
+    with d as (
+      select doc_id,
+        'https://WWW.Sub' || (doc_id % 5)::varchar
+        || '.Example' || (doc_id % 7)::varchar
+        || '.com:8080/Path/' || doc_id::varchar
+        || case when doc_id % 3 = 0 then '?q=1' else '' end as url
+      from documents),
+    p as (
+      select doc_id, url,
+        regexp_replace(
+          lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)),
+          '^www\\.', '') as host,
+        regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+      from d)
+    select doc_id, url,
+      array_to_string(list_reverse(string_split(host, '.')), ',')
+      || ')' || (case when len(path) > 0 then path else '/' end)
+        as urlkey
+    from p order by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4456,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang": q_hreflang,
         "variant_clusters": q_variant_clusters,
         "skew": q_skew,
+        "surt": q_surt,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5735,6 +5780,7 @@ def oracle_sql() -> dict[str, str]:
         "hreflang": _HREFLANG_ORACLE,
         "variant_clusters": _VARIANT_CLUSTERS_ORACLE,
         "skew": _SKEW_ORACLE,
+        "surt": _SURT_ORACLE,
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

@@ -255,7 +255,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
     for name, col in [("feeds", "published"),
                       ("meta_robots", "canonical"),
                       ("hreflang", "href"),
-                      ("variant_clusters", "cluster_id")]:
+                      ("variant_clusters", "cluster_id"),
+                      ("surt", "urlkey")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

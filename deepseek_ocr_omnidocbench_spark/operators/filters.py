@@ -555,3 +555,25 @@ def variant_clusters(pages: DataFrame, html_col: str = "html",
             .select("url",
                     F.coalesce("cluster_id", F.col("url"))
                     .alias("cluster_id")))
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) url key ->
+    'tld,domain,sub)/path' — the canonical sort key of every web
+    archive index (Common Crawl's CDX files key on it): reversing the
+    host labels makes one domain's pages a contiguous key range, so a
+    range scan replaces a full-index filter.
+
+    Implemented subset (documented, deterministic): scheme dropped,
+    host lowercased, leading 'www.' stripped, port dropped, host
+    labels reversed and comma-joined, path kept verbatim (default
+    '/'), query/fragment dropped.  Pure Columns — the key computes
+    inside the scan stage."""
+    host = F.lower(F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
+    return F.concat(rev, F.lit(")"), path)

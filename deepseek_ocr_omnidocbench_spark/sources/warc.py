@@ -101,6 +101,10 @@ def parse_warc_records(blob: bytes) -> list[dict]:
             "date": headers.get("warc-date"),
             "headers": headers,
             "payload": payload,
+            # byte extent within the DECOMPRESSED stream: what a CDX
+            # index stores so a reader can seek straight to the record
+            "offset": pos,
+            "length": body_start + length - pos,
         })
         pos = body_start + length
     return records
@@ -174,3 +178,42 @@ def read_warc(spark, path: str) -> DataFrame:
              .option("pathGlobFilter", "*.warc*").load(path)
              .select("content"))
     return warc_to_pages(files)
+
+
+def cdx_index(warc_files: DataFrame,
+              data_col: str = "content") -> DataFrame:
+    """WARC blobs -> CDX-style index rows (url, ts14, digest, offset,
+    length, status): per response record its 14-digit timestamp, the
+    md5 payload digest, and the byte extent within the decompressed
+    segment — the artifact web archives ship next to every WARC so
+    readers can seek to one record without scanning the segment
+    (join ``surt_key(url)`` on top for the sort key and write sorted
+    by it: one sortWithinPartitions, no extra shuffle).
+
+    One mapInPandas pass, no shuffle; a corrupt segment indexes its
+    readable prefix (the parse tolerance contract)."""
+    import hashlib
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[data_col]:
+                if blob is None:
+                    continue
+                for rec in parse_warc_records(blob):
+                    if rec["type"] != "response":
+                        continue
+                    status, _, _ = _split_http_response(rec["payload"])
+                    ts = _parse_ts(rec["date"])
+                    rows.append((
+                        rec["url"],
+                        ts.strftime("%Y%m%d%H%M%S") if ts else None,
+                        hashlib.md5(rec["payload"]).hexdigest(),
+                        rec["offset"], rec["length"], status))
+            yield pd.DataFrame(rows, columns=[
+                "url", "ts14", "digest", "offset", "length",
+                "http_status"])
+
+    schema = ("url string, ts14 string, digest string, offset long, "
+              "length long, http_status int")
+    return warc_files.mapInPandas(_gen, schema)

@@ -127,3 +127,63 @@ def test_parse_warc_corrupt_gzip_returns_empty_or_partial():
         m = bytearray(gz)
         m[pos] = (m[pos] + 1) % 256
         assert isinstance(parse_warc_records(bytes(m)), list)
+
+
+class TestCdxIndex:
+    def _cdx(self, spark, blob):
+        from deepseek_ocr_omnidocbench_spark.sources.warc import cdx_index
+        df = spark.createDataFrame([(bytearray(blob),)], "content binary")
+        return cdx_index(df).orderBy("ts14").collect()
+
+    def test_offsets_allow_record_seek(self, spark):
+        import hashlib
+        blob = _warc_bytes()
+        out = self._cdx(spark, blob)
+        assert len(out) == 2  # responses only
+        for r in out:
+            # the CDX contract: blob[offset : offset+length] IS the
+            # record (header through payload end)
+            rec = blob[r["offset"]:r["offset"] + r["length"]]
+            assert rec.startswith(b"WARC/1.0")
+            payload = rec.split(b"\r\n\r\n", 1)[1]
+            assert hashlib.md5(payload).hexdigest() == r["digest"]
+        assert out[0]["ts14"] == "20240101000001"
+        assert out[0]["http_status"] == 200
+        assert out[1]["ts14"] == "20240202123045"
+        assert out[1]["http_status"] == 404
+
+    def test_corrupt_tail_indexes_prefix(self, spark):
+        blob = _warc_bytes() + b"WARC/1.0\r\nbroken"
+        out = self._cdx(spark, blob)
+        assert len(out) == 2
+
+
+class TestSurtKey:
+    def _k(self, spark, url):
+        from pyspark.sql import functions as F
+        from deepseek_ocr_omnidocbench_spark.operators.filters import (
+            surt_key)
+        df = spark.createDataFrame([(url,)], "url string")
+        return df.select(surt_key(F.col("url")).alias("k")).collect()[0]["k"]
+
+    def test_reverses_host_labels(self, spark):
+        assert self._k(spark, "https://news.example.com/a/b") == \
+            "com,example,news)/a/b"
+
+    def test_lowercases_strips_www_port_query(self, spark):
+        assert self._k(spark,
+                       "HTTP://WWW.Example.COM:8080/Path?q=1#frag") == \
+            "com,example)/Path"
+
+    def test_bare_host_gets_root_path(self, spark):
+        assert self._k(spark, "https://example.org") == "org,example)/"
+
+    def test_domain_pages_sort_contiguously(self, spark):
+        keys = sorted([
+            self._k(spark, "https://a.example.com/z"),
+            self._k(spark, "https://other.org/a"),
+            self._k(spark, "https://b.example.com/a"),
+        ])
+        # both example.com subdomains adjacent under SURT order
+        assert keys[0].startswith("com,example,a)")
+        assert keys[1].startswith("com,example,b)")
