@@ -4377,6 +4377,109 @@ _SURT_ORACLE = """
 """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt: 'Sitemap:' directives in any
+    case, with stray spaces around the colon and trailing whitespace,
+    interleaved among user-agent groups — the edge that seeds the
+    sitemap fetch queue (RFC 9309 §2.3)."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        robots_sitemaps)
+
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), did.cast("string"), F.lit(".example"))
+    nl = F.lit("\n")
+    txt = F.concat(
+        F.lit("User-agent: *"), nl, F.lit("Disallow: /private"), nl,
+        F.when(did % 2 == 0, F.concat(
+            F.lit("Sitemap: https://"), host, F.lit("/sitemap"),
+            did.cast("string"), F.lit(".xml"), nl)).otherwise(F.lit("")),
+        F.lit("Allow: /"), nl,
+        F.when(did % 4 == 0, F.concat(
+            F.lit("  SITEMAP : https://"), host, F.lit("/news"),
+            did.cast("string"), F.lit(".xml  "), nl))
+        .otherwise(F.lit("")))
+    robots = _docs(spark, sf_dir).select(host.alias("host"),
+                                         txt.alias("txt"))
+    return robots_sitemaps(robots).orderBy("host", "pos")
+
+
+_ROBOTS_SITEMAPS_ORACLE = """
+    with d as (
+      select 'h' || doc_id::varchar || '.example' as host,
+        'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+        || case when doc_id % 2 = 0
+           then 'Sitemap: https://h' || doc_id::varchar
+             || '.example/sitemap' || doc_id::varchar || '.xml'
+             || chr(10)
+           else '' end
+        || 'Allow: /' || chr(10)
+        || case when doc_id % 4 = 0
+           then '  SITEMAP : https://h' || doc_id::varchar
+             || '.example/news' || doc_id::varchar || '.xml  ' || chr(10)
+           else '' end as txt
+      from documents),
+    t as (
+      select host,
+        regexp_extract_all(txt,
+          '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)[ \\t]*$', 1) as l
+      from d)
+    select host, u.p::int as pos, u.s as sitemap_url
+    from (select host,
+            unnest([{'p': i - 1, 's': l[i]}
+                    for i in range(1, len(l) + 1)]) as u
+          from t)
+    order by host, pos
+"""
+
+
+def q_delta_dedup(spark, sf_dir):
+    """Incremental dedup of a 'daily batch' (odd doc_ids) against the
+    existing corpus (even doc_ids): the new side's band buckets probe
+    the corpus signature table, only colliding old docs are
+    exact-verified, and every new doc reports its best old match —
+    the 100 TB corpus-maintenance path (dedup the delta WITHOUT
+    rescanning history).  md5 hash family (k=8, bands=4) so the whole
+    dataflow replays in SQL."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return (D.delta_dedup(new, old, k=8, bands=4, threshold=0.5,
+                          hash_fn=D.md5_hash64)
+            .orderBy("doc_id"))
+
+
+def _delta_dedup_oracle_sql() -> str:
+    # lazy: _MINHASH_CTES is defined later in the module
+    return f"""
+    with recursive {_MINHASH_CTES},
+    dcand as (
+      select distinct b2.doc_id as new_id, a.doc_id as old_id
+      from banded a
+      join banded b2 on a.band = b2.band and a.bucket = b2.bucket
+      where a.doc_id % 2 = 0 and b2.doc_id % 2 = 1),
+    dver as (
+      select dcand.new_id, dcand.old_id,
+        len(list_intersect(sn.sh, so.sh))::double
+        / (len(sn.sh) + len(so.sh)
+           - len(list_intersect(sn.sh, so.sh)))::double as jac
+      from dcand
+      join base so on so.doc_id = dcand.old_id
+      join base sn on sn.doc_id = dcand.new_id),
+    dbest as (
+      select new_id, old_id, jac from (
+        select new_id, old_id, jac,
+          row_number() over (partition by new_id
+                             order by jac desc, old_id asc) as r
+        from dver where jac >= 0.5) where r = 1)
+    select d.doc_id, b.old_id as dup_of,
+      round(b.jac, 6) as jaccard,
+      (b.old_id is null) as is_new
+    from (select doc_id from documents where doc_id % 2 = 1) d
+    left join dbest b on b.new_id = d.doc_id
+    order by d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4501,6 +4604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_clusters": q_variant_clusters,
         "skew": q_skew,
         "surt": q_surt,
+        "robots_sitemaps": q_robots_sitemaps,
+        "delta_dedup": q_delta_dedup,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5781,6 +5886,8 @@ def oracle_sql() -> dict[str, str]:
         "variant_clusters": _VARIANT_CLUSTERS_ORACLE,
         "skew": _SKEW_ORACLE,
         "surt": _SURT_ORACLE,
+        "robots_sitemaps": _ROBOTS_SITEMAPS_ORACLE,
+        "delta_dedup": _delta_dedup_oracle_sql(),
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

@@ -245,7 +245,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("split_leakage", "jaccard"),
                       ("retrieval_eval", "ndcg"),
                       ("ks_drift", "d_stat"),
-                      ("skew", "gini")]:
+                      ("skew", "gini"),
+                      ("delta_dedup", "jaccard")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
@@ -256,7 +257,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("meta_robots", "canonical"),
                       ("hreflang", "href"),
                       ("variant_clusters", "cluster_id"),
-                      ("surt", "urlkey")]:
+                      ("surt", "urlkey"),
+                      ("robots_sitemaps", "sitemap_url")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

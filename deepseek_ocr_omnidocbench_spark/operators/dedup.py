@@ -878,3 +878,61 @@ def minhash_accuracy(docs: DataFrame, text_col: str = "text",
                     F.round(est, 6).alias("est_jaccard"),
                     exact.alias("exact_jaccard"),
                     F.round(F.abs(est - exact), 6).alias("abs_err"))
+
+
+def delta_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                k: int = 16, bands: int = 4, threshold: float = 0.5,
+                hash_fn=None, store: DataFrame | None = None) -> DataFrame:
+    """Incremental near-dedup of a NEW batch against an EXISTING corpus
+    -> one row per new doc: (doc_id, dup_of, jaccard, is_new).
+
+    The corpus-maintenance shape: a daily crawl must dedup against
+    100 TB of history WITHOUT rescanning it.  Three prunes make that
+    cheap: (1) the corpus side joins through its (band, bucket)
+    signature table — pass ``store`` to reuse a persisted one (write
+    it bucket-partitioned and the join prunes file reads, the same
+    pbucket layout streaming ingest uses); (2) only bucket-COLLIDING
+    old docs are candidates; (3) exact shingle verification rescans
+    only candidate old docs (a semi-join-pruned corpus scan), never
+    the corpus.  New-batch work is O(batch), corpus work is
+    O(collisions).
+
+    ``dup_of`` is the best old match (highest exact Jaccard >=
+    threshold, smallest old id on ties); ``is_new`` = no such match.
+    Intra-batch duplicates are out of scope — run the regular banded
+    dedup within the batch first."""
+    nb = minhash_band_buckets(new_docs, text_col, id_col, k, bands,
+                              hash_fn)
+    sb = store if store is not None else minhash_band_buckets(
+        corpus_docs, text_col, id_col, k, bands, hash_fn)
+    cand = (sb.withColumnRenamed(id_col, "old_id")
+            .join(nb.withColumnRenamed(id_col, "new_id"),
+                  ["band", "bucket"])
+            .select("new_id", "old_id").distinct())
+    sh_old = (corpus_docs
+              .join(cand.select(F.col("old_id").alias(id_col))
+                    .distinct(), id_col)
+              .select(F.col(id_col).alias("old_id"),
+                      word_shingles(F.col(text_col)).alias("sh_o")))
+    sh_new = new_docs.select(F.col(id_col).alias("new_id"),
+                             word_shingles(F.col(text_col))
+                             .alias("sh_n"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    ver = (cand.join(sh_old, "old_id").join(sh_new, "new_id")
+           .select("new_id", "old_id",
+                   (inter / union).alias("jaccard"))
+           .where(F.col("jaccard") >= F.lit(float(threshold))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),
+                                             F.asc("old_id"))
+    best = (ver.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1).drop("_r"))
+    base = new_docs.select(F.col(id_col).alias("new_id"))
+    return (base.join(best, "new_id", "left")
+            .select(F.col("new_id").alias(id_col),
+                    F.col("old_id").alias("dup_of"),
+                    F.round("jaccard", 6).alias("jaccard"),
+                    F.col("old_id").isNull().alias("is_new")))

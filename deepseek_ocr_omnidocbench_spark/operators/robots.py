@@ -343,3 +343,21 @@ def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
                    published.alias("published"),
                    F.col("_b.kind").alias("kind")))
     return out.where(F.length("link") > 0)
+
+
+def robots_sitemaps(robots: DataFrame, txt_col: str = "txt",
+                    host_col: str = "host") -> DataFrame:
+    """'Sitemap:' directives from robots.txt -> (host, sitemap_url):
+    the discovery edge that seeds the sitemap fetch queue (RFC 9309
+    §2.3 allows any number, anywhere in the file, outside any
+    user-agent group).  Case-insensitive on the directive name,
+    whitespace-tolerant, order-preserving within a host via the
+    returned ``pos`` column.  Pure Column regexps, zero shuffle."""
+    hits = F.regexp_extract_all(
+        F.col(txt_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"), 1)
+    return (robots
+            .select(F.col(host_col).alias("host"),
+                    F.posexplode(hits).alias("pos", "sitemap_url"))
+            .select("host", F.col("pos").cast("int").alias("pos"),
+                    "sitemap_url"))

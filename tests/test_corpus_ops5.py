@@ -307,3 +307,76 @@ class TestSkewStats:
         assert r["gini"] == 0.45
         assert r["max_key"] == "v"
         assert r["salt_factor"] == 3  # ceil(7*4/10)
+
+
+class TestRobotsSitemaps:
+    def _parse(self, spark, txt):
+        from deepseek_ocr_omnidocbench_spark.operators.robots import (
+            robots_sitemaps)
+        df = spark.createDataFrame([("h", txt)], "host string, txt string")
+        return [r["sitemap_url"]
+                for r in robots_sitemaps(df).orderBy("pos").collect()]
+
+    def test_multiple_directives_ordered(self, spark):
+        txt = ("User-agent: *\nDisallow: /x\n"
+               "Sitemap: https://h/a.xml\n"
+               "Allow: /\n"
+               "sitemap: https://h/b.xml\n")
+        assert self._parse(spark, txt) == ["https://h/a.xml",
+                                           "https://h/b.xml"]
+
+    def test_case_and_whitespace_tolerant(self, spark):
+        txt = "  SITEMAP :   https://h/c.xml  \n"
+        assert self._parse(spark, txt) == ["https://h/c.xml"]
+
+    def test_no_directive_no_rows(self, spark):
+        assert self._parse(spark, "User-agent: *\nDisallow: /\n") == []
+
+    def test_midline_mention_ignored(self, spark):
+        # 'Sitemap:' must start its own line (modulo whitespace)
+        txt = "Disallow: /see-sitemap: https://h/x.xml\n"
+        assert self._parse(spark, txt) == []
+
+
+class TestDeltaDedup:
+    def _run(self, spark, old_rows, new_rows, **kw):
+        from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+            delta_dedup, md5_hash64)
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        kw.setdefault("hash_fn", md5_hash64)
+        kw.setdefault("k", 8)
+        kw.setdefault("bands", 4)
+        return {r["doc_id"]: r
+                for r in delta_dedup(new, old, **kw).collect()}
+
+    def test_exact_copy_matches_old(self, spark):
+        body = "the quick brown fox jumps over the lazy dog again and again"
+        out = self._run(spark, [(0, body)], [(1, body), (3, "completely "
+                        "different content about unrelated things here")])
+        assert out[1]["dup_of"] == 0 and out[1]["jaccard"] == 1.0
+        assert not out[1]["is_new"]
+        assert out[3]["is_new"] and out[3]["dup_of"] is None
+
+    def test_best_match_ties_to_min_old_id(self, spark):
+        body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        out = self._run(spark, [(0, body), (2, body)], [(1, body)])
+        assert out[1]["dup_of"] == 0  # both old docs perfect; min id wins
+
+    def test_below_threshold_is_new(self, spark):
+        a = "one two three four five six seven eight nine ten"
+        b = "one two three four five eleven twelve thirteen fourteen fifteen"
+        out = self._run(spark, [(0, a)], [(1, b)], threshold=0.9)
+        assert out[1]["is_new"]
+
+    def test_prebuilt_store_reused(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+            delta_dedup, md5_hash64, minhash_band_buckets)
+        body = "shared content row for the persisted signature store path"
+        old = spark.createDataFrame([(0, body)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, body)], "doc_id long, text string")
+        store = minhash_band_buckets(old, k=8, bands=4,
+                                     hash_fn=md5_hash64)
+        out = delta_dedup(new, old, k=8, bands=4, hash_fn=md5_hash64,
+                          store=store).collect()[0]
+        assert out["dup_of"] == 0 and not out["is_new"]
