@@ -4480,6 +4480,57 @@ def _delta_dedup_oracle_sql() -> str:
 """
 
 
+def q_robust_stats(spark, sf_dir):
+    """Outlier-resistant per-source doc-length statistics: exact
+    order-statistic median and MAD (bigint until the final division)
+    plus a 10%-trimmed mean next to the plain mean — the health row a
+    corpus report shows because one viral page drags the mean."""
+    from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+        robust_stats)
+
+    return (robust_stats(_docs(spark, sf_dir), "source", "n_chars")
+            .orderBy("source"))
+
+
+_ROBUST_STATS_ORACLE = """
+    with v as (select source as key, n_chars::bigint as val
+               from documents),
+    r as (select key, val,
+            row_number() over (partition by key order by val)::bigint
+              as i,
+            count(*) over (partition by key)::bigint as n
+          from v),
+    med as (select key, val as median from r
+            where i = ceil(n::double / 2.0)::bigint),
+    dev as (select v.key, abs(v.val - m.median)::bigint as dv
+            from v join med m on m.key = v.key),
+    rd as (select key, dv,
+             row_number() over (partition by key order by dv)::bigint
+               as i,
+             count(*) over (partition by key)::bigint as n
+           from dev),
+    mad as (select key, dv as mad from rd
+            where i = ceil(n::double / 2.0)::bigint),
+    agg as (
+      select key, max(n)::bigint as n, sum(val)::bigint as s,
+        sum(case when i > ceil(0.1::double * n::double)::bigint
+                  and i <= n - ceil(0.1::double * n::double)::bigint
+            then val else 0 end)::bigint as ts,
+        sum(case when i > ceil(0.1::double * n::double)::bigint
+                  and i <= n - ceil(0.1::double * n::double)::bigint
+            then 1 else 0 end)::bigint as tn
+      from r group by key)
+    select agg.key as source, n, median, mad,
+      round(case when tn > 0 then ts::double / tn::double
+            else 0.0::double end, 6) as trimmed_mean,
+      round(s::double / n::double, 6) as mean
+    from agg
+    join med on med.key = agg.key
+    join mad on mad.key = agg.key
+    order by agg.key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4606,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt": q_surt,
         "robots_sitemaps": q_robots_sitemaps,
         "delta_dedup": q_delta_dedup,
+        "robust_stats": q_robust_stats,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5888,6 +5940,7 @@ def oracle_sql() -> dict[str, str]:
         "surt": _SURT_ORACLE,
         "robots_sitemaps": _ROBOTS_SITEMAPS_ORACLE,
         "delta_dedup": _delta_dedup_oracle_sql(),
+        "robust_stats": _ROBUST_STATS_ORACLE,
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

@@ -246,7 +246,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("retrieval_eval", "ndcg"),
                       ("ks_drift", "d_stat"),
                       ("skew", "gini"),
-                      ("delta_dedup", "jaccard")]:
+                      ("delta_dedup", "jaccard"),
+                      ("robust_stats", "trimmed_mean")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

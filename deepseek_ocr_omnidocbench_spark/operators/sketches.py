@@ -245,3 +245,63 @@ def skew_stats(rows: DataFrame, key_col: str) -> DataFrame:
         .alias("mean_count"),
         F.round(gini, 6).alias("gini"),
         salt.cast("long").alias("salt_factor"))
+
+
+def robust_stats(rows: DataFrame, key_col: str, value_col: str,
+                 trim: float = 0.1) -> DataFrame:
+    """Outlier-resistant per-key statistics -> (key, n, median, mad,
+    trimmed_mean, mean): the doc-length / quality-score health row a
+    corpus report shows next to the plain mean, which one viral page
+    can drag arbitrarily.
+
+    Engine-exact: median and MAD are the interpolation-free
+    value-at-ceil(n/2) order statistic under (value, rank) ordering
+    (both medians are corpus VALUES, so bigint until the final MAD
+    subtraction); the trimmed mean sums the bigint values whose rank
+    lies in (ceil(trim*n), n - ceil(trim*n)] and divides ONCE.  Two
+    rank windows per key + one agg — the same two-exchange plan at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    v = rows.select(F.col(key_col).alias("key"),
+                    F.col(value_col).cast("long").alias("val"))
+    w = Window.partitionBy("key").orderBy("val")
+    n_w = Window.partitionBy("key")
+    r = v.select("key", "val",
+                 F.row_number().over(w).cast("long").alias("i"),
+                 F.count(F.lit(1)).over(n_w).cast("long").alias("n"))
+    med_rank = F.ceil(F.col("n").cast("double") / 2.0).cast("long")
+    med = (r.where(F.col("i") == med_rank)
+           .select("key", F.col("val").alias("median")))
+    # MAD: same order statistic over |val - median|
+    dev = (v.join(med, "key")
+           .select("key", F.abs(F.col("val") - F.col("median"))
+                   .alias("dv")))
+    wd = Window.partitionBy("key").orderBy("dv")
+    rd = dev.select("key", "dv",
+                    F.row_number().over(wd).cast("long").alias("i"),
+                    F.count(F.lit(1)).over(n_w).cast("long").alias("n"))
+    mad = (rd.where(F.col("i") == F.ceil(F.col("n").cast("double") / 2.0)
+                    .cast("long"))
+           .select("key", F.col("dv").alias("mad")))
+    cut = F.ceil(F.lit(float(trim)) * F.col("n").cast("double")) \
+        .cast("long")
+    agg = (r.groupBy("key")
+           .agg(F.max("n").alias("n"),
+                F.sum("val").alias("_s"),
+                F.sum(F.when((F.col("i") > cut) & (F.col("i") <= F.col("n")
+                                                   - cut), F.col("val"))
+                      .otherwise(F.lit(0))).cast("long").alias("_ts"),
+                F.sum(F.when((F.col("i") > cut) & (F.col("i") <= F.col("n")
+                                                   - cut), 1)
+                      .otherwise(0)).cast("long").alias("_tn")))
+    return (agg.join(med, "key").join(mad, "key")
+            .select(F.col("key").alias(key_col), "n", "median", "mad",
+                    F.round(F.when(F.col("_tn") > 0,
+                                   F.col("_ts").cast("double")
+                                   / F.col("_tn").cast("double"))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("trimmed_mean"),
+                    F.round(F.col("_s").cast("double")
+                            / F.col("n").cast("double"), 6)
+                    .alias("mean")))

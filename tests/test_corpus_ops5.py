@@ -380,3 +380,37 @@ class TestDeltaDedup:
         out = delta_dedup(new, old, k=8, bands=4, hash_fn=md5_hash64,
                           store=store).collect()[0]
         assert out["dup_of"] == 0 and not out["is_new"]
+
+
+class TestRobustStats:
+    def _stats(self, spark, rows, **kw):
+        from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+            robust_stats)
+        df = spark.createDataFrame(rows, "source string, n long")
+        return {r["source"]: r
+                for r in robust_stats(df, "source", "n", **kw).collect()}
+
+    def test_hand_computed(self, spark):
+        # vals 1..9 + outlier 1000: median = value at ceil(10/2)=rank 5
+        vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+        out = self._stats(spark, [("a", v) for v in vals])["a"]
+        assert out["median"] == 5
+        # |v-5| sorted: 0,1,1,2,2,3,3,4,995 + |4-5|=1 -> rank5 value 2
+        assert out["mad"] == 2
+        # trim ceil(1)=1 from each end: ranks 2..9 -> 2..9 sum 44 / 8
+        assert out["trimmed_mean"] == 5.5
+        assert out["mean"] == round(sum(vals) / 10, 6)
+
+    def test_outlier_resistance(self, spark):
+        clean = [("a", v) for v in range(1, 12)]
+        dirty = clean[:-1] + [("a", 10**9)]
+        s1 = self._stats(spark, clean)["a"]
+        s2 = self._stats(spark, dirty)["a"]
+        assert s1["median"] == s2["median"] == 6
+        assert abs(s2["mean"] - s1["mean"]) > 10**7  # mean blew up
+        assert s2["trimmed_mean"] == s1["trimmed_mean"] == 6.0
+
+    def test_single_value_group(self, spark):
+        out = self._stats(spark, [("a", 42)])["a"]
+        assert out["median"] == 42 and out["mad"] == 0
+        assert out["mean"] == 42.0
