@@ -4531,6 +4531,44 @@ _ROBUST_STATS_ORACLE = """
 """
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order layout keys over (host-hash, time-bucket): the
+    multi-dimension clustering key a 100 TB corpus table sorts by at
+    write time so parquet min/max stats prune scans filtered on either
+    dimension.  8-bit quantization per dimension; the oracle replays
+    the interleave with the same shift/mask arithmetic."""
+    from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+        zorder_key)
+
+    did = F.col("doc_id")
+    ha = F.pmod(D.md5_hash64(F.concat(F.lit("h,"), did.cast("string"))),
+                F.lit(256))
+    tb = did % 256
+    return (_docs(spark, sf_dir)
+            .select("doc_id", ha.alias("host_bucket"),
+                    tb.cast("long").alias("time_bucket"),
+                    zorder_key(ha, tb, bits=8).alias("zkey"))
+            .orderBy("doc_id"))
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append("(((ha >> %d) & 1) << %d)" % (i, 2 * i + 1))
+        terms.append("(((tb >> %d) & 1) << %d)" % (i, 2 * i))
+    return f"""
+    with d as (
+      select doc_id,
+        ('0x' || substr(md5('h,' || doc_id::varchar), 1, 15))::bigint
+          % 256 as ha,
+        (doc_id % 256)::bigint as tb
+      from documents)
+    select doc_id, ha as host_bucket, tb as time_bucket,
+      ({' | '.join(terms)})::bigint as zkey
+    from d order by doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4658,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "delta_dedup": q_delta_dedup,
         "robust_stats": q_robust_stats,
+        "zorder": q_zorder,
         # --- tier 4: rows-only queries (driver-executed r1-r3).  The
         # batch-4 tier-0000 insertions displaced this block to slots
         # 51-55: never-driver-verified VALUE oracles outrank a rows-only
@@ -5941,6 +5980,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _ROBOTS_SITEMAPS_ORACLE,
         "delta_dedup": _delta_dedup_oracle_sql(),
         "robust_stats": _ROBUST_STATS_ORACLE,
+        "zorder": _zorder_oracle_sql(),
         "host_suffix": _HOST_SUFFIX_ORACLE,
         "feeds": _FEEDS_ORACLE,
         "meta_robots": _META_ROBOTS_ORACLE,

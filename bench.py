@@ -247,7 +247,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("ks_drift", "d_stat"),
                       ("skew", "gini"),
                       ("delta_dedup", "jaccard"),
-                      ("robust_stats", "trimmed_mean")]:
+                      ("robust_stats", "trimmed_mean"),
+                      ("zorder", "zkey")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

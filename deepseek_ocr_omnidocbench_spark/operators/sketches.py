@@ -305,3 +305,32 @@ def robust_stats(rows: DataFrame, key_col: str, value_col: str,
                     F.round(F.col("_s").cast("double")
                             / F.col("n").cast("double"), 6)
                     .alias("mean")))
+
+
+def zorder_key(a: "F.Column", b: "F.Column", bits: int = 16) -> "F.Column":
+    """Z-order (Morton) interleave of two non-negative ints quantized
+    to [0, 2^bits) -> one bigint sort key: writing files sorted by it
+    clusters rows that are close in BOTH dimensions, so parquet
+    min/max stats prune scans filtered on EITHER dimension — the
+    standard multi-dimension layout trick (Delta/Iceberg OPTIMIZE
+    ZORDER) for corpus tables queried by (host, time) or
+    (length, quality).
+
+    a's bit i lands at position 2i+1, b's at 2i (a = major).  Pure
+    bit arithmetic unrolled over Python-literal positions — 2*bits
+    shift/mask/or terms, comfortably inside whole-stage codegen (the
+    flat-unroll regime; see the PQ fold note for where unrolling
+    stops winning)."""
+    a = a.cast("long")
+    b = b.cast("long")
+    out = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        # Column & / | are LOGICAL operators in PySpark — bit math
+        # needs the explicit bitwiseAND/bitwiseOR methods
+        out = (out
+               .bitwiseOR(F.shiftleft(
+                   F.shiftright(a, i).bitwiseAND(one), 2 * i + 1))
+               .bitwiseOR(F.shiftleft(
+                   F.shiftright(b, i).bitwiseAND(one), 2 * i)))
+    return out

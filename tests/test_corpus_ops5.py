@@ -414,3 +414,40 @@ class TestRobustStats:
         out = self._stats(spark, [("a", 42)])["a"]
         assert out["median"] == 42 and out["mad"] == 0
         assert out["mean"] == 42.0
+
+
+class TestZorderKey:
+    def _keys(self, spark, pairs, bits=4):
+        from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+            zorder_key)
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return [r["z"] for r in df.select(
+            zorder_key(F.col("a"), F.col("b"), bits=bits).alias("z"))
+            .collect()]
+
+    def test_hand_computed_interleave(self, spark):
+        # a=0b10, b=0b01 -> bits: a1@pos3, a0@pos1, b1@pos2, b0@pos0
+        # z = 1000 | 0000 | 0100? a=2: bit1=1 -> pos 3; b=1: bit0=1 -> pos 0
+        assert self._keys(spark, [(2, 1)]) == [0b1001]
+        assert self._keys(spark, [(0, 0)]) == [0]
+        assert self._keys(spark, [(15, 15)]) == [0b11111111]
+
+    def test_quadrant_prefix_property(self, spark):
+        # the top two z-bits are (a_msb, b_msb): every point of a
+        # quadrant sorts before every point of a later quadrant
+        import itertools
+        pts = list(itertools.product(range(8), range(8)))
+        keys = self._keys(spark, pts, bits=3)
+        quad = {(a, b): (a >> 2, b >> 2) for a, b in pts}
+        for (p, kp) in zip(pts, keys):
+            for (q, kq) in zip(pts, keys):
+                qp, qq = quad[p], quad[q]
+                if (qp[0] * 2 + qp[1]) < (qq[0] * 2 + qq[1]):
+                    assert kp < kq, (p, q)
+
+    def test_bijective_over_domain(self, spark):
+        import itertools
+        pts = list(itertools.product(range(8), range(8)))
+        keys = self._keys(spark, pts, bits=3)
+        assert len(set(keys)) == 64 and max(keys) == 63
