@@ -3796,19 +3796,19 @@ _FEEDS_ORACLE = """
     p as (
       select host,
         case when kind = 'rss'
-          then regexp_extract(body, '<link>\\s*(.*?)\\s*</link>', 1)
+          then regexp_extract(body, '(?s)<link>\\s*(.*?)\\s*</link>', 1)
           else regexp_extract(body,
-                 '<link[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1)
+                 '(?s)<link[^>]*href\\s*=\\s*["'']([^"'']*)["'']', 1)
         end as link,
-        nullif(regexp_extract(body, '<title>\\s*(.*?)\\s*</title>', 1),
+        nullif(regexp_extract(body, '(?s)<title>\\s*(.*?)\\s*</title>', 1),
                '') as title,
         coalesce(
           nullif(regexp_extract(body,
-                   '<pubDate>\\s*(.*?)\\s*</pubDate>', 1), ''),
+                   '(?s)<pubDate>\\s*(.*?)\\s*</pubDate>', 1), ''),
           nullif(regexp_extract(body,
-                   '<updated>\\s*(.*?)\\s*</updated>', 1), ''),
+                   '(?s)<updated>\\s*(.*?)\\s*</updated>', 1), ''),
           nullif(regexp_extract(body,
-                   '<published>\\s*(.*?)\\s*</published>', 1), ''))
+                   '(?s)<published>\\s*(.*?)\\s*</published>', 1), ''))
           as published,
         kind
       from blocks)
@@ -4099,7 +4099,8 @@ def _retrieval_eval_oracle_sql(k: int = 10) -> str:
       coalesce(n.n_rel, 0)::bigint as n_rel,
       coalesce(p.hits, 0)::bigint as hits,
       round(case when coalesce(i.idcg, 0.0::double) > 0
-        then dc.dcg / i.idcg else 0.0::double end, 6) as ndcg,
+        then coalesce(dc.dcg, 0.0::double) / i.idcg
+        else 0.0::double end, 6) as ndcg,
       round(case when p.first_rel is not null
         then 1.0::double / p.first_rel::double
         else 0.0::double end, 6) as mrr,

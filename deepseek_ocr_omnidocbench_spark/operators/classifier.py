@@ -146,7 +146,10 @@ def auc_report(scored: DataFrame, group_col: str = "source",
 
     Everything stays exact-integer until a single final division:
     2*avg_rank = 2*rank_min + n_ties - 1 (bigint), so both engines
-    agree bit-for-bit.  Groups missing a class get NULL auc rather
+    agree bit-for-bit.  Exactness bound: the positive rank sum grows
+    ~2n^2 per group, so groups must stay under ~2e9 rows for bigint —
+    beyond that, evaluate on a per-group sample or swap the rank sum
+    to decimal(38,0).  Groups missing a class get NULL auc rather
     than a fabricated 0.5.  The threshold confusion block (tp/fp/
     fn/tn and the derived P/R/F1/accuracy) rides the same agg."""
     from pyspark.sql import Window
@@ -220,7 +223,9 @@ def calibration_report(scored: DataFrame, score_col: str = "score",
     gate does) should feed dyadic-rational scores (k / 2^m), whose
     double sums are exact in any order."""
     s, y = F.col(score_col), F.col(label_col)
-    b = F.least(F.floor(s * F.lit(bins)).cast("int"), F.lit(bins - 1))
+    b = F.greatest(
+        F.least(F.floor(s * F.lit(bins)).cast("int"), F.lit(bins - 1)),
+        F.lit(0))
     t = scored.select(b.alias("bin"), s.alias("s"),
                       y.cast("long").alias("y"))
     agg = (t.groupBy("bin")

@@ -465,15 +465,22 @@ def meta_robots_cols(html: Column) -> dict[str, Column]:
     canonicalization with the author's own dedup key.  Pure Column
     regexps over the html string — zero shuffle, inherits the scan
     partitioning."""
+    # block-first like page_alternates: isolate the TAG whose
+    # name/rel attribute matches, then pull content/href from the
+    # tag's own text — attribute ORDER inside the tag can't matter
+    # (content-before-name meta tags are valid and common)
+    meta_tag = F.regexp_extract(
+        html,
+        r'(?is)<meta\s+(?=[^>]*name\s*=\s*["\']robots["\'])[^>]*>', 0)
     meta = F.regexp_extract(
-        html,
-        r'(?is)<meta\s+[^>]*name\s*=\s*["\']robots["\'][^>]*'
-        r'content\s*=\s*["\']([^"\']*)["\']', 1)
+        meta_tag, r'(?is)\bcontent\s*=\s*["\']([^"\']*)["\']', 1)
     low = F.lower(meta)
-    canon = F.regexp_extract(
+    link_tag = F.regexp_extract(
         html,
-        r'(?is)<link\s+[^>]*rel\s*=\s*["\']canonical["\'][^>]*'
-        r'href\s*=\s*["\']([^"\']*)["\']', 1)
+        r'(?is)<link\s+(?=[^>]*rel\s*=\s*["\']canonical["\'])[^>]*>',
+        0)
+    canon = F.regexp_extract(
+        link_tag, r'(?is)\bhref\s*=\s*["\']([^"\']*)["\']', 1)
     return {
         "robots_meta": F.nullif(meta, F.lit("")),
         "noindex": (low.rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")),

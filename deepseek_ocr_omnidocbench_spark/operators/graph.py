@@ -769,7 +769,8 @@ def _reach_min(edges: DataFrame, nodes: DataFrame,
 
 
 def scc(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
-        max_rounds: int = 10, max_iters: int = 30) -> DataFrame:
+        max_rounds: int = 10, max_iters: int = 30,
+        pre_normalized: bool = False) -> DataFrame:
     """Strongly connected components of a directed graph ->
     (node, scc_id) with scc_id = the component's minimum node id —
     the decomposition behind every web-structure analysis since
@@ -792,10 +793,15 @@ def scc(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     more; the adversarial worst case (a directed chain extracts one
     anchor per round) is bounded by ``max_rounds``, after which any
     unresolved nodes raise rather than return a wrong answer."""
-    remaining = (edges.select(F.col(src_col).alias("src"),
-                              F.col(dst_col).alias("dst"))
-                 .where(F.col("src") != F.col("dst"))
-                 .distinct().localCheckpoint(eager=True))
+    if pre_normalized:
+        # caller already self-loop-filtered, deduped and materialized
+        # (bowtie does) — a second |E| distinct shuffle would be waste
+        remaining = edges
+    else:
+        remaining = (edges.select(F.col(src_col).alias("src"),
+                                  F.col(dst_col).alias("dst"))
+                     .where(F.col("src") != F.col("dst"))
+                     .distinct().localCheckpoint(eager=True))
     nodes = (remaining.select(F.col("src").alias("node"))
              .union(remaining.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
@@ -857,10 +863,13 @@ def bowtie(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
                       F.col(dst_col).alias("dst"))
          .where(F.col("src") != F.col("dst"))
          .distinct().localCheckpoint(eager=True))
-    comps = scc(e, **scc_kw)
+    comps = scc(e, pre_normalized=True, **scc_kw)
     nodes = comps.select("node").localCheckpoint(eager=True)
     top = (comps.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n"))
            .orderBy(F.desc("n"), F.asc("scc_id")).limit(1).collect())
+    if not top:  # empty / self-loop-only graph: no regions to label
+        return comps.select("node", "scc_id",
+                            F.lit("core").alias("region")).limit(0)
     core_id = top[0]["scc_id"]
     core = comps.where(F.col("scc_id") == F.lit(core_id)).select("node")
 

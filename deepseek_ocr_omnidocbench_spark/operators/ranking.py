@@ -231,8 +231,11 @@ def retrieval_eval(runs: DataFrame, qrels: DataFrame, k: int = 10,
            .join(dcg, "q", "left").join(idcg, "q", "left"))
     nrel = F.coalesce("n_rel", F.lit(0))
     hits = F.coalesce("hits", F.lit(0))
+    # dcg is NULL (not 0) for a query with no rank-<=k rows; such a
+    # query earned nothing, so coalesce before the divide
     ndcg = F.when(F.coalesce("idcg", F.lit(0.0)) > 0,
-                  F.col("dcg") / F.col("idcg")).otherwise(F.lit(0.0))
+                  F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")) \
+        .otherwise(F.lit(0.0))
     mrr = F.when(F.col("first_rel").isNotNull(),
                  F.lit(1.0) / F.col("first_rel").cast("double")) \
         .otherwise(F.lit(0.0))

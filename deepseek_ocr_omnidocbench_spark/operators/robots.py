@@ -324,11 +324,15 @@ def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
             F.lit("atom").alias("kind"), b.alias("body"))))
 
     def field(tag: str) -> "F.Column":
+        # (?s): field values may wrap across lines inside the element
+        # (pretty-printed feeds) — without it the link row is DROPPED
         return F.regexp_extract(F.col("_b.body"),
-                                r"<%s>\s*(.*?)\s*</%s>" % (tag, tag), 1)
+                                r"(?s)<%s>\s*(.*?)\s*</%s>" % (tag, tag),
+                                1)
 
     href = F.regexp_extract(F.col("_b.body"),
-                            r'<link[^>]*href\s*=\s*["\']([^"\']*)["\']', 1)
+                            r'(?s)<link[^>]*href\s*=\s*["\']([^"\']*)["\']',
+                            1)
     link = F.when(F.col("_b.kind") == "rss", field("link")) \
         .otherwise(href)
     published = F.coalesce(F.nullif(field("pubDate"), F.lit("")),

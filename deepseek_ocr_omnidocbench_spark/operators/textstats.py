@@ -1092,6 +1092,10 @@ def ks_by_group(rows: DataFrame, value_col: str, group_col: str = "source",
     exp(-2 j^2 lam^2) with lam = D*sqrt(n_a*n_b/(n_a+n_b)), folded in
     fixed term order (j = 1..terms) and clamped to [0, 1].
 
+    Exact-integer bound: d_num = cum_a*n_b - cum_rest*n_a needs
+    n_a*n_b < 2^63, i.e. both sides under ~3e9 rows; beyond that,
+    pre-bucket values or swap the products to decimal(38,0).
+
     Scale: one groupBy on (group, value), one on value, a groups x
     distinct-values grid (bounded: value domains like doc length or
     score deciles are small; 10^5 values x 10^3 sources is trivial
@@ -1118,8 +1122,11 @@ def ks_by_group(rows: DataFrame, value_col: str, group_col: str = "source",
     agg = (stepped.groupBy("grp")
            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
                 F.max("dn").alias("d_num")))
-    d = F.col("d_num").cast("double") \
-        / (F.col("n_a") * F.col("n_b")).cast("double")
+    # a group owning the whole corpus has no "rest" to test against:
+    # NULL d_stat/p rather than an ANSI divide-by-zero job abort
+    d = F.when(F.col("n_b") > 0,
+               F.col("d_num").cast("double")
+               / (F.col("n_a") * F.col("n_b")).cast("double"))
     lam2 = (d * d) * (F.col("n_a") * F.col("n_b")).cast("double") \
         / (F.col("n_a") + F.col("n_b")).cast("double")
     p = None

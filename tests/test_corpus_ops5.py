@@ -451,3 +451,64 @@ class TestZorderKey:
         pts = list(itertools.product(range(8), range(8)))
         keys = self._keys(spark, pts, bits=3)
         assert len(set(keys)) == 64 and max(keys) == 63
+
+
+class TestReviewRegressions:
+    """Fixes from the batch-5/6 code review — each was runtime-confirmed
+    broken before the fix."""
+
+    def test_ks_single_source_corpus_null_not_crash(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+            ks_by_group)
+        df = spark.createDataFrame([("only", 1), ("only", 2)],
+                                   "source string, n long")
+        out = ks_by_group(df, "n").collect()
+        assert len(out) == 1
+        assert out[0]["n_b"] == 0 and out[0]["d_stat"] is None
+
+    def test_bowtie_empty_graph_returns_empty(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.graph import bowtie
+        df = spark.createDataFrame([(5, 5)], "src long, dst long")
+        out = bowtie(df)
+        assert out.count() == 0
+        assert out.columns == ["node", "scc_id", "region"]
+
+    def test_meta_robots_attribute_order_swapped(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.filters import (
+            meta_robots_gate)
+        html = ('<head><meta content="noindex" name="robots">'
+                '<link href="https://c/x" rel="canonical"></head>')
+        df = spark.createDataFrame([("https://u/1", html)],
+                                   "url string, html string")
+        r = meta_robots_gate(df).collect()[0]
+        assert r["noindex"] and r["canonical"] == "https://c/x"
+        assert r["dedup_key"] == "https://c/x"
+
+    def test_retrieval_eval_all_ranks_beyond_k_zero_ndcg(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.ranking import (
+            retrieval_eval)
+        runs = spark.createDataFrame([(1, 10, 11)],
+                                     "query_id long, doc_id long, rank int")
+        qrels = spark.createDataFrame([(1, 10, 1)],
+                                      "query_id long, doc_id long, rel int")
+        out = retrieval_eval(runs, qrels, k=10).collect()[0]
+        assert out["ndcg"] == 0.0  # was NULL before the fix
+
+    def test_calibration_negative_score_clamps_to_bin_zero(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.classifier import (
+            calibration_report)
+        df = spark.createDataFrame([("g", -0.25, 0)],
+                                   "source string, score double, label int")
+        out = calibration_report(df).collect()
+        assert len(out) == 1 and out[0]["bin"] == 0
+
+    def test_feeds_multiline_field_values_survive(self, spark):
+        from deepseek_ocr_omnidocbench_spark.operators.robots import (
+            parse_feeds)
+        xml = ("<rss><channel><item><title>two\nlines</title>"
+               "<link>\nhttps://h/1\n</link></item></channel></rss>")
+        df = spark.createDataFrame([("h", xml)], "host string, xml string")
+        out = parse_feeds(df).collect()
+        assert len(out) == 1
+        assert out[0]["link"] == "https://h/1"
+        assert out[0]["title"] == "two\nlines"
