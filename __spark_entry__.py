@@ -4570,6 +4570,360 @@ def _zorder_oracle_sql(bits: int = 8) -> str:
     """
 
 
+# ---- round-5 batch 7: perceptual image hashing, paired significance,
+# ---- co-citation mirror detection --------------------------------------
+
+def _phash_imgs(spark, sf_dir):
+    """Deterministic synthetic grayscale images over documents: value
+    depends only on the target 7x9 cell (so cell means are exact and
+    resolution-independent), ~12 docs share each base pattern, and
+    docs with doc_id % 10 == 7 brighten cell (3,4) by 120 — a planted
+    near-duplicate within <= 2 dHash bits of its base peers."""
+    did = F.col("doc_id")
+    w = (F.lit(18) + (did % 3) * 9).cast("int")
+    h = (F.lit(14) + (did % 2) * 7).cast("int")
+    base = (did % 40).cast("long")
+    perturbed = (did % 10 == 7)
+
+    def _px(i):
+        r = F.floor(i / F.col("w")).cast("long")
+        c = (i % F.col("w")).cast("long")
+        cr = F.floor(r * 7 / F.col("h")).cast("long")
+        cc = F.floor(c * 9 / F.col("w")).cast("long")
+        v = (F.col("base") * 37 + cr * 13 + cc * 29) % 256
+        bump = F.when(F.col("pert") & (cr == 3) & (cc == 4),
+                      F.least(v + 120, F.lit(255))).otherwise(v)
+        return bump.cast("int")
+
+    return (_docs(spark, sf_dir)
+            .select(did.alias("media_id"), w.alias("w"), h.alias("h"),
+                    base.alias("base"), perturbed.alias("pert"))
+            .select("media_id", F.col("w").alias("width"),
+                    F.col("h").alias("height"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("w") * F.col("h") - 1),
+                        _px).alias("pixels")))
+
+
+def q_image_hashes(spark, sf_dir):
+    """aHash + dHash perceptual signatures (multimodal.py image_hashes)
+    over the synthetic cell-structured images: exact bigint cross-
+    multiply comparisons, one map-side-combined groupBy per image."""
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        image_hashes)
+
+    return (image_hashes(_phash_imgs(spark, sf_dir))
+            .orderBy("media_id"))
+
+
+_PHASH_CELLS = """
+    with img as (
+      select doc_id as media_id,
+             (18 + (doc_id % 3) * 9)::bigint as w,
+             (14 + (doc_id % 2) * 7)::bigint as h,
+             (doc_id % 40)::bigint as base,
+             (doc_id % 10 = 7) as pert
+      from documents),
+    px as (
+      select media_id, w, h, base, pert,
+             unnest(generate_series(0, w * h - 1)) as i
+      from img),
+    vals as (
+      select media_id,
+        ((i // w) * 7) // h as cell_r,
+        ((i % w) * 9) // w as cell_c,
+        (case when pert and ((i // w) * 7) // h = 3
+                   and ((i % w) * 9) // w = 4
+              then least((base * 37 + (((i // w) * 7) // h) * 13
+                          + (((i % w) * 9) // w) * 29) % 256 + 120, 255)
+              else (base * 37 + (((i // w) * 7) // h) * 13
+                    + (((i % w) * 9) // w) * 29) % 256
+         end)::bigint as v
+      from px),
+    cells as (
+      select media_id, cell_r, cell_c,
+             sum(v)::bigint as s, count(*)::bigint as n
+      from vals group by 1, 2, 3)
+"""
+
+_IMAGE_HASHES_ORACLE = _PHASH_CELLS + """,
+    dbits as (
+      select a.media_id,
+        sum(case when a.s * b.n < b.s * a.n
+            then (1::bigint << (a.cell_r * 8 + a.cell_c)::int)
+            else 0::bigint end)::bigint as dhash
+      from cells a join cells b
+        on a.media_id = b.media_id and a.cell_r = b.cell_r
+       and b.cell_c = a.cell_c + 1
+      group by a.media_id),
+    totals as (
+      select media_id, sum(s)::bigint as ts, sum(n)::bigint as tn
+      from cells group by media_id),
+    abits as (
+      select c.media_id,
+        sum(case when c.s * t.tn > t.ts * c.n
+            then (1::bigint << (c.cell_r * 9 + c.cell_c)::int)
+            else 0::bigint end)::bigint as ahash
+      from cells c join totals t using (media_id)
+      group by c.media_id)
+    select a.media_id, a.ahash, d.dhash
+    from abits a join dbits d using (media_id)
+    order by media_id
+"""
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Hamming-banded perceptual near-dup pairs over the planted
+    fixture: unperturbed same-base images collide at hamming 0, the
+    perturbed ones sit within 2 dHash bits — found via 4x16-bit band
+    buckets + exact bit_count(xor) verify, never an all-pairs term.
+    Capped to the lowest-doc_id 120 images so the quadratic
+    WITHIN-BASE pair count stays gate-sized at any sf (the cap is a
+    fixture choice, not an operator limit)."""
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        hash_near_dups, image_hashes)
+
+    hashes = image_hashes(
+        _phash_imgs(spark, sf_dir).where(F.col("media_id") < 120))
+    return (hash_near_dups(hashes, hash_col="dhash", max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+_IMAGE_NEAR_DUPS_ORACLE = _PHASH_CELLS.replace(
+    "from documents", "from documents where doc_id < 120") + """,
+    dbits as (
+      select a.media_id,
+        sum(case when a.s * b.n < b.s * a.n
+            then (1::bigint << (a.cell_r * 8 + a.cell_c)::int)
+            else 0::bigint end)::bigint as hv
+      from cells a join cells b
+        on a.media_id = b.media_id and a.cell_r = b.cell_r
+       and b.cell_c = a.cell_c + 1
+      group by a.media_id),
+    bands as (
+      select media_id, hv, b,
+             (hv >> (b * 16)) & 65535 as bv
+      from dbits, unnest(generate_series(0, 3)) as t(b)),
+    cand as (
+      select distinct l.media_id as id_a, r.media_id as id_b,
+             l.hv as ha, r.hv as hb
+      from bands l join bands r
+        on l.b = r.b and l.bv = r.bv and l.media_id < r.media_id)
+    select id_a, id_b, bit_count(xor(ha, hb))::bigint as hamming
+    from cand
+    where bit_count(xor(ha, hb)) <= 3
+    order by id_a, id_b
+"""
+
+
+def q_paired_bootstrap(spark, sf_dir):
+    """Paired bootstrap (Koehn 2004) comparing two integer per-doc
+    metrics: md5-seeded resampling, exact bigint replicate sums,
+    sign-opposition p-value and order-statistic CI — the rigor bar
+    behind 'extractor A beats extractor B' (significance.py; the
+    reference's z-test is p_test_calc.py:1-10)."""
+    from deepseek_ocr_omnidocbench_spark.operators.significance import (
+        paired_bootstrap)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") % 47).alias("metric_a"),
+        ((F.col("n_chars") * 3 + F.col("doc_id")) % 43).alias("metric_b"))
+    return paired_bootstrap(docs, b_reps=100, seed="pb")
+
+
+_PAIRED_BOOTSTRAP_ORACLE = """
+    with m as (
+      select doc_id, (n_chars % 47)::bigint as ma,
+             ((n_chars * 3 + doc_id) % 43)::bigint as mb
+      from documents),
+    ranked as (
+      select row_number() over (order by doc_id) - 1 as idx,
+             ma - mb as delta
+      from m),
+    stats as (
+      select count(*)::bigint as n, sum(delta)::bigint as sum_delta
+      from ranked),
+    draws as (
+      select s.n, s.sum_delta, tb.b,
+        ('0x' || substr(md5('pb:' || tb.b::varchar || ':'
+                            || ti.i::varchar), 1, 12))::bigint % s.n
+          as idx
+      from stats s
+      cross join unnest(generate_series(0, 99)) as tb(b)
+      cross join unnest(generate_series(0, s.n - 1)) as ti(i)),
+    rep_sums as (
+      select b, n, sum_delta, sum(r.delta)::bigint as rep_sum
+      from draws d join ranked r using (idx)
+      group by 1, 2, 3),
+    rk as (
+      select *, row_number() over (order by rep_sum, b) as rnk
+      from rep_sums)
+    select n, count(*)::bigint as b_reps, sum_delta,
+      sum_delta::double / n as mean_delta,
+      sum(case when rep_sum > 0 then 1 else 0 end)::bigint as n_reps_pos,
+      sum(case when rep_sum < 0 then 1 else 0 end)::bigint as n_reps_neg,
+      sum(case when rep_sum = 0 then 1 else 0 end)::bigint as n_reps_zero,
+      (sum(case when (sum_delta > 0 and rep_sum <= 0)
+                  or (sum_delta <= 0 and rep_sum >= 0)
+           then 1 else 0 end) + 1)::double / (count(*) + 1) as p_boot,
+      (max(case when rnk = 3 then rep_sum end))::double / n as ci_lo,
+      (max(case when rnk = 98 then rep_sum end))::double / n as ci_hi
+    from rk
+    group by n, sum_delta
+"""
+
+
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired pass/fail test: two correlated synthetic gates
+    (A = n_chars % 5 > 0, B = n_chars % 5 > 1) — discordant counts,
+    chi-square statistic, z; exact bigints until two single
+    divisions."""
+    from deepseek_ocr_omnidocbench_spark.operators.significance import (
+        mcnemar)
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("n_chars") % 5 > 0).alias("a_pass"),
+        (F.col("n_chars") % 5 > 1).alias("b_pass"))
+    return mcnemar(docs)
+
+
+_MCNEMAR_ORACLE = """
+    with d as (
+      select (n_chars % 5 > 0) as a, (n_chars % 5 > 1) as b
+      from documents),
+    agg as (
+      select count(*)::bigint as n,
+        sum(case when a and b then 1 else 0 end)::bigint as n_both,
+        sum(case when not a and not b then 1 else 0 end)::bigint
+          as n_neither,
+        sum(case when a and not b then 1 else 0 end)::bigint as n_a_only,
+        sum(case when not a and b then 1 else 0 end)::bigint as n_b_only
+      from d)
+    select n, n_both, n_neither, n_a_only, n_b_only,
+      case when n_a_only + n_b_only > 0
+           then ((n_a_only - n_b_only) * (n_a_only - n_b_only))::double
+                / (n_a_only + n_b_only) end as statistic,
+      case when n_a_only + n_b_only > 0
+           then (n_a_only - n_b_only)::double
+                / sqrt((n_a_only + n_b_only)::double) end as z
+    from agg
+"""
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa per source between two synthetic annotators (B
+    mislabels every 7th doc as 'xx'): single-division exactness —
+    kappa = (n*agree - sum_prod) / (n*n - sum_prod) on bigints."""
+    from deepseek_ocr_omnidocbench_spark.operators.significance import (
+        cohens_kappa)
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.col("lang").alias("label_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("label_b"))
+    return cohens_kappa(docs, group_col="source").orderBy("source")
+
+
+_COHENS_KAPPA_ORACLE = """
+    with d as (
+      select source, lang as la,
+        case when doc_id % 7 = 0 then 'xx' else lang end as lb
+      from documents),
+    pair as (
+      select source, count(*)::bigint as n,
+        sum(case when la = lb then 1 else 0 end)::bigint as agree
+      from d group by source),
+    ca as (select source, la as lbl, count(*)::bigint as na
+           from d group by 1, 2),
+    cb as (select source, lb as lbl, count(*)::bigint as nb
+           from d group by 1, 2),
+    prods as (
+      select source, sum(na * nb)::bigint as sum_prod
+      from ca join cb using (source, lbl)
+      group by source)
+    select p.source, p.n, p.agree,
+      coalesce(pr.sum_prod, 0)::bigint as sum_prod,
+      p.agree::double / p.n as po,
+      coalesce(pr.sum_prod, 0)::double / (p.n * p.n) as pe,
+      case when p.n * p.n - coalesce(pr.sum_prod, 0) != 0
+           then (p.n * p.agree - coalesce(pr.sum_prod, 0))::double
+                / (p.n * p.n - coalesce(pr.sum_prod, 0)) end as kappa
+    from pair p left join prods pr using (source)
+    order by p.source
+"""
+
+
+def _cocitation_links(spark, sf_dir):
+    """Synthetic link table with three planted structures: a full
+    mirror (s5m duplicates every s5 outlink -> jaccard 1.0), family
+    resemblance (srcs in the same residue class mod 4 share exactly
+    their two 'c' category targets -> jaccard 0.25), and a hub target
+    everyone links to (df 20 > cap -> contributes no candidates)."""
+    did = F.col("doc_id")
+    src = F.concat(F.lit("s"), (did % 20).cast("string"))
+    d = _docs(spark, sf_dir).select(src.alias("src"), did.alias("doc_id"))
+    t_edges = d.select(
+        "src", F.concat(F.lit("t"), ((F.col("doc_id") * 7) % 60)
+                        .cast("string")).alias("dst"))
+    c_edges = d.select(
+        "src", F.concat(F.lit("c"), ((F.col("doc_id") * 3) % 24)
+                        .cast("string")).alias("dst"))
+    base = t_edges.union(c_edges)
+    mirror = base.where(F.col("src") == "s5").select(
+        F.lit("s5m").alias("src"), "dst")
+    hub = d.where(F.col("doc_id") % 4 == 0).select(
+        "src", F.lit("hub").alias("dst"))
+    return base.union(mirror).union(hub)
+
+
+def q_cocitation(spark, sf_dir):
+    """Bibliographic-coupling mirror detection (graph.py
+    cocitation_pairs): bounded-postings self-join on shared outlink
+    targets with the hub target df-capped out of candidate
+    generation; s5/s5m surface at jaccard 1.0."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        cocitation_pairs)
+
+    return (cocitation_pairs(_cocitation_links(spark, sf_dir),
+                             min_shared=2, df_cap=15)
+            .orderBy("src_a", "src_b"))
+
+
+_COCITATION_ORACLE = """
+    with d as (
+      select 's' || (doc_id % 20)::varchar as src, doc_id
+      from documents),
+    base as (
+      select src, 't' || ((doc_id * 7) % 60)::varchar as dst from d
+      union all
+      select src, 'c' || ((doc_id * 3) % 24)::varchar as dst from d),
+    links as (
+      select src, dst from base
+      union all
+      select 's5m' as src, dst from base where src = 's5'
+      union all
+      select src, 'hub' as dst from d where doc_id % 4 = 0),
+    e as (select distinct src as s, dst as d from links),
+    deg as (select s, count(*)::bigint as deg from e group by s),
+    tdf as (select d, count(*)::bigint as tdf from e group by d),
+    posts as (select e.d, e.s from e join tdf using (d)
+              where tdf.tdf <= 15),
+    shared as (
+      select a.s as src_a, b.s as src_b, count(*)::bigint as shared
+      from posts a join posts b on a.d = b.d and a.s < b.s
+      group by 1, 2
+      having count(*) >= 2)
+    select sh.src_a, sh.src_b, sh.shared,
+      da.deg as deg_a, db.deg as deg_b,
+      sh.shared::double / (da.deg + db.deg - sh.shared) as jaccard
+    from shared sh
+    join deg da on da.s = sh.src_a
+    join deg db on db.s = sh.src_b
+    order by sh.src_a, sh.src_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4586,6 +4940,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stable oracles beyond the window (every one has a driver row dated
     # r4), (6) remaining rows-only queries (all driver-executed r4).
     return {
+        # --- tier 000000: round-5 batch 7 (new module code: md5-
+        # resampled bootstrap rank/order stats, perceptual-hash bit
+        # packing, kappa single-division algebra, bounded-postings
+        # co-citation; never driver-verified).  They displace six
+        # pure-Column single-agg mirrors of driver-green precedents
+        # (host_prefix, sampled_quantiles, dup_ngrams, source_drift,
+        # reciprocity, degree_dist — each named at the tier-4c marker,
+        # all strict-swept locally at sf0.01): novel kernel code
+        # outranks precedent-mirrors for driver slots. -----------------
+        "image_hashes": q_image_hashes,
+        "image_near_dups": q_image_near_dups,
+        "paired_bootstrap": q_paired_bootstrap,
+        "mcnemar": q_mcnemar,
+        "cohens_kappa": q_cohens_kappa,
+        "cocitation": q_cocitation,
         # --- tier 00000: round-5 batch 5 high-risk heads (new module
         # code: rank-tie AUC math + calibration bins; never driver-
         # verified).  They displace ngram_jaccard + quality_scores past
@@ -4606,18 +4975,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge": q_rouge,
         "encoding_health": q_encoding_health,
         "dehyphenate": q_dehyphenate,
-        "host_prefix": q_host_prefix,
-        "sampled_quantiles": q_sampled_quantiles,
-        "dup_ngrams": q_dup_ngrams,
-        "source_drift": q_source_drift,
         # --- tier 00: round-5 continuation graph layer (never driver-
         # verified; displaces the 4 tier-3 queries at the tier-3b marker
         # below, which are pure-Column ops untouched since their r3
         # driver-green rows) ----------------------------------------------
         "trustrank": q_trustrank,
         "label_prop": q_label_prop,
-        "reciprocity": q_reciprocity,
-        "degree_dist": q_degree_dist,
         "url_templates": q_url_templates,
         "embedding_outliers": q_embedding_outliers,
         "bpe_fertility": q_bpe_fertility,
@@ -4679,6 +5042,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which carries the new readability columns — into tier 3b;
         # never-driver-verified value oracles outrank the refresh) -----
         "quality_scores": q_quality_scores,
+        # --- tier 4c: displaced by batch 7 (see the tier-000000 note):
+        # pure-Column single-agg mirrors of driver-green precedents,
+        # all value-oracled + strict-swept locally at sf0.01 ------------
+        "host_prefix": q_host_prefix,
+        "sampled_quantiles": q_sampled_quantiles,
+        "dup_ngrams": q_dup_ngrams,
+        "source_drift": q_source_drift,
+        "reciprocity": q_reciprocity,
+        "degree_dist": q_degree_dist,
         # --- tier 4b: round-5 batch 5 beyond-window entries (see the
         # tier-00000 note: mirrors of driver-green precedents, all
         # value-oracled + strict-swept locally at sf0.01) ---------------
@@ -5964,6 +6336,12 @@ def _hybrid_rrf_oracle_sql(terms: list[str]) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_hashes": _IMAGE_HASHES_ORACLE,
+        "image_near_dups": _IMAGE_NEAR_DUPS_ORACLE,
+        "paired_bootstrap": _PAIRED_BOOTSTRAP_ORACLE,
+        "mcnemar": _MCNEMAR_ORACLE,
+        "cohens_kappa": _COHENS_KAPPA_ORACLE,
+        "cocitation": _COCITATION_ORACLE,
         "rouge": _rouge_oracle_sql(),
         "encoding_health": _encoding_oracle_sql(),
         "dehyphenate": _DEHYPH_ORACLE,

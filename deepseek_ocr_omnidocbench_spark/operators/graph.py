@@ -901,3 +901,50 @@ def bowtie(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
               .when(F.col("wc") == F.lit(core_wcc), "tendril")
               .otherwise("disconnected"))
     return lab.select("node", "scc_id", region.alias("region"))
+
+
+def cocitation_pairs(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst", min_shared: int = 3,
+                     df_cap: int = 1000) -> DataFrame:
+    """Bibliographic-coupling host similarity: pairs of sources whose
+    OUTLINK target sets overlap heavily — the structural mirror/alias
+    detector (two mirrors of one site link to near-identical targets
+    even when their HTML bytes differ enough to dodge text near-dedup).
+
+    Returns (src_a, src_b, shared, deg_a, deg_b, jaccard) for pairs
+    sharing >= ``min_shared`` distinct targets, src_a < src_b, with
+    jaccard = shared / (deg_a + deg_b - shared) over distinct-target
+    out-degrees.
+
+    Scale shape (the bounded-postings discipline of
+    ngram_jaccard_pairs, dedup.py): targets with more than ``df_cap``
+    distinct sources are dropped from candidate generation before the
+    self-join — a hub target everyone links to (google.com, a CDN) is
+    evidence of nothing and would otherwise emit df^2/2 candidate
+    rows.  Per-target posting lists therefore bound the join at
+    sum(df_i^2), df_i <= df_cap; the exact shared/jaccard math runs on
+    candidates only.  min_shared filters at AGGREGATION time (shared
+    is already counted), so no second verify pass is needed — unlike
+    text shingles, an edge either exists or it doesn't."""
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("d")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    df_t = e.groupBy("d").agg(F.count(F.lit(1)).alias("tdf"))
+    posts = e.join(df_t.where(F.col("tdf") <= df_cap).select("d"), "d")
+    a = posts.select(F.col("d"), F.col("s").alias("src_a"))
+    b = posts.select(F.col("d"), F.col("s").alias("src_b"))
+    shared = (a.join(b, "d")
+              .where(F.col("src_a") < F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("shared"))
+              .where(F.col("shared") >= min_shared))
+    da = deg.select(F.col("s").alias("src_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("s").alias("src_b"), F.col("deg").alias("deg_b"))
+    return (shared.join(da, "src_a").join(db, "src_b")
+            .select("src_a", "src_b",
+                    F.col("shared").cast("long").alias("shared"),
+                    F.col("deg_a").cast("long").alias("deg_a"),
+                    F.col("deg_b").cast("long").alias("deg_b"),
+                    (F.col("shared").cast("double")
+                     / (F.col("deg_a") + F.col("deg_b") - F.col("shared")))
+                    .alias("jaccard")))

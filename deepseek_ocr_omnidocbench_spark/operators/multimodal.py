@@ -413,3 +413,155 @@ def pdf_image_placements(pages: DataFrame, blob_col: str = "html",
             yield out
 
     return src.mapInPandas(_gen, PDF_IMAGE_SCHEMA)
+
+
+# ---- Perceptual image hashing (aHash / dHash) + Hamming near-dup -------
+#
+# The image twin of the text near-dedup layer: re-encoded, resized or
+# lightly-recompressed copies of the same figure/page scan survive exact
+# byte dedup, but their coarse luminance structure is identical.  aHash
+# (mean hash) and dHash (gradient hash, Krawetz 2013 "Kind of Like
+# That") reduce each image to a 63-bit signature over a fixed
+# HASH_ROWS x HASH_COLS cell grid; near-duplicates are pairs within a
+# small Hamming distance, found with the same banding trick the SimHash
+# operator uses (no all-pairs term).
+#
+# Everything after decode is relational and exact:
+#   * cell means never materialize as floats — cell A is darker than
+#     cell B iff sum_a * cnt_b < sum_b * cnt_a (exact bigint cross
+#     multiply), so the bits are engine-portable with no rounding
+#     surface;
+#   * the grid is HASH_ROWS=7 x HASH_COLS=9: dHash compares the 8
+#     horizontally-adjacent cell pairs per row (7*8 = 56 bits) and
+#     aHash thresholds all 63 cells against the global mean (63 bits)
+#     — both fit a non-negative signed bigint, so XOR + bit_count
+#     stay in native 64-bit integer ops in Spark AND DuckDB.
+#
+# Scale shape: pixels explode to (media_id, cell, value) rows — one
+# map-side-combinable groupBy per image regardless of resolution; the
+# per-image state after the combine is <= 63 rows.  The near-dup join
+# is banded: 4 x 16-bit bands, pairs sharing any band verify exact
+# Hamming — candidates are bounded by band-bucket sizes, never |N|^2.
+
+HASH_ROWS = 7
+HASH_COLS = 9
+
+
+def gray_cell_stats(imgs: DataFrame, id_col: str = "media_id",
+                    pixels_col: str = "pixels",
+                    width_col: str = "width", height_col: str = "height",
+                    rows: int = HASH_ROWS,
+                    cols: int = HASH_COLS) -> DataFrame:
+    """(id, cell_r, cell_c, s bigint, n bigint) — box-mean pooling of a
+    row-major grayscale array<int> onto a rows x cols grid.  Pixel
+    (r, c) lands in cell (floor(r*rows/h), floor(c*cols/w)); means are
+    kept as exact (sum, count) pairs.  ONE shuffle (the groupBy), with
+    map-side combine bounding the shuffled rows at rows*cols per
+    image."""
+    from pyspark.sql import functions as F
+
+    px = imgs.select(
+        F.col(id_col).alias("media_id"),
+        F.col(width_col).cast("long").alias("w"),
+        F.col(height_col).cast("long").alias("h"),
+        F.posexplode(F.col(pixels_col)).alias("i", "v"))
+    r = (F.col("i") / F.col("w")).cast("long")
+    c = F.col("i") % F.col("w")
+    return (px
+            .select("media_id",
+                    ((r * rows) / F.col("h")).cast("long").alias("cell_r"),
+                    ((c * cols) / F.col("w")).cast("long").alias("cell_c"),
+                    F.col("v").cast("long").alias("v"))
+            .groupBy("media_id", "cell_r", "cell_c")
+            .agg(F.sum("v").alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def image_hashes(imgs: DataFrame, id_col: str = "media_id",
+                 pixels_col: str = "pixels",
+                 width_col: str = "width", height_col: str = "height",
+                 rows: int = HASH_ROWS,
+                 cols: int = HASH_COLS) -> DataFrame:
+    """(media_id, ahash bigint, dhash bigint) from decoded grayscale
+    pixels.  dHash bit (r, c) = cell (r, c) darker than its right
+    neighbor (bit index r*(cols-1)+c); aHash bit k = cell k brighter
+    than the global image mean.  Bit counts (rows*(cols-1) = 56 and
+    rows*cols = 63 by default) must stay <= 63 so signatures are
+    non-negative bigints."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    if rows * cols > 63:
+        raise ValueError("aHash grid must be <= 63 cells for bigint packing")
+    # Scale shape: ONE pixel-level shuffle (gray_cell_stats, map-side
+    # combined to <= rows*cols rows per image), then two cell-level
+    # exchanges over that already-tiny frame: the neighbor window on
+    # (media_id, cell_r) for lead(), and media_id for the global-mean
+    # window — whose partitioning the final groupBy reuses.  Per-row
+    # expressions stay tiny: no join, no branch recompute, no giant
+    # literal-unrolled projection.
+    # Images narrower or shorter than the grid would leave empty cells
+    # (undefined neighbors), so they are filtered out — a perceptual
+    # hash of a < 9x7 thumbnail is meaningless anyway.
+    cells = gray_cell_stats(
+        imgs.where((F.col(width_col) >= cols) & (F.col(height_col) >= rows)),
+        id_col, pixels_col, width_col, height_col, rows, cols)
+    w_all = Window.partitionBy("media_id")
+    w_row = Window.partitionBy("media_id", "cell_r").orderBy("cell_c")
+    enriched = cells.select(
+        "media_id", "cell_r", "cell_c", "s", "n",
+        F.sum("s").over(w_all).alias("ts"),
+        F.sum("n").over(w_all).alias("tn"),
+        F.lead("s").over(w_row).alias("s2"),
+        F.lead("n").over(w_row).alias("n2"))
+    a_term = F.expr(
+        "case when s * tn > ts * n then shiftleft(cast(1 as bigint), "
+        f"cast(cell_r * {cols} + cell_c as int)) else cast(0 as bigint) end")
+    d_term = F.expr(
+        "case when s2 is not null and s * n2 < s2 * n then "
+        "shiftleft(cast(1 as bigint), "
+        f"cast(cell_r * {cols - 1} + cell_c as int)) "
+        "else cast(0 as bigint) end")
+    return (enriched.groupBy("media_id")
+            .agg(F.sum(a_term).alias("ahash"),
+                 F.sum(d_term).alias("dhash")))
+
+
+def hash_near_dups(hashes: DataFrame, hash_col: str = "dhash",
+                   id_col: str = "media_id", max_hamming: int = 6,
+                   n_bands: int = 4, band_bits: int = 16) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(hash_a, hash_b) <=
+    ``max_hamming``, id_a < id_b.  Banded candidate generation: two
+    signatures within Hamming d < n_bands share at least one exact
+    16-bit band (pigeonhole), so only band-bucket collisions are
+    verified — the SimHash trick applied to perceptual hashes.  With
+    max_hamming >= n_bands the guarantee is probabilistic-complete
+    (documented); the gated fixture plants dups within n_bands-1 bits.
+    Exact verify = bit_count(a XOR b), native 64-bit in Spark and
+    DuckDB."""
+    from pyspark.sql import functions as F
+
+    h = hashes.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).alias("hv"))
+    bands = h.select(
+        "id", "hv",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("hv"), b * band_bits)
+                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bv"))
+            for b in range(n_bands)])).alias("bk")) \
+        .select("id", "hv", F.col("bk.band").alias("band"),
+                F.col("bk.bv").alias("bv"))
+    left = bands.select(F.col("band"), F.col("bv"),
+                        F.col("id").alias("id_a"), F.col("hv").alias("ha"))
+    right = bands.select(F.col("band"), F.col("bv"),
+                         F.col("id").alias("id_b"), F.col("hv").alias("hb"))
+    pairs = (left.join(right, ["band", "bv"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "ha", "hb").distinct())
+    return (pairs
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

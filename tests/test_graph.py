@@ -679,3 +679,28 @@ class TestAssortativity:
                         * math.sqrt(n * syy - sy * sy)), 6)
         got = self._r(spark, edges)
         assert got["assortativity"] == want
+
+
+def test_cocitation_mirror_detection(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        cocitation_pairs)
+
+    edges = []
+    # m1/m2 mirrors: share t0..t9; m3 shares only t0,t1 with them
+    for t in range(10):
+        edges += [("m1", f"t{t}"), ("m2", f"t{t}")]
+    edges += [("m3", "t0"), ("m3", "t1"), ("m3", "zz")]
+    # hub target linked by everyone incl. 20 noise hosts: df 23 > cap
+    edges += [(s, "hub") for s in
+              ["m1", "m2", "m3"] + [f"n{i}" for i in range(20)]]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r.src_a, r.src_b): r
+           for r in cocitation_pairs(e, min_shared=2, df_cap=10).collect()}
+    assert out[("m1", "m2")].shared == 10
+    # degrees include the hub edge (cap only bounds candidate gen)
+    assert out[("m1", "m2")].deg_a == 11
+    assert out[("m1", "m2")].jaccard == 10 / 12
+    assert out[("m1", "m3")].shared == 2
+    # hub contributed no candidate pairs: n* hosts appear nowhere
+    assert not any(k[0].startswith("n") or k[1].startswith("n")
+                   for k in out)

@@ -182,3 +182,84 @@ def test_sniff_image_header_never_raises():
                          for _ in range(rng.randrange(0, 40)))
         out = sniff_image_header(blob)
         assert out is None or (len(out) == 3 and isinstance(out[0], str))
+
+
+# ---- perceptual hashing -------------------------------------------------
+
+def _img_rows(spark, specs):
+    """specs: list of (media_id, width, height, pixel_fn(r, c))."""
+    from pyspark.sql import types as T
+    rows = []
+    for mid, w, h, fn in specs:
+        px = [fn(i // w, i % w) for i in range(w * h)]
+        rows.append((mid, w, h, px))
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_image_hashes_gradient_and_flat(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        image_hashes)
+
+    # left-to-right brightness ramp: every dHash bit on (each cell
+    # strictly darker than its right neighbor); flat image: all off.
+    imgs = _img_rows(spark, [
+        ("ramp", 18, 14, lambda r, c: c * 10),
+        ("flat", 18, 14, lambda r, c: 77),
+    ])
+    out = {r.media_id: r for r in image_hashes(imgs).collect()}
+    assert out["ramp"].dhash == (1 << 56) - 1
+    assert out["flat"].dhash == 0
+    assert out["flat"].ahash == 0  # no cell strictly brighter than mean
+
+
+def test_image_hashes_resolution_invariant(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        image_hashes)
+
+    # Same cell-structured content at different resolutions hashes
+    # identically: pixel value depends only on the target cell.
+    def fn(w, h):
+        return lambda r, c: ((r * 7 // h) * 13 + (c * 9 // w) * 29) % 256
+
+    imgs = _img_rows(spark, [
+        ("small", 18, 14, fn(18, 14)),
+        ("large", 36, 21, fn(36, 21)),
+    ])
+    out = {r.media_id: r for r in image_hashes(imgs).collect()}
+    assert out["small"].dhash == out["large"].dhash
+    assert out["small"].ahash == out["large"].ahash
+
+
+def test_hash_near_dups_banding(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        hash_near_dups)
+
+    # a/b differ in 2 bits (< n_bands=4 -> pigeonhole-guaranteed);
+    # c is far from both; d == a exactly.
+    rows = [("a", 0b1111000011110000111100001111000011110000),
+            ("b", 0b1111000011110000111100001111000011110011),
+            ("c", 0b0000111100001111000011110000111100001111),
+            ("d", 0b1111000011110000111100001111000011110000)]
+    h = spark.createDataFrame(rows, ["media_id", "dhash"])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hash_near_dups(h, max_hamming=3).collect()}
+    assert pairs[("a", "b")] == 2
+    assert pairs[("a", "d")] == 0
+    assert pairs[("b", "d")] == 2
+    assert not any("c" in p for p in pairs)
+
+
+def test_hash_near_dups_exact_verify_rejects(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        hash_near_dups)
+
+    # share the low 16-bit band (candidates) but hamming 24 -> rejected
+    rows = [("x", (0xFFFFFF << 16) | 0x1234), ("y", 0x1234)]
+    h = spark.createDataFrame(rows, ["media_id", "dhash"])
+    assert hash_near_dups(h, max_hamming=6).count() == 0
