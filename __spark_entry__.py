@@ -4924,6 +4924,277 @@ _COCITATION_ORACLE = """
 """
 
 
+# ---- round-5 batch 8: image dup clusters, Luhn PII, Krippendorff,
+# ---- burstiness, domain concentration, n-gram novelty ------------------
+
+def q_image_dup_clusters(spark, sf_dir):
+    """Perceptual-hash dedup end to end: dHash signatures -> Hamming-
+    banded pairs -> pointer-jumping connected components = canonical
+    image clusters (the image twin of dedup_clusters).  Oracle =
+    recursive-CTE transitive closure over the SAME pair replay —
+    checks the component DEFINITION, not the kernel's rounds."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        connected_components)
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        hash_near_dups, image_hashes)
+
+    hashes = image_hashes(
+        _phash_imgs(spark, sf_dir).where(F.col("media_id") < 120))
+    pairs = hash_near_dups(hashes, hash_col="dhash", max_hamming=3)
+    return (connected_components(pairs, a_col="id_a", b_col="id_b")
+            .orderBy("node"))
+
+
+_IMAGE_DUP_CLUSTERS_ORACLE = _PHASH_CELLS.replace(
+    "from documents", "from documents where doc_id < 120") + """,
+    dbits as (
+      select a.media_id,
+        sum(case when a.s * b.n < b.s * a.n
+            then (1::bigint << (a.cell_r * 8 + a.cell_c)::int)
+            else 0::bigint end)::bigint as hv
+      from cells a join cells b
+        on a.media_id = b.media_id and a.cell_r = b.cell_r
+       and b.cell_c = a.cell_c + 1
+      group by a.media_id),
+    bands as (
+      select media_id, hv, b,
+             (hv >> (b * 16)) & 65535 as bv
+      from dbits, unnest(generate_series(0, 3)) as t(b)),
+    cand as (
+      select distinct l.media_id as id_a, r.media_id as id_b,
+             l.hv as ha, r.hv as hb
+      from bands l join bands r
+        on l.b = r.b and l.bv = r.bv and l.media_id < r.media_id),
+    pairs as (
+      select id_a, id_b from cand
+      where bit_count(xor(ha, hb)) <= 3),
+    sym as (
+      select id_a as a, id_b as b from pairs
+      union
+      select id_b as a, id_a as b from pairs),
+    reach as (
+      select a as node, a as r from sym
+      union
+      select s.a as node, rc.r
+      from sym s join reach rc on s.b = rc.node)
+    select node, min(r)::bigint as cluster_id
+    from reach group by node order by node
+"""
+# DuckDB requires WITH RECURSIVE when a CTE self-references
+_IMAGE_DUP_CLUSTERS_ORACLE = _IMAGE_DUP_CLUSTERS_ORACLE.replace(
+    "with img as", "with recursive img as", 1)
+
+
+def q_luhn_cards(spark, sf_dir):
+    """Checksum-validated payment-card PII scan: every doc carries one
+    synthetic 16-digit number whose LAST digit is the true Luhn check
+    digit for even doc_ids and an offset-by-5 corruption for odd ones
+    — so the oracle states the expected verdict from number theory
+    (n_candidates = 1 always, n_luhn_valid = doc_id % 2 = 0) while
+    Spark must re-derive it through regex extraction + the checksum
+    fold (filters.py card_scan)."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        card_scan, luhn_total)
+
+    did = F.col("doc_id")
+    base15 = F.lpad(((did * 333667) % F.lit(10 ** 15)).cast("string"),
+                    15, "0")
+    check = (F.lit(10) - luhn_total(base15, shift=1) % 10) % 10
+    digit = F.when(did % 2 == 0, check).otherwise((check + 5) % 10)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("ref "), base15, digit.cast("string"),
+                 F.lit(" thanks")).alias("text"))
+    return card_scan(d).orderBy("doc_id")
+
+
+_LUHN_CARDS_ORACLE = """
+    select doc_id,
+      1::bigint as n_candidates,
+      (case when doc_id % 2 = 0 then 1 else 0 end)::bigint
+        as n_luhn_valid,
+      doc_id % 2 = 0 as has_card
+    from documents
+    order by doc_id
+"""
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha per source over the same two synthetic
+    annotators as cohens_kappa (B mislabels every 7th doc as 'xx'):
+    the closed-form bigint reduction — ONE division per group."""
+    from deepseek_ocr_omnidocbench_spark.operators.significance import (
+        krippendorff_alpha)
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.col("lang").alias("label_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("label_b"))
+    return krippendorff_alpha(docs, group_col="source").orderBy("source")
+
+
+_KRIPPENDORFF_ORACLE = """
+    with d as (
+      select source, lang as la,
+        case when doc_id % 7 = 0 then 'xx' else lang end as lb
+      from documents),
+    pair as (
+      select source, count(*)::bigint as n,
+        sum(case when la != lb then 1 else 0 end)::bigint as disagree
+      from d group by source),
+    pooled as (
+      select source, sum(c * c)::bigint as s from (
+        select source, v, count(*)::bigint as c from (
+          select source, la as v from d
+          union all
+          select source, lb as v from d)
+        group by source, v)
+      group by source)
+    select p.source, p.n, p.disagree, po.s as sum_sq_pooled,
+      case when (2*p.n)*(2*p.n) - po.s != 0
+           then ((2*p.n)*(2*p.n) - po.s
+                 - p.disagree * 2 * (2*p.n - 1))::double
+                / ((2*p.n)*(2*p.n) - po.s) end as alpha
+    from pair p join pooled po using (source)
+    order by p.source
+"""
+
+
+def q_host_burstiness(spark, sf_dir):
+    """Per-host daily-volume anomaly detection over the events table
+    (host = user_id bucket): exact integer co-moments, one window
+    exchange, z + burst flag from identical expressions in both
+    engines (sessions.py host_burstiness)."""
+    from deepseek_ocr_omnidocbench_spark.operators.sessions import (
+        host_burstiness)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"), "ts")
+    out = host_burstiness(ev)
+    # day cast to string: DATE columns render differently in the two
+    # engines' pandas bridges (date vs datetime64) under the strict
+    # no-canonicalization compare
+    return (out.withColumn("day", F.col("day").cast("string"))
+            .orderBy("host", "day"))
+
+
+_HOST_BURSTINESS_ORACLE = """
+    with d as (
+      select 'h' || (user_id % 20)::varchar as host, ts::date as day
+      from events),
+    daily as (
+      select host, day, count(*)::bigint as c from d group by 1, 2),
+    st as (
+      select host, day, c,
+        count(*) over (partition by host)::bigint as n_days,
+        sum(c) over (partition by host)::bigint as total,
+        sum(c * c) over (partition by host)::bigint as ssq
+      from daily),
+    zc as (
+      select host, day, c, n_days, total, ssq,
+        case when n_days > 1 and n_days * ssq - total * total > 0
+             then (c * n_days - total)::double
+                  / (n_days::double
+                     * sqrt((n_days * ssq - total * total)::double
+                            / (n_days * (n_days - 1))::double)) end as z
+      from st)
+    select host, strftime(day, '%Y-%m-%d') as day, c, n_days, total,
+      ssq, z,
+      case when z is not null then abs(z) > 2.0::double end as is_burst
+    from zc order by host, day
+"""
+
+
+def q_host_concentration(spark, sf_dir):
+    """Domain-concentration report (HHI, top-host share, effective
+    host count) per source over the skewed synthetic host key every
+    third doc concentrates on — the diversity dashboard read before
+    setting domain quotas (textstats.py host_concentration)."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        host_concentration)
+
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.when(did % 3 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("h"), (did % 9).cast("string")))
+        .alias("host"))
+    return host_concentration(d).orderBy("source")
+
+
+_HOST_CONCENTRATION_ORACLE = """
+    with d as (
+      select source,
+        case when doc_id % 3 = 0 then 'hot'
+             else 'h' || (doc_id % 9)::varchar end as host
+      from documents),
+    per_host as (
+      select source, host, count(*)::bigint as c from d group by 1, 2),
+    agg as (
+      select source, count(*)::bigint as n_hosts,
+        sum(c)::bigint as total, sum(c * c)::bigint as ssq,
+        max(c)::bigint as max_c
+      from per_host group by source)
+    select source, n_hosts, total,
+      ssq::double / (total * total) as hhi,
+      max_c::double / total as top_share,
+      (total * total)::double / ssq as effective_hosts
+    from agg order by source
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-snapshot content freshness: 5-gram novelty of the odd-
+    doc_id snapshot against the even one, per source — distinct
+    md5-gram sets, one anti-join, single-division ratios (dedup.py
+    ngram_novelty; the md5 twin of the xxhash64 production path,
+    parity-tested in tests/test_dedup.py)."""
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        ngram_novelty)
+
+    d = _docs(spark, sf_dir)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    return (ngram_novelty(old, new, n=5, use_md5=True)
+            .orderBy("source"))
+
+
+_NGRAM_NOVELTY_ORACLE = """
+    with idx_new as (
+      select source, words,
+        unnest(generate_series(0, len(words) - 5)) as i
+      from (
+        select source,
+          string_split_regex(lower(text), '\\s+') as words
+        from documents where doc_id % 2 = 1)
+      where len(words) >= 5),
+    grams_new as (
+      select distinct source as part,
+        md5(array_to_string(words[i + 1 : i + 5], ' ')) as g
+      from idx_new),
+    idx_old as (
+      select words,
+        unnest(generate_series(0, len(words) - 5)) as i
+      from (
+        select string_split_regex(lower(text), '\\s+') as words
+        from documents where doc_id % 2 = 0)
+      where len(words) >= 5),
+    grams_old as (
+      select distinct
+        md5(array_to_string(words[i + 1 : i + 5], ' ')) as g
+      from idx_old)
+    select n.part as source,
+      count(*)::bigint as n_grams_new,
+      sum(case when o.g is null then 1 else 0 end)::bigint as n_novel,
+      case when count(*) > 0
+           then sum(case when o.g is null then 1 else 0 end)::double
+                / count(*) end as novelty
+    from grams_new n left join grams_old o using (g)
+    group by n.part order by n.part
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -4955,6 +5226,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar": q_mcnemar,
         "cohens_kappa": q_cohens_kappa,
         "cocitation": q_cocitation,
+        # --- batch 8 novel kernels (never driver-verified).  The four
+        # window slots come from moving pq_recall / ivfpq_codes /
+        # ivfpq_recall / hybrid_rrf to the tier-4c marker: each is a
+        # composition or near-mirror of an IN-WINDOW sibling sharing
+        # its kernel (pq_codes covers the PQ train/assign chain, bm25
+        # covers the lexical scorer), so every kernel keeps one
+        # driver-checked representative.  krippendorff and
+        # host_concentration (fixture/kernel siblings of in-window
+        # cohens_kappa and skew-style aggs) sit at tier 4c with them.
+        "image_dup_clusters": q_image_dup_clusters,
+        "luhn_cards": q_luhn_cards,
+        "host_burstiness": q_host_burstiness,
+        "ngram_novelty": q_ngram_novelty,
         # --- tier 00000: round-5 batch 5 high-risk heads (new module
         # code: rank-tie AUC math + calibration bins; never driver-
         # verified).  They displace ngram_jaccard + quality_scores past
@@ -5005,11 +5289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_accuracy": q_minhash_accuracy,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
-        "hybrid_rrf": q_hybrid_rrf,
         "pq_codes": q_pq_codes,
-        "pq_recall": q_pq_recall,
-        "ivfpq_codes": q_ivfpq_codes,
-        "ivfpq_recall": q_ivfpq_recall,
         "zipf_stats": q_zipf_stats,
         "host_split": q_host_split,
         # --- tier 1: never driver-verified / converted this round ---------
@@ -5042,9 +5322,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which carries the new readability columns — into tier 3b;
         # never-driver-verified value oracles outrank the refresh) -----
         "quality_scores": q_quality_scores,
-        # --- tier 4c: displaced by batch 7 (see the tier-000000 note):
-        # pure-Column single-agg mirrors of driver-green precedents,
-        # all value-oracled + strict-swept locally at sf0.01 ------------
+        # --- tier 4c: displaced by batches 7/8 (see the tier-000000
+        # and batch-8 notes): mirrors/compositions of in-window
+        # siblings or driver-green precedents, all value-oracled +
+        # strict-swept locally at sf0.01 --------------------------------
+        "krippendorff": q_krippendorff,
+        "host_concentration": q_host_concentration,
+        "pq_recall": q_pq_recall,
+        "ivfpq_codes": q_ivfpq_codes,
+        "ivfpq_recall": q_ivfpq_recall,
+        "hybrid_rrf": q_hybrid_rrf,
         "host_prefix": q_host_prefix,
         "sampled_quantiles": q_sampled_quantiles,
         "dup_ngrams": q_dup_ngrams,
@@ -6338,6 +6625,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "image_hashes": _IMAGE_HASHES_ORACLE,
         "image_near_dups": _IMAGE_NEAR_DUPS_ORACLE,
+        "image_dup_clusters": _IMAGE_DUP_CLUSTERS_ORACLE,
+        "luhn_cards": _LUHN_CARDS_ORACLE,
+        "host_burstiness": _HOST_BURSTINESS_ORACLE,
+        "ngram_novelty": _NGRAM_NOVELTY_ORACLE,
+        "krippendorff": _KRIPPENDORFF_ORACLE,
+        "host_concentration": _HOST_CONCENTRATION_ORACLE,
         "paired_bootstrap": _PAIRED_BOOTSTRAP_ORACLE,
         "mcnemar": _MCNEMAR_ORACLE,
         "cohens_kappa": _COHENS_KAPPA_ORACLE,

@@ -248,7 +248,22 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("skew", "gini"),
                       ("delta_dedup", "jaccard"),
                       ("robust_stats", "trimmed_mean"),
-                      ("zorder", "zkey")]:
+                      ("zorder", "zkey"),
+                      # batch-7 ops (perceptual hashing, paired
+                      # significance, co-citation)
+                      ("image_hashes", "dhash"),
+                      ("image_near_dups", "hamming"),
+                      ("paired_bootstrap", "p_boot"),
+                      ("mcnemar", "statistic"),
+                      ("cohens_kappa", "kappa"),
+                      ("cocitation", "jaccard"),
+                      # batch-8 ops
+                      ("image_dup_clusters", "cluster_id"),
+                      ("luhn_cards", "n_luhn_valid"),
+                      ("host_burstiness", "z"),
+                      ("ngram_novelty", "novelty"),
+                      ("krippendorff", "alpha"),
+                      ("host_concentration", "hhi")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

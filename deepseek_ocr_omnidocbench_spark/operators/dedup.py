@@ -936,3 +936,51 @@ def delta_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
                     F.col("old_id").alias("dup_of"),
                     F.round("jaccard", 6).alias("jaccard"),
                     F.col("old_id").isNull().alias("is_new")))
+
+
+def ngram_novelty(old_docs: DataFrame, new_docs: DataFrame,
+                  text_col: str = "text", part_col: str = "source",
+                  n: int = 8, use_md5: bool = False) -> DataFrame:
+    """Cross-snapshot n-gram novelty: the share of a new crawl
+    snapshot's distinct word n-grams that no document of the previous
+    snapshot contains — the content-level freshness measure next to
+    snapshot_delta's digest-level churn (a recrawl that refetches
+    boilerplate scores high on digest churn but near-zero here).
+
+    Returns per partition: (part, n_grams_new, n_novel, novelty).
+    Exactness: distinct counts are bigints, novelty is one division.
+    Scale shape: both sides reduce to DISTINCT gram-hash sets (xxhash64
+    of the joined window — never gram strings) partitioned by the same
+    key; the anti-join and the counts shuffle on gram hash; no
+    cross-snapshot doc-level term.  ``use_md5`` swaps the production
+    xxhash64 key for md5 (the engine-portable oracle twin, same
+    convention as the md5/xxhash dedup pairs)."""
+    _hash = F.md5 if use_md5 else F.xxhash64
+
+    def _grams(d: DataFrame, with_part: bool) -> DataFrame:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        # sequence(0, -1) silently DESCENDS (the chrF phantom-n-gram
+        # trap) — short docs must yield an empty index array instead
+        idx = F.when(F.size(words) >= n,
+                     F.sequence(F.lit(0), F.size(words) - n)) \
+            .otherwise(F.array().cast("array<int>"))
+        cols = [F.col(part_col).alias("part")] if with_part else []
+        return (d.select(*cols,
+                         F.explode(F.transform(
+                             idx, lambda i: _hash(F.concat_ws(
+                                 " ", F.slice(words, i + 1, n)))))
+                         .alias("g")))
+
+    new_g = _grams(new_docs, True).distinct()
+    old_g = _grams(old_docs, False).select("g").distinct()
+    marked = (new_g.join(old_g.withColumn("seen", F.lit(1)), "g", "left"))
+    return (marked.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n_grams_new"),
+                 F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_novel"))
+            .select(F.col("part").alias(part_col),
+                    F.col("n_grams_new").cast("long").alias("n_grams_new"),
+                    "n_novel",
+                    F.when(F.col("n_grams_new") > 0,
+                           F.col("n_novel").cast("double")
+                           / F.col("n_grams_new")).alias("novelty")))

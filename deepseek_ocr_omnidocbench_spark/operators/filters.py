@@ -584,3 +584,58 @@ def surt_key(url: Column) -> Column:
         url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
     return F.concat(rev, F.lit(")"), path)
+
+
+# ---- Luhn-validated payment-card detection ------------------------------
+
+def luhn_total(digits: Column, shift: int = 0) -> Column:
+    """Luhn checksum total of a digit string: from the RIGHT, double
+    every second digit, subtract 9 when the double exceeds 9, sum.
+    A valid number has total % 10 == 0.  ``shift=1`` computes the
+    total as if one more digit followed on the right — what a check-
+    digit GENERATOR needs for the payload without its final digit.
+    Pure-Column fold over the digit positions (no UDF) that renders
+    identically in DuckDB as list_sum(list_transform(...)) —
+    integer-only, so exact in any engine."""
+    n = F.length(digits)
+
+    def _term(acc, i):
+        d = F.substring(digits, (n - i).cast("int"), 1).cast("long")
+        d2 = F.when((i + shift) % 2 == 1, d * 2).otherwise(d)
+        return acc + F.when(d2 > 9, d2 - 9).otherwise(d2)
+
+    return F.aggregate(F.sequence(F.lit(0), n - 1),
+                       F.lit(0).cast("long"), _term)
+
+
+def card_scan(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Payment-card PII scan with checksum precision: 13-19 digit runs
+    are only COUNTED as cards when the Luhn check passes — the upgrade
+    over the regex-only pii_scrub patterns, which flag order numbers
+    and timestamps at web scale.  Returns per doc:
+
+      (doc_id, n_candidates, n_luhn_valid, has_card)
+
+    Scale shape: regexp_extract_all + one explode bounded by matches
+    per doc (not characters); the checksum is a per-row integer fold;
+    one groupBy on doc_id re-aggregates.  Docs with no candidates are
+    kept via the left join (counts 0)."""
+    cand = docs.select(
+        id_col,
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(r"\b\d{13,19}\b"), 0)).alias("num"))
+    per = (cand
+           .select(id_col, (luhn_total(F.col("num")) % 10 == 0)
+                   .alias("ok"))
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                .cast("long").alias("n_luhn_valid")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_candidates", F.lit(0)).cast("long")
+                    .alias("n_candidates"),
+                    F.coalesce("n_luhn_valid", F.lit(0)).cast("long")
+                    .alias("n_luhn_valid"))
+            .withColumn("has_card", F.col("n_luhn_valid") > 0))

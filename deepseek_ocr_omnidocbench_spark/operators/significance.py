@@ -202,3 +202,45 @@ def cohens_kappa(items: DataFrame, rater_a: str = "label_a",
         (F.col("sum_prod").cast("double")
          / (F.col("n") * F.col("n"))).alias("pe"),
         F.when(den != 0, num.cast("double") / den).alias("kappa"))
+
+
+def krippendorff_alpha(items: DataFrame, rater_a: str = "label_a",
+                       rater_b: str = "label_b",
+                       group_col: str | None = None) -> DataFrame:
+    """Krippendorff's alpha (nominal data, two raters, no missing
+    ratings) — the agreement coefficient corpus-annotation efforts
+    report when raters or categories are imbalanced (kappa's known
+    paradox cases).
+
+    For this design alpha reduces to a closed form over exact bigints:
+    with n items (2n ratings), S = sum_v(pooled_count_v ^ 2) and
+    d = #disagreeing items,
+
+      De_scaled = (2n)^2 - S           (expected disagreement x 2n(2n-1))
+      alpha     = (De_scaled - 2*d*(2n - 1)) / De_scaled
+
+    — ONE division of two exact bigints (NULL when De_scaled = 0, i.e.
+    every rating is the same single value).  Two map-side-combinable
+    aggregates (per-item disagreement + pooled value marginals), same
+    scale shape as cohens_kappa."""
+    gcols = [group_col] if group_col else []
+    base = items.select(
+        *gcols, F.col(rater_a).alias("la"), F.col(rater_b).alias("lb"))
+    pair = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("la") != F.col("lb"), 1).otherwise(0))
+        .cast("long").alias("disagree"))
+    pooled = (base.select(*gcols, F.col("la").alias("v"))
+              .unionByName(base.select(*gcols, F.col("lb").alias("v")))
+              .groupBy(*gcols, "v").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy(*gcols).agg(F.sum(F.col("c") * F.col("c"))
+                                   .alias("s")))
+    joined = pair.join(pooled, gcols) if gcols else pair.crossJoin(pooled)
+    two_n = F.col("n") * 2
+    de = two_n * two_n - F.col("s")
+    num = de - F.col("disagree") * 2 * (two_n - 1)
+    return joined.select(
+        *gcols, F.col("n").cast("long").alias("n"),
+        F.col("disagree").cast("long").alias("disagree"),
+        F.col("s").cast("long").alias("sum_sq_pooled"),
+        F.when(de != 0, num.cast("double") / de).alias("alpha"))

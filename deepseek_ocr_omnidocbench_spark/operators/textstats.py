@@ -1138,3 +1138,37 @@ def ks_by_group(rows: DataFrame, value_col: str, group_col: str = "source",
     return agg.select(F.col("grp").alias(group_col), "n_a", "n_b",
                       F.round(d, 6).alias("d_stat"),
                       F.round(p, 6).alias("p_approx"))
+
+
+def host_concentration(docs: DataFrame, part_col: str = "source",
+                       host_col: str = "host") -> DataFrame:
+    """Domain-concentration report per corpus partition: the
+    Herfindahl-Hirschman index over host shares, the top host's share,
+    and the effective host count (1/HHI) — the diversity dashboard a
+    curation run reads before setting domain quotas (a corpus where
+    one host owns 40% of documents trains a model on that host's
+    idiolect).
+
+    Exactness: with per-host bigint counts c_i and total T,
+    HHI = sum(c_i^2) / T^2 and effective_hosts = T^2 / sum(c_i^2) —
+    single divisions of exact bigints.  Scale shape: one (part, host)
+    groupBy with map-side combine, then one part-level re-aggregate;
+    no window, no collect."""
+    per_host = (docs.groupBy(F.col(part_col).alias("part"),
+                             F.col(host_col).alias("host"))
+                .agg(F.count(F.lit(1)).alias("c")))
+    agg = per_host.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        F.max("c").alias("max_c"))
+    return agg.select(
+        F.col("part").alias(part_col),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        F.col("total").cast("long").alias("total"),
+        (F.col("ssq").cast("double")
+         / (F.col("total") * F.col("total"))).alias("hhi"),
+        (F.col("max_c").cast("double") / F.col("total"))
+        .alias("top_share"),
+        ((F.col("total") * F.col("total")).cast("double") / F.col("ssq"))
+        .alias("effective_hosts"))

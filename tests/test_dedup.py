@@ -300,3 +300,41 @@ def test_minhash_accuracy_audit(spark):
     assert 0.0 <= r["abs_err"] <= 1.0
     assert abs(r["est_jaccard"] - r["exact_jaccard"]) == \
         pytest.approx(r["abs_err"], abs=1e-6)
+
+
+def test_ngram_novelty(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        ngram_novelty)
+
+    old = spark.createDataFrame(
+        [(1, "a b c d e f", "s1")], ["doc_id", "text", "source"])
+    new = spark.createDataFrame([
+        # 3-gram windows: "a b c","b c d" seen; "c d x" novel
+        (2, "a b c d x", "s1"),
+        # all novel
+        (3, "p q r s", "s1"),
+        # too short for a 3-gram: contributes nothing
+        (4, "zz", "s2"),
+    ], ["doc_id", "text", "source"])
+    out = {r.source: r for r in
+           ngram_novelty(old, new, n=3, use_md5=True).collect()}
+    s1 = out["s1"]
+    assert s1.n_grams_new == 5  # abc,bcd,cdx,pqr,qrs
+    assert s1.n_novel == 3
+    assert s1.novelty == pytest.approx(3 / 5)
+    assert "s2" not in out  # no grams emitted at all
+
+
+def test_ngram_novelty_hash_twins_agree(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.dedup import (
+        ngram_novelty)
+
+    old = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "s")],
+        ["doc_id", "text", "source"])
+    new = spark.createDataFrame(
+        [(2, "w3 w4 w5 w6 w7 w8 w9 w10 w11 w12", "s")],
+        ["doc_id", "text", "source"])
+    a = ngram_novelty(old, new, n=8).collect()[0]
+    b = ngram_novelty(old, new, n=8, use_md5=True).collect()[0]
+    assert a.asDict() == b.asDict()

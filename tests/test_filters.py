@@ -225,3 +225,27 @@ def test_snapshot_delta_categories(spark):
     g = got["g.example"]
     assert (g.n_added, g.n_removed, g.n_changed, g.n_unchanged) \
         == (0, 0, 0, 1)
+
+
+def test_luhn_card_scan(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import card_scan
+
+    rows = [
+        # classic valid test number (Visa test PAN)
+        (1, "pay with 4111111111111111 now"),
+        # same digits +1: invalid checksum
+        (2, "ref 4111111111111112 order"),
+        # 12 digits: not a candidate at all
+        (3, "id 411111111111"),
+        (4, "no numbers here"),
+        # two candidates, one valid (Amex test PAN 378282246310005)
+        (5, "378282246310005 and 1234567890123456"),
+    ]
+    out = {r.doc_id: r for r in card_scan(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert (out[1].n_candidates, out[1].n_luhn_valid, out[1].has_card) \
+        == (1, 1, True)
+    assert (out[2].n_candidates, out[2].n_luhn_valid) == (1, 0)
+    assert out[3].n_candidates == 0
+    assert out[4].has_card is False
+    assert (out[5].n_candidates, out[5].n_luhn_valid) == (2, 1)

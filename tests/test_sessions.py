@@ -93,3 +93,33 @@ def test_sessionize_matches_python_reference(spark):
     got = {r.event_id: (r.user_id, r.session_id)
            for r in sessionize(df, gap_minutes=10.0).collect()}
     assert got == ref
+
+
+def test_host_burstiness(spark):
+    import datetime as dt
+
+    import pytest
+    from deepseek_ocr_omnidocbench_spark.operators.sessions import (
+        host_burstiness)
+
+    def t(day, i):
+        return dt.datetime(2026, 1, day, 10, i)
+
+    rows = []
+    # host a: 2,2,2,10 events over 4 days -> day-4 is a burst
+    for day, k in [(1, 2), (2, 2), (3, 2), (4, 10)]:
+        rows += [("a", t(day, i)) for i in range(k)]
+    # host b: one active day -> NULL z
+    rows += [("b", t(1, i)) for i in range(3)]
+    # host c: constant 2/day -> zero variance -> NULL z
+    rows += [("c", t(d, i)) for d in (1, 2) for i in range(2)]
+    df = spark.createDataFrame(rows, ["host", "ts"])
+    out = {(r.host, str(r.day)): r for r in host_burstiness(df).collect()}
+    burst = out[("a", "2026-01-04")]
+    # mean 4, sample var (4*112-256)/(4*3) = 16, sd 4 -> z = 1.5
+    assert burst.z == pytest.approx(1.5)
+    assert burst.is_burst is False
+    quiet = out[("a", "2026-01-01")]
+    assert quiet.z == pytest.approx(-0.5)
+    assert out[("b", "2026-01-01")].z is None
+    assert out[("c", "2026-01-01")].z is None

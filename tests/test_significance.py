@@ -104,3 +104,29 @@ def test_bootstrap_ci_order_statistics(spark):
     out = paired_bootstrap(docs, b_reps=80, seed="ci").collect()[0]
     assert out.n_reps_pos + out.n_reps_neg + out.n_reps_zero == 80
     assert out.ci_lo <= out.mean_delta <= out.ci_hi
+
+
+def test_krippendorff_alpha_cases(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.significance import (
+        krippendorff_alpha)
+
+    # perfect agreement over 2 values: alpha = 1
+    rows = ([Row(label_a="x", label_b="x")] * 3
+            + [Row(label_a="y", label_b="y")] * 2)
+    out = krippendorff_alpha(spark.createDataFrame(rows)).collect()[0]
+    assert out.alpha == pytest.approx(1.0)
+
+    # hand-computed mixed case: 4 items, 1 disagreement.
+    # ratings pool (2n=8): x appears 5, y appears 3 -> S = 34
+    # De_scaled = 64 - 34 = 30; num = 30 - 2*1*7 = 16; alpha = 16/30
+    rows = ([Row(label_a="x", label_b="x")] * 2
+            + [Row(label_a="y", label_b="y")]
+            + [Row(label_a="x", label_b="y")])
+    out = krippendorff_alpha(spark.createDataFrame(rows)).collect()[0]
+    assert (out.n, out.disagree, out.sum_sq_pooled) == (4, 1, 34)
+    assert out.alpha == pytest.approx(16 / 30)
+
+    # all ratings one value -> De_scaled = 0 -> NULL
+    rows = [Row(label_a="x", label_b="x")] * 3
+    out = krippendorff_alpha(spark.createDataFrame(rows)).collect()[0]
+    assert out.alpha is None

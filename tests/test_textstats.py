@@ -600,3 +600,21 @@ class TestSourceEntropy:
         assert got["one"]["entropy_bits"] == 0.0
         assert got["one"]["eff_vocab"] == 1.0
         assert got["one"]["n_tokens"] == 3 and got["one"]["n_types"] == 1
+
+
+def test_host_concentration(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        host_concentration)
+
+    rows = ([("s1", "h1")] * 6 + [("s1", "h2")] * 3 + [("s1", "h3")]
+            + [("s2", "only")] * 4)
+    d = spark.createDataFrame(rows, ["source", "host"])
+    out = {r.source: r for r in host_concentration(d).collect()}
+    s1 = out["s1"]
+    assert s1.n_hosts == 3 and s1.total == 10
+    assert s1.hhi == pytest.approx((36 + 9 + 1) / 100)
+    assert s1.top_share == pytest.approx(0.6)
+    assert s1.effective_hosts == pytest.approx(100 / 46)
+    # monopoly partition: hhi = 1, effective hosts = 1
+    assert out["s2"].hhi == pytest.approx(1.0)
+    assert out["s2"].effective_hosts == pytest.approx(1.0)
