@@ -5195,6 +5195,123 @@ _NGRAM_NOVELTY_ORACLE = """
 """
 
 
+# ---- round-5 batch 9: unigram-LM (SentencePiece-style) tokenizer --------
+
+def q_unigram(spark, sf_dir):
+    """Unigram-LM subword segmentation end to end (bpe.py): corpus
+    letter-run words (plus w||reverse(w) synthetics so 16-char words
+    exercise the DP depth), frequency-initialized piece inventory
+    (top-60 multi-char + single-char coverage floor), and VITERBI
+    segmentation under exact integer bit-length costs — the oracle
+    unrolls the DP as 16 materialized min-fold stages and walks the
+    backpointers with a recursive CTE."""
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment, unigram_vocab)
+
+    base = (_docs(spark, sf_dir)
+            .select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    synth = base.select(
+        F.concat(F.col("word"), F.reverse(F.col("word"))).alias("word"),
+        F.col("freq"))
+    words = (base.unionByName(synth)
+             .groupBy("word").agg(F.sum("freq").alias("freq")))
+    vocab = unigram_vocab(words, vocab_size=60, max_len=4)
+    seg = unigram_segment(words, vocab, max_word_len=16,
+                          max_piece_len=4)
+    return (seg.select("word",
+                       F.concat_ws("|", "pieces").alias("segmented"),
+                       "n_pieces", "cost_bits")
+            .orderBy("word"))
+
+
+def _unigram_oracle_sql(max_word_len: int = 16) -> str:
+    stages = []
+    prev = "b0"
+    for i in range(1, max_word_len + 1):
+        stages.append(f"""
+    b{i} as materialized (
+      select s.word, {i}::bigint as pos,
+        min((b.k // 32 + s.cost) * 32 + s.st)::bigint as k
+      from spans s join ball{i - 1} b
+        on b.word = s.word and b.pos = s.st
+      where s.e = {i} group by s.word),
+    ball{i} as materialized (
+      select * from ball{i - 1} union all select * from b{i})""")
+        prev = f"ball{i}"
+    return """
+    with recursive base as (
+      select unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
+      from documents),
+    freq0 as (
+      select word, count(*)::bigint as freq from base group by word),
+    wf as (
+      select word, sum(freq)::bigint as freq from (
+        select word, freq from freq0
+        union all
+        select word || reverse(word) as word, freq from freq0)
+      group by word),
+    s1 as (select word, freq,
+             unnest(generate_series(1, len(word))) as i from wf),
+    s2 as (select word, freq, i,
+             unnest(generate_series(1, least(4, len(word) - i + 1)))
+               as l from s1),
+    counts as (
+      select substring(word, i, l) as piece, sum(freq)::bigint as score
+      from s2 group by 1),
+    multi as (
+      select piece, score from (
+        select piece, score,
+          row_number() over (order by score desc, piece asc) as rk
+        from counts where len(piece) > 1)
+      where rk <= 60),
+    vocab as (select piece, score from multi
+              union all
+              select piece, score from counts where len(piece) = 1),
+    mass as (select sum(score)::bigint as m from vocab),
+    costed as (
+      select piece,
+        (length(bin(m)) - length(bin(score)))::bigint as cost
+      from vocab, mass),
+    wd as materialized (
+      select distinct word from wf
+      where len(word) between 1 and %(mwl)d),
+    sp1 as (select word,
+              unnest(generate_series(0, len(word) - 1)) as st from wd),
+    sp2 as (select word, st,
+              unnest(generate_series(1, least(4, len(word) - st)))
+                as l from sp1),
+    spans as materialized (
+      select s.word, s.st::bigint as st, (s.st + s.l)::bigint as e,
+             c.cost
+      from sp2 s join costed c
+        on substring(s.word, s.st + 1, s.l) = c.piece),
+    ball0 as materialized (
+      select word, 0::bigint as pos, 0::bigint as k from wd),%(stages)s,
+    walk as (
+      select word, len(word)::bigint as pos, []::varchar[] as pieces
+      from wd
+      union all
+      select w.word, (b.k %% 32)::bigint as pos,
+        list_prepend(
+          substring(w.word, (b.k %% 32)::int + 1,
+                    (w.pos - b.k %% 32)::int),
+          w.pieces)
+      from walk w join %(final)s b
+        on b.word = w.word and b.pos = w.pos
+      where w.pos > 0)
+    select w.word,
+      array_to_string(wk.pieces, '|') as segmented,
+      len(wk.pieces)::bigint as n_pieces,
+      (b.k // 32)::bigint as cost_bits
+    from wd w
+    join walk wk on wk.word = w.word and wk.pos = 0
+    join %(final)s b on b.word = w.word and b.pos = len(w.word)
+    order by w.word
+""" % {"mwl": max_word_len, "stages": ",".join(stages), "final": prev}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -5236,6 +5353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # host_concentration (fixture/kernel siblings of in-window
         # cohens_kappa and skew-style aggs) sit at tier 4c with them.
         "image_dup_clusters": q_image_dup_clusters,
+        "unigram": q_unigram,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5286,7 +5404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece": q_wordpiece,
         "assortativity": q_assortativity,
         "passages": q_passages,
-        "minhash_accuracy": q_minhash_accuracy,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "pq_codes": q_pq_codes,
@@ -5328,6 +5445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict-swept locally at sf0.01 --------------------------------
         "krippendorff": q_krippendorff,
         "host_concentration": q_host_concentration,
+        # minhash_accuracy: estimator-accuracy AUDIT composed over the
+        # r4-driver-green minhash_lsh_oracle kernel -> displaced for
+        # the unigram tokenizer slot (novel DP kernel)
+        "minhash_accuracy": q_minhash_accuracy,
         "pq_recall": q_pq_recall,
         "ivfpq_codes": q_ivfpq_codes,
         "ivfpq_recall": q_ivfpq_recall,
@@ -6626,6 +6747,7 @@ def oracle_sql() -> dict[str, str]:
         "image_hashes": _IMAGE_HASHES_ORACLE,
         "image_near_dups": _IMAGE_NEAR_DUPS_ORACLE,
         "image_dup_clusters": _IMAGE_DUP_CLUSTERS_ORACLE,
+        "unigram": _unigram_oracle_sql(),
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

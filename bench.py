@@ -263,7 +263,9 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("host_burstiness", "z"),
                       ("ngram_novelty", "novelty"),
                       ("krippendorff", "alpha"),
-                      ("host_concentration", "hhi")]:
+                      ("host_concentration", "hhi"),
+                      # batch-9: unigram-LM tokenizer
+                      ("unigram", "cost_bits")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

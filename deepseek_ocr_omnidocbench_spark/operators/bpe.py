@@ -285,3 +285,188 @@ def wordpiece_encode(docs: DataFrame, vocab: set[str],
     return (docs
             .withColumn("wp_tokens", enc(F.col(text_col)))
             .withColumn("wp_n", F.size("wp_tokens")))
+
+
+# --- Unigram LM (SentencePiece-style) segmentation -------------------------
+#
+# The third of the big-three subword tokenizers next to learn_bpe and
+# wordpiece_vocab/encode (Kudo 2018): a piece inventory scored by
+# corpus weight, and per-word segmentation by VITERBI — the maximum-
+# total-score split, not WordPiece's greedy longest match.
+#
+# Distributed + exact by construction:
+#  * inventory scores are BIGINT corpus weights (frequency-initialized,
+#    the SentencePiece seed stage; unigram_em_round re-estimates them
+#    from actual segmentation usage — the EM step — still in bigints);
+#  * the Viterbi objective uses INTEGER BIT-LENGTH COSTS,
+#    cost(piece) = bitlen(mass) - bitlen(score) — the exact-integer
+#    stand-in for ceil(-log2 p) (true float log-probs are libm calls
+#    whose last ulp differs between the JVM and other engines; bit
+#    lengths via length(bin(x)) are identical everywhere).  Minimizing
+#    total cost penalizes over-splitting exactly the way the real
+#    negative log likelihood does;
+#  * the DP is ROW-LOCAL: candidate spans collect per word
+#    (<= max_word_len * max piece len structs) and one F.aggregate fold
+#    builds the best-cost array position by position, a second fold
+#    walks the backpointers — no driver loop, no iteration-scaled
+#    shuffles, words segment independently across the cluster;
+#  * ties break deterministically: the DP key packs
+#    (total_cost * 32 + piece_start) under MIN, so equal costs prefer
+#    the SMALLER start = the longer final piece, in any engine.
+
+_UNI_TIE = 32  # start-encoding base; requires max_word_len < 32
+
+
+def unigram_vocab(words: DataFrame, vocab_size: int = 200,
+                  max_len: int = 6, word_col: str = "word",
+                  freq_col: str = "freq") -> DataFrame:
+    """(piece, score) inventory: every substring of length <= max_len
+    weighted by positional occurrences x word frequency; the top
+    ``vocab_size`` multi-char pieces by (score desc, piece asc) plus
+    ALL single characters (the coverage floor Viterbi needs so every
+    in-corpus word stays segmentable).
+
+    The top-k is one global sort of the piece-count table — bounded by
+    distinct substrings (<< corpus size), the same inherently-global
+    step every tokenizer trainer has."""
+    from pyspark.sql import Window
+
+    w = F.col(word_col)
+    subs = (words
+            .select(w.alias("_w"), F.col(freq_col).alias("_f"),
+                    F.explode(F.sequence(F.lit(1), F.length(w)))
+                    .alias("i"))
+            .select("_w", "_f", "i",
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(max_len),
+                                F.length("_w") - F.col("i") + 1)))
+                    .alias("l"))
+            .select(F.expr("substring(_w, i, l)").alias("piece"),
+                    F.col("_f")))
+    counts = subs.groupBy("piece").agg(F.sum("_f").alias("score"))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("piece")))
+    multi = (counts.where(F.length("piece") > 1)
+             .withColumn("rk", rk).where(F.col("rk") <= vocab_size)
+             .drop("rk"))
+    return multi.unionByName(counts.where(F.length("piece") == 1))
+
+
+def unigram_segment(words: DataFrame, vocab: DataFrame,
+                    word_col: str = "word", max_word_len: int = 16,
+                    max_piece_len: int = 6) -> DataFrame:
+    """Viterbi segmentation of each distinct word under a
+    (piece, score) vocabulary -> (word, pieces array<string>,
+    n_pieces, cost_bits) where cost_bits = sum over chosen pieces of
+    bitlen(mass) - bitlen(score), minimized (mass = total inventory
+    score — the exact-integer ceil(-log2 p) objective; see the module
+    note).
+
+    Scale shape: ONE join (word spans x vocab, both sides bounded) —
+    the inventory mass rides in as a 1-row broadcast aggregate — one
+    groupBy collecting <= max_word_len * max_piece_len span structs
+    per word, then two row-local folds (DP forward, backtrack) — the
+    corpus-sized explode BPE/WordPiece also pay, with zero
+    iteration-scaled shuffles on top.  Words longer than
+    ``max_word_len`` are excluded (cap and route like the giant-doc
+    paths); positions unreachable under the vocab (a character with no
+    single-char piece) yield NULL pieces — unigram_vocab's coverage
+    floor prevents that for in-corpus text."""
+    wd = (words.select(F.col(word_col).alias("word")).distinct()
+          .where((F.length("word") >= 1)
+                 & (F.length("word") <= max_word_len)))
+    spans = (wd
+             .select("word",
+                     F.explode(F.sequence(
+                         F.lit(0), F.length("word") - 1)).alias("start"))
+             .select("word", "start",
+                     F.explode(F.sequence(
+                         F.lit(1),
+                         F.least(F.lit(max_piece_len),
+                                 F.length("word") - F.col("start"))))
+                     .alias("l"))
+             .select("word", "start",
+                     (F.col("start") + F.col("l")).alias("end"),
+                     F.expr("substring(word, start + 1, l)")
+                     .alias("piece")))
+    mass = vocab.agg(F.sum("score").alias("_mass"))
+    costed = (vocab.select("piece", "score").join(F.broadcast(mass))
+              .select("piece",
+                      (F.length(F.bin("_mass"))
+                       - F.length(F.bin("score"))).cast("long")
+                      .alias("cost")))
+    scored = (spans.join(costed, "piece")
+              .select("word",
+                      F.struct(F.col("end").cast("long").alias("end"),
+                               F.col("start").cast("long").alias("start"),
+                               F.col("cost").alias("cost"))
+                      .alias("sp")))
+    packed = (scored.groupBy("word")
+              .agg(F.collect_list("sp").alias("spans"))
+              .select("word", "spans",
+                      F.length("word").cast("long").alias("L")))
+
+    tie = _UNI_TIE
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.col("L")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(acc, F.array(F.array_min(F.transform(
+            F.filter(F.col("spans"), lambda s: s["end"] == i),
+            lambda s: (F.shiftright(F.element_at(acc,
+                                                 (s["start"] + 1)
+                                                 .cast("int")), 5)
+                       + s["cost"]) * tie + s["start"])))))
+    dp = packed.select("word", "L", best.alias("best"))
+
+    def _bp_start(pos):
+        # decode the backpointer from the key at position `pos`
+        return F.pmod(
+            F.element_at(F.col("best"), (pos + 1).cast("int")), tie)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.col("L")),
+        F.struct(F.col("L").alias("pos"),
+                 F.array().cast("array<string>").alias("pieces")),
+        lambda a, _: F.when(
+            a["pos"] > 0,
+            F.struct(
+                _bp_start(a["pos"]).alias("pos"),
+                F.concat(
+                    F.array(F.substring(
+                        F.col("word"),
+                        (_bp_start(a["pos"]) + 1).cast("int"),
+                        (a["pos"] - _bp_start(a["pos"])).cast("int"))),
+                    a["pieces"]).alias("pieces"))).otherwise(a))
+    return (dp
+            .select("word", "L", walk.alias("w"),
+                    F.shiftright(F.element_at(
+                        F.col("best"), (F.col("L") + 1).cast("int")), 5)
+                    .alias("cost_bits"))
+            .select("word", F.col("w")["pieces"].alias("pieces"),
+                    F.size(F.col("w")["pieces"]).cast("long")
+                    .alias("n_pieces"),
+                    F.col("cost_bits")))
+
+
+def unigram_em_round(words: DataFrame, vocab: DataFrame,
+                     word_col: str = "word", freq_col: str = "freq",
+                     max_word_len: int = 16,
+                     max_piece_len: int = 6) -> DataFrame:
+    """One EM re-estimation round (the SentencePiece M-step over the
+    Viterbi E-step): segment every word under the current scores,
+    recount piece usage weighted by word frequency, return the
+    re-scored (piece, score) table (single-char pieces keep at least
+    score 1 so coverage never collapses).  Two groupBys on top of
+    unigram_segment — still bigint-exact."""
+    seg = unigram_segment(words, vocab, word_col=word_col,
+                          max_word_len=max_word_len,
+                          max_piece_len=max_piece_len)
+    usage = (seg.join(words.select(F.col(word_col).alias("word"),
+                                   F.col(freq_col).alias("freq")), "word")
+             .select(F.explode("pieces").alias("piece"), "freq")
+             .groupBy("piece").agg(F.sum("freq").alias("score")))
+    floor = (vocab.where(F.length("piece") == 1)
+             .join(usage.select("piece"), "piece", "left_anti")
+             .select("piece", F.lit(1).cast("long").alias("score")))
+    return usage.unionByName(floor)

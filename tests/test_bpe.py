@@ -211,3 +211,91 @@ class TestWordPiece:
         rebuilt = "".join(t[2:] if t.startswith("##") else " " + t
                           for t in toks).strip()
         assert rebuilt == "tokenization token ization"
+
+
+# ---- unigram LM (SentencePiece-style) -----------------------------------
+
+def test_unigram_vocab_coverage_and_topk(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import unigram_vocab
+
+    words = spark.createDataFrame(
+        [("abab", 10), ("abc", 5)], ["word", "freq"])
+    v = {r.piece: r.score for r in
+         unigram_vocab(words, vocab_size=2, max_len=3).collect()}
+    # every single char survives regardless of rank
+    assert {"a", "b", "c"} <= set(v)
+    # positional weighting: 'ab' occurs twice in abab (2*10) + once in
+    # abc (5) = 25; rank-2 tie at 10 (aba/ab a/ba/bab) resolves by
+    # piece asc -> 'aba'
+    assert v["ab"] == 25
+    assert "aba" in v and "bc" not in v
+
+
+def test_unigram_segment_viterbi_beats_greedy(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    # mass = 303 (9 bits): cost(ab)=9-7=2, cost(bc)=9-8=1, singles 8.
+    # greedy longest-first takes 'ab'+'c' = 2+8 = 10; Viterbi takes
+    # 'a'+'bc' = 8+1 = 9.
+    vocab = spark.createDataFrame(
+        [("ab", 100), ("bc", 200), ("a", 1), ("b", 1), ("c", 1)],
+        ["piece", "score"])
+    words = spark.createDataFrame([("abc",)], ["word"])
+    out = unigram_segment(words, vocab).collect()[0]
+    assert out.pieces == ["a", "bc"]
+    assert out.cost_bits == 9
+    assert out.n_pieces == 2
+
+
+def test_unigram_segment_tie_prefers_longer_final_piece(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    # mass = 23 (5 bits): cost(ab)=cost(bc)=1, singles 4.
+    # 'ab'+'c' and 'a'+'bc' tie at 5; the MIN key encoding prefers the
+    # smaller final-piece start -> 'a','bc'
+    vocab = spark.createDataFrame(
+        [("ab", 10), ("bc", 10), ("a", 1), ("b", 1), ("c", 1)],
+        ["piece", "score"])
+    words = spark.createDataFrame([("abc",)], ["word"])
+    out = unigram_segment(words, vocab).collect()[0]
+    assert out.cost_bits == 5
+    assert out.pieces == ["a", "bc"]
+
+
+def test_unigram_segment_single_chars_and_cap(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    # mass = 8 (4 bits): cost(x)=4-3=1, cost(y)=4-2=2
+    vocab = spark.createDataFrame(
+        [("x", 5), ("y", 3)], ["piece", "score"])
+    words = spark.createDataFrame(
+        [("xyx",), ("x" * 20,)], ["word"])
+    rows = unigram_segment(words, vocab, max_word_len=16).collect()
+    assert len(rows) == 1  # 20-char word excluded by the cap
+    assert rows[0].pieces == ["x", "y", "x"]
+    assert rows[0].cost_bits == 4
+
+
+def test_unigram_em_round_reweights(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_em_round, unigram_segment, unigram_vocab)
+
+    words = spark.createDataFrame(
+        [("abab", 10), ("ab", 4)], ["word", "freq"])
+    # v0: ab=24, ba=10, a=24, b=24 -> mass 82 (7 bits):
+    # cost(ab)=2, cost(a)=cost(b)=2, cost(ba)=3 -> abab = ab+ab (4)
+    v0 = unigram_vocab(words, vocab_size=3, max_len=2)
+    v1 = {r.piece: r.score for r in
+          unigram_em_round(words, v0).collect()}
+    # 'ab' dominates both segmentations: usage = 2*10 + 1*4 = 24
+    assert v1["ab"] == 24
+    # unused single chars keep the floor score of 1
+    assert v1["a"] == 1 and v1["b"] == 1
+    # segmentation under re-estimated scores is stable
+    out = {r.word: r.pieces for r in
+           unigram_segment(words, spark.createDataFrame(
+               list(v1.items()), ["piece", "score"])).collect()}
+    assert out["abab"] == ["ab", "ab"]
