@@ -396,7 +396,9 @@ def unigram_segment(words: DataFrame, vocab: DataFrame,
                       (F.length(F.bin("_mass"))
                        - F.length(F.bin("score"))).cast("long")
                       .alias("cost")))
-    scored = (spans.join(costed, "piece")
+    # the costed inventory is model-sized (vocab_size + alphabet):
+    # broadcast it so the span join never shuffles the span table
+    scored = (spans.join(F.broadcast(costed), "piece")
               .select("word",
                       F.struct(F.col("end").cast("long").alias("end"),
                                F.col("start").cast("long").alias("start"),

@@ -299,3 +299,34 @@ def test_unigram_em_round_reweights(spark):
            unigram_segment(words, spark.createDataFrame(
                list(v1.items()), ["piece", "score"])).collect()}
     assert out["abab"] == ["ab", "ab"]
+
+
+def test_unigram_segment_plan_shape(spark):
+    """One span-x-vocab join (vocab mass broadcast), one collect_list
+    groupBy, zero iteration-scaled shuffles: the DP itself adds NO
+    exchange."""
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    vocab = spark.createDataFrame(
+        [("ab", 4), ("a", 1), ("b", 1)], ["piece", "score"])
+    words = spark.createDataFrame([("abab",)], ["word"])
+    plan = unigram_segment(words, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # distinct(words) + groupBy(word) hash exchanges; the vocab join is
+    # an explicit broadcast, never a span-table shuffle
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_segment_full_word_piece(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    # the whole word is itself a cheap piece -> 1-piece segmentation
+    vocab = spark.createDataFrame(
+        [("abcd", 100), ("a", 1), ("b", 1), ("c", 1), ("d", 1)],
+        ["piece", "score"])
+    out = unigram_segment(
+        spark.createDataFrame([("abcd",)], ["word"]), vocab).collect()[0]
+    assert out.pieces == ["abcd"] and out.n_pieces == 1

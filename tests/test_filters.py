@@ -249,3 +249,24 @@ def test_luhn_card_scan(spark):
     assert out[3].n_candidates == 0
     assert out[4].has_card is False
     assert (out[5].n_candidates, out[5].n_luhn_valid) == (2, 1)
+
+
+def test_luhn_19_digit_and_boundary(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        card_scan, luhn_total)
+    from pyspark.sql import functions as F
+
+    # 19-digit: construct the check digit with the shifted fold, then
+    # verify the full number passes the plain fold
+    base = "123456789012345678"
+    df = spark.createDataFrame([(base,)], ["d"])
+    t = df.select((F.lit(10) - luhn_total(F.col("d"), shift=1) % 10) % 10)
+    check = t.collect()[0][0]
+    full = base + str(check)
+    rows = [(1, f"x {full} y"),
+            # 20 digits: no \\b-delimited 13-19 run matches inside
+            (2, "x 12345678901234567890 y")]
+    out = {r.doc_id: r for r in card_scan(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert (out[1].n_candidates, out[1].n_luhn_valid) == (1, 1)
+    assert out[2].n_candidates == 0

@@ -263,3 +263,32 @@ def test_hash_near_dups_exact_verify_rejects(spark):
     rows = [("x", (0xFFFFFF << 16) | 0x1234), ("y", 0x1234)]
     h = spark.createDataFrame(rows, ["media_id", "dhash"])
     assert hash_near_dups(h, max_hamming=6).count() == 0
+
+
+def test_image_hashes_plan_shape(spark):
+    """Pixel shuffle + the two tiny cell-level exchanges (neighbor
+    window on (media_id, cell_r), media_id window reused by the final
+    groupBy) — exactly 3 hash exchanges, no join in the plan."""
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        image_hashes)
+
+    imgs = _img_rows(spark, [("a", 18, 14, lambda r, c: c)])
+    plan = image_hashes(imgs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_image_hashes_min_grid_and_undersized(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
+        image_hashes)
+
+    # exactly grid-sized (9x7) hashes fine; 8x7 is filtered out
+    imgs = _img_rows(spark, [
+        ("ok", 9, 7, lambda r, c: (r * 9 + c) % 256),
+        ("toosmall", 8, 7, lambda r, c: 1),
+    ])
+    out = image_hashes(imgs).collect()
+    assert {r.media_id for r in out} == {"ok"}
+    assert all(0 <= r.dhash < (1 << 56) and 0 <= r.ahash < (1 << 63)
+               for r in out)
