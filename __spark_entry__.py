@@ -1918,6 +1918,22 @@ def q_harmonic_sketch(spark, sf_dir):
             .orderBy("node"))
 
 
+def q_neighborhood(spark, sf_dir):
+    """Neighborhood function + effective diameter via the shared
+    HyperBall core (graph.neighborhood_function) on q_harmonic's host
+    graph: per-hop reachable-pair totals folded as floor(e*1e6)
+    integer micro-units (order-independent bigint sums), frac and
+    n_pairs as single divisions, the 90% crossing flagged.  The
+    oracle reuses the harmonic_sketch register replay with the
+    neighborhood tail."""
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(_harmonic_links(spark, sf_dir),
+                                 max_hops=4, p=8, frac_target=0.9)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive dup-cluster resolution: md5 MinHash-LSH pairs
     (jaccard >= 0.5) -> distributed connected components -> min-id
@@ -2530,12 +2546,13 @@ def _bleu_oracle_sql(max_n: int = 4) -> str:
     """
 
 
-def _harmonic_sketch_oracle_sql(max_hops: int = 4, p: int = 8) -> str:
-    """DuckDB mirror of graph.harmonic_sketch on q_harmonic's synthetic
-    host graph: the register-max hop updates are unrolled (s0..s{H}),
-    and the HLL estimator (bias constant, small-range linear counting)
-    replays with the identical double literals.  The md5 register hash
-    and bin()-length rho are integer-exact in both engines."""
+def _hyperball_oracle_prefix(max_hops: int = 4, p: int = 8) -> str:
+    """Common DuckDB replay of the HyperBall core on q_harmonic's
+    synthetic host graph (register-max hop updates unrolled s0..s{H},
+    HLL estimator with identical double literals, md5 hash +
+    bin()-length rho integer-exact): yields CTEs e0..e{H} with the
+    per-node per-hop ball estimates.  Shared by the harmonic_sketch
+    and neighborhood oracles (mirroring graph._hyperball_estimates)."""
     from deepseek_ocr_omnidocbench_spark.operators.graph import _hll_alpha
 
     m = 1 << p
@@ -2567,11 +2584,6 @@ def _harmonic_sketch_oracle_sql(max_hops: int = 4, p: int = 8) -> str:
         ests.append(f"""
             a{h} as ({est_body.format(src=f's{h}')}),
             e{h} as ({est_sel.format(agg=f'a{h}')})""")
-    incs = " + ".join(
-        f"greatest(e{h}.e - e{h - 1}.e, 0) / {h}"
-        for h in range(1, max_hops + 1))
-    inc_joins = "".join(
-        f"\n            join e{h} using (node)" for h in range(1, max_hops + 1))
     return f"""
         with links as (
           select 'h' || (doc_id % 20)::varchar as src,
@@ -2591,10 +2603,44 @@ def _harmonic_sketch_oracle_sql(max_hops: int = 4, p: int = 8) -> str:
              else {wp} - (length(bin(h // {m})) - 1) end)::int as r
           from h0),
         {",".join(hops)},
-        {",".join(ests)}
+        {",".join(ests)}"""
+
+
+def _harmonic_sketch_oracle_sql(max_hops: int = 4, p: int = 8) -> str:
+    incs = " + ".join(
+        f"greatest(e{h}.e - e{h - 1}.e, 0) / {h}"
+        for h in range(1, max_hops + 1))
+    inc_joins = "".join(
+        f"\n            join e{h} using (node)"
+        for h in range(1, max_hops + 1))
+    return _hyperball_oracle_prefix(max_hops, p) + f"""
         select e0.node, round({incs}, 6) as harmonic
         from e0{inc_joins}
         order by e0.node
+    """
+
+
+def _neighborhood_oracle_sql(max_hops: int = 4, p: int = 8,
+                             frac_target: float = 0.9) -> str:
+    per_hop = "\n          union all\n".join(
+        f"          select {h}::bigint as hop,"
+        f" sum(cast(floor(e * 1000000.0) as bigint))::bigint as n_micro"
+        f" from e{h}"
+        for h in range(0, max_hops + 1))
+    return _hyperball_oracle_prefix(max_hops, p) + f""",
+        mh as (
+{per_hop}),
+        mx as (select max(n_micro) as mm from mh),
+        fr as (
+          select hop, n_micro,
+            n_micro::double / 1000000.0 as n_pairs,
+            n_micro::double / mx.mm as frac
+          from mh, mx)
+        select hop, n_micro, n_pairs, frac,
+          frac >= {frac_target!r} and coalesce(
+            lag(frac) over (order by hop) < {frac_target!r}, true)
+            as is_effective_diameter
+        from fr order by hop
     """
 
 
@@ -5354,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohens_kappa and skew-style aggs) sit at tier 4c with them.
         "image_dup_clusters": q_image_dup_clusters,
         "unigram": q_unigram,
+        "neighborhood": q_neighborhood,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5403,7 +5450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrf": q_chrf,
         "wordpiece": q_wordpiece,
         "assortativity": q_assortativity,
-        "passages": q_passages,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "pq_codes": q_pq_codes,
@@ -5449,6 +5495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-driver-green minhash_lsh_oracle kernel -> displaced for
         # the unigram tokenizer slot (novel DP kernel)
         "minhash_accuracy": q_minhash_accuracy,
+        # passages: shuffle-free row-local chunk arithmetic (closed-form
+        # integer math) -> displaced for the neighborhood slot
+        "passages": q_passages,
         "pq_recall": q_pq_recall,
         "ivfpq_codes": q_ivfpq_codes,
         "ivfpq_recall": q_ivfpq_recall,
@@ -6748,6 +6797,7 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dups": _IMAGE_NEAR_DUPS_ORACLE,
         "image_dup_clusters": _IMAGE_DUP_CLUSTERS_ORACLE,
         "unigram": _unigram_oracle_sql(),
+        "neighborhood": _neighborhood_oracle_sql(),
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

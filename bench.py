@@ -251,7 +251,6 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("zorder", "zkey"),
                       # batch-7 ops (perceptual hashing, paired
                       # significance, co-citation)
-                      ("image_hashes", "dhash"),
                       ("image_near_dups", "hamming"),
                       ("paired_bootstrap", "p_boot"),
                       ("mcnemar", "statistic"),
@@ -264,12 +263,21 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("ngram_novelty", "novelty"),
                       ("krippendorff", "alpha"),
                       ("host_concentration", "hhi"),
-                      # batch-9: unigram-LM tokenizer
-                      ("unigram", "cost_bits")]:
+                      # batch-9: unigram-LM tokenizer, ANF
+                      ("unigram", "cost_bits"),
+                      ("neighborhood", "n_micro")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
             q(spark, sf_dir).agg(F.sum(col)).collect())
+    # image_hashes: sum(dhash) overflows bigint under ANSI at sf>=0.1
+    # (5k images x up-to-2^56 signatures) — max() forces the same
+    # computation without the overflow
+    q_ih = entry.queries()["image_hashes"]
+    _, times["image_hashes"] = _steady(
+        lambda: q_ih(spark, sf_dir).agg(
+            F.max("dhash"), F.max("ahash")).collect())
+
     # string-output batch-6 ops: count(col)'s null check forces the
     # computed value (sum would be an ANSI string cast)
     for name, col in [("feeds", "published"),

@@ -490,33 +490,17 @@ def _hll_alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
-def harmonic_sketch(edges: DataFrame, max_hops: int = 4, p: int = 8,
-                    src_col: str = "src", dst_col: str = "dst") -> DataFrame:
-    """HyperBall (Boldi & Vigna 2013) harmonic centrality
-    -> (node, harmonic): the page-graph-scale variant of
-    ``harmonic_centrality``, whose exact frontier expansion carries
-    O(V * ball) (source, node) state.  Here each node instead carries a
-    fixed m = 2**p HyperLogLog register sketch of its incoming ball:
-
-      B(n, h) = {n}  union over edges (u -> n) of  B(u, h-1)
-
-    unions become register-wise MAX, and per hop the harmonic sum
-    accrues (|B(h)| - |B(h-1)|) / h from the HLL cardinality estimates
-    (with the standard small-range linear-counting correction).  State
-    is O(V * m) regardless of graph diameter or ball size.
-
-    Spark shape: registers live FLAT as (node, j, r) rows — never an
-    array column through a shuffle — with value-0 registers implicit,
-    so one groupBy(node, j).max(r) shuffle per hop is the whole update;
-    the loop-invariant edge frame and each hop's narrow state are
-    localCheckpointed (iterative-plan rule).
-
-    Determinism/parity: the register hash is the md5-derived 60-bit
-    integer (dedup.md5_hash64) and rho uses binary-string length, not
-    floating log2 — both replay bit-for-bit in DuckDB, so this
-    APPROXIMATE operator still sits under the value gate; accuracy vs
-    the exact operator is separately bound in tests (~1.04/sqrt(m)
-    relative error, ~6.5% at p=8)."""
+def _hyperball_estimates(edges: DataFrame, max_hops: int, p: int,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> list[DataFrame]:
+    """Shared HyperBall core: per-hop HLL ball-size estimate frames
+    [e_0 .. e_max_hops], each (node, e) with e = estimated |B(node, h)|
+    of the INCOMING ball.  Registers live flat as (node, j, r) rows,
+    one groupBy(node, j).max(r) shuffle per hop, loop-invariant edges
+    and each hop's narrow state localCheckpointed.  The register hash
+    and rho are integer-exact (md5 + bin-length), the estimator's
+    double literals are embedded identically in the DuckDB mirrors —
+    harmonic_sketch and neighborhood_function both gate on this."""
     from .dedup import md5_hash64
 
     m = 1 << p
@@ -547,16 +531,50 @@ def harmonic_sketch(edges: DataFrame, max_hops: int = 4, p: int = 8,
             .otherwise(raw)
         return g.select("node", est.alias("e"))
 
-    prev = _estimate(state)                  # h = 0: ball is {node}
-    incs = []
-    for h in range(1, max_hops + 1):
+    ests = [_estimate(state)]                # h = 0: ball is {node}
+    for _h in range(1, max_hops + 1):
         carried = (state.withColumnRenamed("node", "s")
                    .join(fwd, "s")
                    .select(F.col("d").alias("node"), "j", "r"))
         state = (state.unionByName(carried)
                  .groupBy("node", "j").agg(F.max("r").alias("r"))
                  .localCheckpoint(eager=True))
-        cur = _estimate(state)
+        ests.append(_estimate(state))
+    return ests
+
+
+def harmonic_sketch(edges: DataFrame, max_hops: int = 4, p: int = 8,
+                    src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) harmonic centrality
+    -> (node, harmonic): the page-graph-scale variant of
+    ``harmonic_centrality``, whose exact frontier expansion carries
+    O(V * ball) (source, node) state.  Here each node instead carries a
+    fixed m = 2**p HyperLogLog register sketch of its incoming ball:
+
+      B(n, h) = {n}  union over edges (u -> n) of  B(u, h-1)
+
+    unions become register-wise MAX, and per hop the harmonic sum
+    accrues (|B(h)| - |B(h-1)|) / h from the HLL cardinality estimates
+    (with the standard small-range linear-counting correction).  State
+    is O(V * m) regardless of graph diameter or ball size.
+
+    Spark shape: registers live FLAT as (node, j, r) rows — never an
+    array column through a shuffle — with value-0 registers implicit,
+    so one groupBy(node, j).max(r) shuffle per hop is the whole update;
+    the loop-invariant edge frame and each hop's narrow state are
+    localCheckpointed (iterative-plan rule).
+
+    Determinism/parity: the register hash is the md5-derived 60-bit
+    integer (dedup.md5_hash64) and rho uses binary-string length, not
+    floating log2 — both replay bit-for-bit in DuckDB, so this
+    APPROXIMATE operator still sits under the value gate; accuracy vs
+    the exact operator is separately bound in tests (~1.04/sqrt(m)
+    relative error, ~6.5% at p=8)."""
+    ests = _hyperball_estimates(edges, max_hops, p, src_col, dst_col)
+    incs = []
+    prev = ests[0]
+    for h in range(1, max_hops + 1):
+        cur = ests[h]
         incs.append(
             cur.join(prev.withColumnRenamed("e", "e_prev"), "node")
             .select("node",
@@ -948,3 +966,53 @@ def cocitation_pairs(edges: DataFrame, src_col: str = "src",
                     (F.col("shared").cast("double")
                      / (F.col("deg_a") + F.col("deg_b") - F.col("shared")))
                     .alias("jaccard")))
+
+
+def neighborhood_function(edges: DataFrame, max_hops: int = 4,
+                          p: int = 8, frac_target: float = 0.9,
+                          src_col: str = "src",
+                          dst_col: str = "dst") -> DataFrame:
+    """Neighborhood function + effective diameter via HyperBall
+    (Boldi & Vigna 2013; the ANF of Palmer et al. 2002): N(h) = total
+    estimated reachable pairs within h hops, and the effective
+    diameter = the first h where N(h) >= frac_target * N(max_hops) —
+    the compactness report for a crawl's link graph (is this web
+    fragment a tight community or a long chain?).
+
+    Output: one row per hop (hop, n_micro, n_pairs, frac,
+    is_effective_diameter).
+
+    Exactness: per-node ball estimates are the gate-portable HyperBall
+    doubles (identical expressions both engines); the corpus-wide
+    total folds them as floor(e * 1e6) INTEGER MICRO-UNITS summed in
+    bigints — order-independent in any engine — and n_pairs/frac are
+    single divisions.  Scale shape: the shared HyperBall core (O(V*m)
+    state, one shuffle per hop) plus one tiny map-side-combined sum
+    per hop over V rows; the final frame is max_hops+1 rows."""
+    from pyspark.sql import Window
+
+    ests = _hyperball_estimates(edges, max_hops, p, src_col, dst_col)
+    per_hop = []
+    for h, est in enumerate(ests):
+        per_hop.append(
+            est.agg(F.sum(F.floor(F.col("e") * 1000000.0).cast("long"))
+                    .alias("n_micro"))
+            .select(F.lit(h).cast("long").alias("hop"), "n_micro"))
+    out = per_hop[0]
+    for frame in per_hop[1:]:
+        out = out.unionByName(frame)
+    w_all = Window.orderBy(F.lit(1))
+    w_lag = Window.orderBy("hop")
+    frac = F.col("n_micro").cast("double") / F.max("n_micro").over(w_all)
+    return (out
+            .withColumn("frac", frac)
+            .withColumn("_prev", F.lag("frac").over(w_lag))
+            .select("hop", "n_micro",
+                    (F.col("n_micro").cast("double") / 1000000.0)
+                    .alias("n_pairs"),
+                    "frac",
+                    ((F.col("frac") >= frac_target)
+                     & ((F.col("_prev").isNull())
+                        | (F.col("_prev") < frac_target)))
+                    .alias("is_effective_diameter"))
+            .orderBy("hop"))

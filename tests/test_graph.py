@@ -704,3 +704,32 @@ def test_cocitation_mirror_detection(spark):
     # hub contributed no candidate pairs: n* hosts appear nowhere
     assert not any(k[0].startswith("n") or k[1].startswith("n")
                    for k in out)
+
+
+def test_neighborhood_function_star_vs_chain(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.graph import (
+        neighborhood_function)
+
+    # star: every node within 2 hops of every other (via the hub)
+    star = spark.createDataFrame(
+        [("hub", f"n{i}") for i in range(8)]
+        + [(f"n{i}", "hub") for i in range(8)], ["src", "dst"])
+    rows = {r.hop: r for r in
+            neighborhood_function(star, max_hops=4, p=8).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # monotone pair growth, saturation by hop 2: frac(2) == 1.0-ish
+    assert rows[0].n_micro <= rows[1].n_micro <= rows[2].n_micro
+    assert rows[2].frac > 0.99
+    # the 90% crossing is flagged exactly once, at hop <= 2
+    eff = [h for h, r in rows.items() if r.is_effective_diameter]
+    assert len(eff) == 1 and eff[0] <= 2
+
+    # chain 0->1->...->9: pairs keep growing through all 4 hops, the
+    # crossing lands later than the star's
+    chain = spark.createDataFrame(
+        [(f"c{i}", f"c{i + 1}") for i in range(9)], ["src", "dst"])
+    crows = {r.hop: r for r in
+             neighborhood_function(chain, max_hops=4, p=8).collect()}
+    assert crows[4].n_micro > crows[2].n_micro
+    ceff = [h for h, r in crows.items() if r.is_effective_diameter]
+    assert len(ceff) == 1 and ceff[0] >= eff[0]
