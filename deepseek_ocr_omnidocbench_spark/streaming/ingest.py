@@ -298,7 +298,9 @@ def _sig_gen(spark: SparkSession, output_dir: str) -> int:
 
 def sig_store_history(spark: SparkSession, output_dir: str, batch_id: int,
                       pbuckets: list[int] | None = None,
-                      gen: int | None = None) -> DataFrame | None:
+                      gen: int | None = None,
+                      cols: tuple[str, ...] = ("band", "bucket")
+                      ) -> DataFrame | None:
     """The (band, bucket) history visible to micro-batch ``batch_id``:
     the compacted generation (partition-PRUNED to the batch's pbuckets
     when given) plus only the per-batch partitions newer than the
@@ -315,13 +317,13 @@ def sig_store_history(spark: SparkSession, output_dir: str, batch_id: int,
         if pbuckets is not None:
             comp = comp.where(F.col("pbucket").isin(pbuckets))
         parts.append(comp.where(F.col("batch_id") < batch_id)
-                     .select("band", "bucket"))
+                     .select(*cols))
     try:
         recent = spark.read.parquet(f"{output_dir}/sig_store").where(
             (F.col("batch_id") >= gen) & (F.col("batch_id") < batch_id))
         if pbuckets is not None:
             recent = recent.where(F.col("pbucket").isin(pbuckets))
-        parts.append(recent.select("band", "bucket"))
+        parts.append(recent.select(*cols))
     except Exception:
         pass  # no batches yet
     if not parts:
@@ -450,6 +452,109 @@ def stream_near_dedup(spark: SparkSession, input_dir: str, output_dir: str,
              .json(f"{output_dir}/sig_marker"))
 
     writer = (pages.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_image_dedup(spark: SparkSession, input_dir: str,
+                       output_dir: str, checkpoint_dir: str,
+                       max_hamming: int = 3, n_bands: int = 4,
+                       band_bits: int = 16,
+                       available_now: bool = True,
+                       max_files_per_trigger: int = 4,
+                       n_store_partitions: int = 64):
+    """Cross-batch PERCEPTUAL image dedup: the multimodal twin of
+    stream_near_dedup.  Input stream rows are decoded grayscale images
+    (media_id, width, height, pixels array<int> — the decode stage's
+    output shape); each micro-batch:
+
+    1. computes dHash signatures (multimodal.image_hashes) and their
+       4x16-bit band buckets,
+    2. probes the bucket-pruned signature-store HISTORY for band
+       collisions and EXACTLY verifies candidates with
+       bit_count(xor(hash, historical_hash)) <= max_hamming — store
+       rows carry the full 56-bit hash precisely so the verify never
+       needs historical pixels,
+    3. resolves within-batch near-dups (hash_near_dups -> connected
+       components -> min-id survivor),
+    4. writes survivors and their store rows partitioned by batch_id
+       with dynamic partition overwrite (replay-idempotent, the
+       stream_extract exactly-once contract).
+
+    Store reads reuse sig_store_history's pbucket pruning (rows carry
+    pbucket = bucket mod n_store_partitions), so per-batch history
+    cost is bounded exactly like the text path; the text path's
+    generation compaction applies unchanged if wired (omitted here —
+    image corpora are typically orders smaller than their text)."""
+    from ..operators.dedup import connected_components
+    from ..operators.multimodal import hash_near_dups, image_hashes
+
+    store = f"{output_dir}/sig_store"
+    kept_dir = f"{output_dir}/kept"
+
+    imgs = (spark.readStream.schema(
+        "media_id string, width int, height int, pixels array<int>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir))
+
+    def _bands(hashes: DataFrame) -> DataFrame:
+        out = []
+        for b in range(n_bands):
+            out.append(hashes.select(
+                "media_id", F.col("dhash").alias("hash"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bucket")))
+        df = out[0]
+        for o in out[1:]:
+            df = df.unionByName(o)
+        return df.withColumn(
+            "pbucket", F.pmod(F.col("bucket"), F.lit(n_store_partitions))
+            .cast("int"))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hashes = image_hashes(batch_df).localCheckpoint(eager=True)
+        bands = _bands(hashes).localCheckpoint(eager=True)
+        pbuckets = [r[0] for r in
+                    bands.select("pbucket").distinct().collect()]
+        old = sig_store_history(
+            spark, output_dir, batch_id, pbuckets=pbuckets, gen=0,
+            cols=("band", "bucket", "hash"))
+        if old is not None:
+            cand = bands.join(
+                old.withColumnRenamed("hash", "hash_old").distinct(),
+                ["band", "bucket"])
+            hit = (cand
+                   .where(F.bit_count(F.col("hash")
+                                      .bitwiseXOR(F.col("hash_old")))
+                          <= max_hamming)
+                   .select("media_id").distinct())
+            fresh = hashes.join(hit, "media_id", "left_anti")
+        else:
+            fresh = hashes
+        fresh = fresh.localCheckpoint(eager=True)
+        pairs = hash_near_dups(fresh, hash_col="dhash",
+                               max_hamming=max_hamming,
+                               n_bands=n_bands, band_bits=band_bits)
+        if pairs.isEmpty():
+            surv = fresh
+        else:
+            cc = connected_components(pairs, a_col="id_a", b_col="id_b")
+            losers = cc.where(F.col("node") != F.col("cluster_id")) \
+                .select(F.col("node").alias("media_id"))
+            surv = fresh.join(losers, "media_id", "left_anti")
+        surv = surv.withColumn("batch_id", F.lit(batch_id))
+        mode = {"partitionOverwriteMode": "dynamic"}
+        (surv.write.mode("overwrite").options(**mode)
+         .partitionBy("batch_id").parquet(kept_dir))
+        (_bands(surv.select("media_id", "dhash", "ahash"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").options(**mode)
+         .partitionBy("batch_id", "pbucket").parquet(store))
+
+    writer = (imgs.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -430,3 +430,63 @@ def test_sig_store_compaction_bounds_history_reads(spark, tmp_path):
 
     # and the stream's own dedup behavior still holds: 5 distinct docs
     assert kept.count() == 5
+
+
+def _write_imgs(specs, path):
+    """specs: (media_id, width, height, pixel_fn(r, c))."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"media_id": [], "width": [], "height": [], "pixels": []}
+    for mid, w, h, fn in specs:
+        rows["media_id"].append(mid)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["pixels"].append([fn(i // w, i % w) for i in range(w * h)])
+    t = pa.table({
+        "media_id": pa.array(rows["media_id"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "pixels": pa.array(rows["pixels"], pa.list_(pa.int32())),
+    })
+    pq.write_table(t, path, row_group_size=50)
+
+
+def test_stream_image_dedup_across_batches(spark, tmp_path):
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_image_dedup,
+    )
+
+    def cellpat(base):
+        # constant per 7x9 cell -> resolution-independent dHash
+        return lambda w, h: (
+            lambda r, c: (base * 37 + (r * 7 // h) * 13
+                          + (c * 9 // w) * 29) % 256)
+
+    a, b, c = cellpat(3), cellpat(11), cellpat(29)
+    # batch 0: two copies of pattern A at different resolutions
+    # (within-batch near-dup) + one B
+    _write_imgs([("a1", 18, 14, a(18, 14)), ("a2", 36, 21, a(36, 21)),
+                 ("b1", 18, 14, b(18, 14))],
+                str(tmp_path / "in" / "d0.parquet"))
+    # batch 1: A again (cross-batch dup) + new pattern C
+    _write_imgs([("a3", 27, 14, a(27, 14)), ("c1", 18, 14, c(18, 14))],
+                str(tmp_path / "in" / "d1.parquet"))
+
+    q = stream_image_dedup(spark, str(tmp_path / "in"),
+                           str(tmp_path / "out"), str(tmp_path / "ck"),
+                           max_files_per_trigger=1)
+    q.awaitTermination(240)
+    kept = spark.read.parquet(str(tmp_path / "out" / "kept"))
+    ids = {r["media_id"] for r in kept.select("media_id").collect()}
+    assert len(ids & {"a1", "a2"}) == 1   # within-batch resolved
+    assert "a3" not in ids                # cross-batch dropped
+    assert {"b1", "c1"} <= ids            # distinct patterns survive
+    assert kept.select("batch_id").distinct().count() == 2
+    # store rows carry the full hash for the exact verify
+    store = spark.read.parquet(str(tmp_path / "out" / "sig_store"))
+    assert {"band", "bucket", "hash", "pbucket"} <= set(store.columns)
+    assert store.select("media_id").distinct().count() == len(ids)
