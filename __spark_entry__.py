@@ -5358,6 +5358,87 @@ def _unigram_oracle_sql(max_word_len: int = 16) -> str:
 """ % {"mwl": max_word_len, "stages": ",".join(stages), "final": prev}
 
 
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose routing gate (textstats.code_detect): every 4th
+    doc gets a deterministic python-ish snippet appended (every 8th a
+    brace-dense config blob), the rest stay prose — integer signal
+    counts, replace-length keyword math, integer cross-multiply
+    thresholds; all replayed value-for-value in SQL."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        code_detect)
+
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    snippet = F.concat(
+        F.lit("def f"), did.cast("string"), F.lit("(a, b):"), nl,
+        F.lit("    return a + b;"), nl,
+        F.lit("def g"), did.cast("string"), F.lit("(x):"), nl,
+        F.lit("    return x * 2;"), nl)
+    blob = F.lit("{a=1};\n{b=2};\n{c=3};\n")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(did % 8 == 0, F.concat(F.col("text"), nl, blob))
+        .when(did % 4 == 0, F.concat(F.col("text"), nl, snippet))
+        .otherwise(F.col("text")).alias("text"))
+    return code_detect(d).orderBy("doc_id")
+
+
+_CODE_DETECT_ORACLE = r"""
+    with d as (
+      select doc_id,
+        case when doc_id % 8 = 0
+               then text || chr(10) || '{a=1};' || chr(10) || '{b=2};'
+                    || chr(10) || '{c=3};' || chr(10)
+             when doc_id % 4 = 0
+               then text || chr(10)
+                    || 'def f' || doc_id::varchar || '(a, b):' || chr(10)
+                    || '    return a + b;' || chr(10)
+                    || 'def g' || doc_id::varchar || '(x):' || chr(10)
+                    || '    return x * 2;' || chr(10)
+             else text end as text
+      from documents),
+    sig as (
+      select doc_id,
+        (length(text) - length(translate(text, '{}();=<>[]', '')))::bigint
+          as n_sym,
+        ((length(text) - length(replace(text, 'def ', ''))) / 4
+         + (length(text) - length(replace(text, 'function ', ''))) / 9
+         + (length(text) - length(replace(text, 'return ', ''))) / 7
+         + (length(text) - length(replace(text, 'import ', ''))) / 7
+         + (length(text) - length(replace(text, '#include', ''))) / 8
+         + (length(text) - length(replace(text, 'public ', ''))) / 7
+         + (length(text) - length(replace(text, 'void ', ''))) / 5
+         + (length(text) - length(replace(text, 'const ', ''))) / 6
+         + (length(text) - length(replace(text, 'var ', ''))) / 4
+         + (length(text) - length(replace(text, 'class ', ''))) / 6
+         + (length(text) - length(replace(text, 'fn ', ''))) / 3
+         + (length(text) - length(replace(text, 'println', ''))) / 7
+         + (length(text) - length(replace(text, 'printf', ''))) / 6
+         + (length(text) - length(replace(text, 'elif ', ''))) / 5
+         + (length(text) - length(replace(text, 'lambda ', ''))) / 7
+        )::bigint as n_kw,
+        string_split(text, chr(10)) as lines,
+        greatest(length(text), 1)::bigint as n_chars
+      from d),
+    agg as (
+      select doc_id, n_sym, n_kw,
+        len(lines)::bigint as n_lines,
+        len(list_filter(lines, x ->
+          right(rtrim(x), 1) in (';', '{', '}', ')')))::bigint
+          as n_code_lines,
+        len(list_filter(lines, x ->
+          left(x, 1) = chr(9) or left(x, 4) = '    '))::bigint
+          as n_indent,
+        n_chars
+      from sig)
+    select doc_id, n_sym, n_kw, n_lines, n_code_lines, n_indent,
+      (n_sym * 100 >= n_chars * 3) and
+        (n_kw >= 2 or n_code_lines * 100 >= greatest(n_lines, 1) * 30)
+        as is_code
+    from agg order by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -5401,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "unigram": q_unigram,
         "neighborhood": q_neighborhood,
+        "code_detect": q_code_detect,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5446,7 +5528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "kn_perplexity": q_kn_perplexity,
         "triangles": q_triangles,
-        "source_entropy": q_source_entropy,
         "chrf": q_chrf,
         "wordpiece": q_wordpiece,
         "assortativity": q_assortativity,
@@ -5495,6 +5576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-driver-green minhash_lsh_oracle kernel -> displaced for
         # the unigram tokenizer slot (novel DP kernel)
         "minhash_accuracy": q_minhash_accuracy,
+        # source_entropy: one groupBy + closed-form entropy fold,
+        # sibling of in-window zipf-stats machinery -> displaced for
+        # the code_detect slot
+        "source_entropy": q_source_entropy,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -6798,6 +6883,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_clusters": _IMAGE_DUP_CLUSTERS_ORACLE,
         "unigram": _unigram_oracle_sql(),
         "neighborhood": _neighborhood_oracle_sql(),
+        "code_detect": _CODE_DETECT_ORACLE,
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

@@ -1172,3 +1172,67 @@ def host_concentration(docs: DataFrame, part_col: str = "source",
         .alias("top_share"),
         ((F.col("total") * F.col("total")).cast("double") / F.col("ssq"))
         .alias("effective_hosts"))
+
+
+# ---- code-vs-prose detection -------------------------------------------
+
+CODE_KEYWORDS = ["def ", "function ", "return ", "import ", "#include",
+                 "public ", "void ", "const ", "var ", "class ",
+                 "fn ", "println", "printf", "elif ", "lambda "]
+
+
+def code_detect_cols(text: Column) -> dict[str, Column]:
+    """Per-doc code-likeness signals, all flat string expressions
+    (SQL-mirrorable, zero UDF) — the gate web-curation pipelines run to
+    route code-looking pages away from (or into) the code mix:
+
+      n_sym         {}();=<>[] symbol characters
+      n_kw          literal code-keyword hits (fixed list, substring
+                    counts via replace-length math — no regex dialect)
+      n_lines       newline-separated lines
+      n_code_lines  lines that END in ; { } or ) after rstrip
+      n_indent      lines starting with a tab or >= 4 spaces
+      is_code       symbol density >= 3% AND (>= 2 keyword hits OR
+                    >= 30% code-line endings) — integer cross-multiply
+                    compares, no float thresholds
+
+    Exactness: every signal is an integer count; is_code compares
+    integer products only.  Scale: free rider on the text scan."""
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    n_sym = F.length(text) - F.length(
+        F.translate(text, "{}();=<>[]", ""))
+    kw_terms = []
+    for kw in CODE_KEYWORDS:
+        kw_terms.append(
+            (F.length(text)
+             - F.length(F.replace(text, F.lit(kw), F.lit(""))))
+            / len(kw))
+    n_kw = kw_terms[0]
+    for t in kw_terms[1:]:
+        n_kw = n_kw + t
+    n_kw = n_kw.cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    stripped = F.transform(lines, lambda ln: F.rtrim(ln))
+    ender = F.size(F.filter(
+        stripped, lambda ln: ln.endswith(";") | ln.endswith("{")
+        | ln.endswith("}") | ln.endswith(")")))
+    indent = F.size(F.filter(
+        lines, lambda ln: ln.startswith("\t") | ln.startswith("    ")))
+    is_code = (n_sym * 100 >= n_chars * 3) & (
+        (n_kw >= 2) | (ender.cast("long") * 100
+                       >= F.greatest(n_lines, F.lit(1)).cast("long") * 30))
+    return {
+        "n_sym": n_sym.cast("long"),
+        "n_kw": n_kw,
+        "n_lines": n_lines.cast("long"),
+        "n_code_lines": ender.cast("long"),
+        "n_indent": indent.cast("long"),
+        "is_code": is_code,
+    }
+
+
+def code_detect(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    cols = code_detect_cols(F.col(text_col))
+    return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])

@@ -618,3 +618,24 @@ def test_host_concentration(spark):
     # monopoly partition: hhi = 1, effective hosts = 1
     assert out["s2"].hhi == pytest.approx(1.0)
     assert out["s2"].effective_hosts == pytest.approx(1.0)
+
+
+def test_code_detect(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        code_detect)
+
+    py = ("def add(a, b):\n    return a + b;\n"
+          "def mul(a, b):\n    return a * b;\n")
+    prose = ("The meeting went well and everyone agreed to come back "
+             "next week for a longer discussion of the plan.")
+    braces_only = "{}{}{}{}{}{}"  # symbols but no keywords/lines
+    rows = [(1, py), (2, prose), (3, braces_only)]
+    out = {r.doc_id: r for r in code_detect(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].is_code is True
+    assert out[1].n_kw >= 4           # 2x 'def ' + 2x 'return '
+    assert out[1].n_indent == 2
+    assert out[2].is_code is False and out[2].n_sym == 0
+    # symbol-dense but line endings: '}' ends its only line -> the
+    # ender branch fires even with zero keywords
+    assert out[3].is_code is True
