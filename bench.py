@@ -265,7 +265,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("host_concentration", "hhi"),
                       # batch-9: unigram-LM tokenizer, ANF
                       ("unigram", "cost_bits"),
-                      ("neighborhood", "n_micro")]:
+                      ("neighborhood", "n_micro"),
+                      ("code_detect", "n_sym")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
