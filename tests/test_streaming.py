@@ -490,3 +490,45 @@ def test_stream_image_dedup_across_batches(spark, tmp_path):
     store = spark.read.parquet(str(tmp_path / "out" / "sig_store"))
     assert {"band", "bucket", "hash", "pbucket"} <= set(store.columns)
     assert store.select("media_id").distinct().count() == len(ids)
+
+
+def test_stream_image_dedup_replayed_batch_is_idempotent(spark, tmp_path):
+    """Delete the last offset COMMIT so the restarted stream re-executes
+    the final micro-batch: batch_id dynamic partition overwrite must
+    leave kept/store counts unchanged instead of appending duplicates,
+    and the replayed batch must not drop itself against its own
+    signatures (batch_id self-exclusion)."""
+    import os
+
+    from deepseek_ocr_omnidocbench_spark.streaming.ingest import (
+        stream_image_dedup,
+    )
+
+    fn = lambda w, h: (lambda r, c: ((r * 7 // h) * 13    # noqa: E731
+                                     + (c * 9 // w) * 29) % 256)
+    _write_imgs([("p1", 18, 14, fn(18, 14))],
+                str(tmp_path / "in" / "d0.parquet"))
+    args = (spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "ck"))
+    q = stream_image_dedup(*args)
+    q.awaitTermination(180)
+    q.stop()
+    kept_dir = str(tmp_path / "out" / "kept")
+    first = spark.read.parquet(kept_dir).count()
+    # force a replay of the committed batch (drop the commit AND the
+    # local-FS checksum sidecar, the ChecksumFileSystem trap)
+    commits = os.path.join(str(tmp_path / "ck"), "commits")
+    last = sorted(c for c in os.listdir(commits)
+                  if not c.startswith("."))[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, "." + last + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_image_dedup(*args)
+    q2.awaitTermination(120)
+    q2.stop()
+    again = spark.read.parquet(kept_dir).count()
+    assert first == again == 1
+    store = spark.read.parquet(str(tmp_path / "out" / "sig_store"))
+    # one surviving image x 4 bands, no duplicate appends
+    assert store.count() == 4
