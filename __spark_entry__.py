@@ -5272,21 +5272,7 @@ def q_unigram(spark, sf_dir):
             .orderBy("word"))
 
 
-def _unigram_oracle_sql(max_word_len: int = 16) -> str:
-    stages = []
-    prev = "b0"
-    for i in range(1, max_word_len + 1):
-        stages.append(f"""
-    b{i} as materialized (
-      select s.word, {i}::bigint as pos,
-        min((b.k // 32 + s.cost) * 32 + s.st)::bigint as k
-      from spans s join ball{i - 1} b
-        on b.word = s.word and b.pos = s.st
-      where s.e = {i} group by s.word),
-    ball{i} as materialized (
-      select * from ball{i - 1} union all select * from b{i})""")
-        prev = f"ball{i}"
-    return """
+_UNIGRAM_PREFIX = """
     with recursive base as (
       select unnest(regexp_extract_all(lower(text), '[a-z]+')) as word
       from documents),
@@ -5325,37 +5311,130 @@ def _unigram_oracle_sql(max_word_len: int = 16) -> str:
       where len(word) between 1 and %(mwl)d),
     sp1 as (select word,
               unnest(generate_series(0, len(word) - 1)) as st from wd),
-    sp2 as (select word, st,
-              unnest(generate_series(1, least(4, len(word) - st)))
-                as l from sp1),
-    spans as materialized (
+    sp2 as materialized (
+      select word, st,
+        unnest(generate_series(1, least(4, len(word) - st))) as l
+      from sp1)"""
+
+
+def _unigram_pass_sql(sfx: str, costed: str, max_word_len: int) -> str:
+    """One Viterbi pass as CTE text: spans{sfx} (span x {costed} join),
+    the unrolled MATERIALIZED min-fold DP stages ball0{sfx}..ball{H}{sfx}
+    (a non-materialized chain re-inlines each level twice — exponential
+    plan blowup), and the recursive backtrack walk{sfx}."""
+    stages = []
+    for i in range(1, max_word_len + 1):
+        stages.append(f"""
+    b{i}{sfx} as materialized (
+      select s.word, {i}::bigint as pos,
+        min((b.k // 32 + s.cost) * 32 + s.st)::bigint as k
+      from spans{sfx} s join ball{i - 1}{sfx} b
+        on b.word = s.word and b.pos = s.st
+      where s.e = {i} group by s.word),
+    ball{i}{sfx} as materialized (
+      select * from ball{i - 1}{sfx} union all select * from b{i}{sfx})""")
+    final = f"ball{max_word_len}{sfx}"
+    return f""",
+    spans{sfx} as materialized (
       select s.word, s.st::bigint as st, (s.st + s.l)::bigint as e,
              c.cost
-      from sp2 s join costed c
+      from sp2 s join {costed} c
         on substring(s.word, s.st + 1, s.l) = c.piece),
-    ball0 as materialized (
-      select word, 0::bigint as pos, 0::bigint as k from wd),%(stages)s,
-    walk as (
+    ball0{sfx} as materialized (
+      select word, 0::bigint as pos, 0::bigint as k from wd),{",".join(stages)},
+    walk{sfx} as (
       select word, len(word)::bigint as pos, []::varchar[] as pieces
       from wd
       union all
-      select w.word, (b.k %% 32)::bigint as pos,
+      select w.word, (b.k % 32)::bigint as pos,
         list_prepend(
-          substring(w.word, (b.k %% 32)::int + 1,
-                    (w.pos - b.k %% 32)::int),
+          substring(w.word, (b.k % 32)::int + 1,
+                    (w.pos - b.k % 32)::int),
           w.pieces)
-      from walk w join %(final)s b
+      from walk{sfx} w join {final} b
         on b.word = w.word and b.pos = w.pos
-      where w.pos > 0)
+      where w.pos > 0)"""
+
+
+def _unigram_tail_sql(sfx: str, max_word_len: int) -> str:
+    return f"""
     select w.word,
       array_to_string(wk.pieces, '|') as segmented,
       len(wk.pieces)::bigint as n_pieces,
       (b.k // 32)::bigint as cost_bits
     from wd w
-    join walk wk on wk.word = w.word and wk.pos = 0
-    join %(final)s b on b.word = w.word and b.pos = len(w.word)
+    join walk{sfx} wk on wk.word = w.word and wk.pos = 0
+    join ball{max_word_len}{sfx} b
+      on b.word = w.word and b.pos = len(w.word)
     order by w.word
-""" % {"mwl": max_word_len, "stages": ",".join(stages), "final": prev}
+"""
+
+
+def _unigram_oracle_sql(max_word_len: int = 16) -> str:
+    return (_UNIGRAM_PREFIX % {"mwl": max_word_len}
+            + _unigram_pass_sql("", "costed", max_word_len)
+            + _unigram_tail_sql("", max_word_len))
+
+
+def _unigram_em_oracle_sql(max_word_len: int = 16) -> str:
+    """Both EM stages under the value gate: pass 1 segments under the
+    frequency-initialized costs, usage recounts piece frequency from
+    the ACTUAL segmentations (single-char floor of 1), pass 2 segments
+    under the re-estimated costs — the full unigram_em_round +
+    unigram_segment composition replayed."""
+    em = """,
+    seg1 as materialized (
+      select word, pieces from walk_1 where pos = 0),
+    usage as (
+      select piece, sum(freq)::bigint as score from (
+        select unnest(s.pieces) as piece, w.freq
+        from seg1 s join wf w using (word))
+      group by piece),
+    floorv as (
+      select v.piece, 1::bigint as score from vocab v
+      where len(v.piece) = 1
+        and v.piece not in (select piece from usage)),
+    vocab2 as (select piece, score from usage
+               union all select piece, score from floorv),
+    mass2 as (select sum(score)::bigint as m from vocab2),
+    costed2 as (
+      select piece,
+        (length(bin(m)) - length(bin(score)))::bigint as cost
+      from vocab2, mass2)"""
+    return (_UNIGRAM_PREFIX % {"mwl": max_word_len}
+            + _unigram_pass_sql("_1", "costed", max_word_len)
+            + em
+            + _unigram_pass_sql("_2", "costed2", max_word_len)
+            + _unigram_tail_sql("_2", max_word_len))
+
+
+def q_unigram_em(spark, sf_dir):
+    """Unigram-LM with ONE EM re-estimation round under the value
+    gate: the frequency-initialized inventory segments the corpus
+    (E-step), piece usage weighted by word frequency re-scores the
+    inventory (M-step, single-char floor 1), and the final
+    segmentation runs under the re-estimated costs — the
+    unigram_em_round + unigram_segment composition, both Viterbi
+    passes unrolled in the oracle."""
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_em_round, unigram_segment, unigram_vocab)
+
+    base = (_docs(spark, sf_dir)
+            .select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    synth = base.select(
+        F.concat(F.col("word"), F.reverse(F.col("word"))).alias("word"),
+        F.col("freq"))
+    words = (base.unionByName(synth)
+             .groupBy("word").agg(F.sum("freq").alias("freq")))
+    v0 = unigram_vocab(words, vocab_size=60, max_len=4)
+    v1 = unigram_em_round(words, v0, max_word_len=16, max_piece_len=4)
+    seg = unigram_segment(words, v1, max_word_len=16, max_piece_len=4)
+    return (seg.select("word",
+                       F.concat_ws("|", "pieces").alias("segmented"),
+                       "n_pieces", "cost_bits")
+            .orderBy("word"))
 
 
 def q_code_detect(spark, sf_dir):
@@ -5483,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram": q_unigram,
         "neighborhood": q_neighborhood,
         "code_detect": q_code_detect,
+        "unigram_em": q_unigram_em,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5516,7 +5596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "bpe_fertility": q_bpe_fertility,
         "snapshot_delta": q_snapshot_delta,
-        "crawl_budget": q_crawl_budget,
         "fingerprint_pairs": q_fingerprint_pairs,
         "community_quota": q_community_quota,
         "cdc_chunks": q_cdc_chunks,
@@ -5580,6 +5659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling of in-window zipf-stats machinery -> displaced for
         # the code_detect slot
         "source_entropy": q_source_entropy,
+        # crawl_budget: one host-level agg + 1-row broadcast, sibling
+        # of the r4-green politeness/crawl_priority kernels ->
+        # displaced for the unigram_em slot
+        "crawl_budget": q_crawl_budget,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -6884,6 +6967,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram": _unigram_oracle_sql(),
         "neighborhood": _neighborhood_oracle_sql(),
         "code_detect": _CODE_DETECT_ORACLE,
+        "unigram_em": _unigram_em_oracle_sql(),
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

@@ -266,7 +266,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       # batch-9: unigram-LM tokenizer, ANF
                       ("unigram", "cost_bits"),
                       ("neighborhood", "n_micro"),
-                      ("code_detect", "n_sym")]:
+                      ("code_detect", "n_sym"),
+                      ("unigram_em", "cost_bits")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:
