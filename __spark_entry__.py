@@ -5518,6 +5518,57 @@ _CODE_DETECT_ORACLE = r"""
 """
 
 
+def q_soft404(spark, sf_dir):
+    """Soft-404 / parked-domain gate (filters.soft404_scan): every 6th
+    doc becomes a short error page, every 9th gets two placeholder
+    phrases appended to real prose — replace-length phrase counts, a
+    shortness gate, and the 1-hit-short OR 2-hits-anywhere combine,
+    all replayed value-for-value."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        soft404_scan)
+
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(did % 6 == 0,
+               F.concat(F.lit("Error 404 - page not found (id "),
+                        did.cast("string"), F.lit(")")))
+        .when(did % 9 == 0,
+              F.concat(F.col("text"),
+                       F.lit(" this domain for sale. coming soon.")))
+        .otherwise(F.col("text")).alias("text"))
+    return soft404_scan(d).orderBy("doc_id")
+
+
+def _soft404_oracle_sql() -> str:
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        SOFT404_PHRASES)
+
+    terms = " + ".join(
+        f"(length(low) - length(replace(low, '{ph}', ''))) / {len(ph)}"
+        for ph in SOFT404_PHRASES)
+    return f"""
+    with d as (
+      select doc_id,
+        case when doc_id % 6 = 0
+               then 'Error 404 - page not found (id '
+                    || doc_id::varchar || ')'
+             when doc_id % 9 = 0
+               then text || ' this domain for sale. coming soon.'
+             else text end as text
+      from documents),
+    sig as (
+      select doc_id, length(text)::bigint as n_chars,
+        lower(text) as low
+      from d)
+    select doc_id, n_chars,
+      ({terms})::bigint as n_soft404_hits,
+      (({terms})::bigint >= 1 and n_chars < 400)
+        or ({terms})::bigint >= 2 as is_soft404
+    from sig order by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -5563,6 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood": q_neighborhood,
         "code_detect": q_code_detect,
         "unigram_em": q_unigram_em,
+        "soft404": q_soft404,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5592,7 +5644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green rows) ----------------------------------------------
         "trustrank": q_trustrank,
         "label_prop": q_label_prop,
-        "url_templates": q_url_templates,
         "embedding_outliers": q_embedding_outliers,
         "bpe_fertility": q_bpe_fertility,
         "snapshot_delta": q_snapshot_delta,
@@ -5663,6 +5714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the r4-green politeness/crawl_priority kernels ->
         # displaced for the unigram_em slot
         "crawl_budget": q_crawl_budget,
+        # url_templates: pure-Column regex template keys, sibling of
+        # the r4/r5-green surt/url hygiene machinery -> displaced for
+        # the soft404 slot
+        "url_templates": q_url_templates,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -6968,6 +7023,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood": _neighborhood_oracle_sql(),
         "code_detect": _CODE_DETECT_ORACLE,
         "unigram_em": _unigram_em_oracle_sql(),
+        "soft404": _soft404_oracle_sql(),
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

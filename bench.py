@@ -267,7 +267,8 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("unigram", "cost_bits"),
                       ("neighborhood", "n_micro"),
                       ("code_detect", "n_sym"),
-                      ("unigram_em", "cost_bits")]:
+                      ("unigram_em", "cost_bits"),
+                      ("soft404", "n_soft404_hits")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

@@ -639,3 +639,47 @@ def card_scan(docs: DataFrame, text_col: str = "text",
                     F.coalesce("n_luhn_valid", F.lit(0)).cast("long")
                     .alias("n_luhn_valid"))
             .withColumn("has_card", F.col("n_luhn_valid") > 0))
+
+
+# ---- soft-404 / parked-domain detection ---------------------------------
+
+SOFT404_PHRASES = ["page not found", "error 404", "does not exist",
+                   "no longer available", "domain for sale",
+                   "buy this domain", "under construction",
+                   "coming soon", "page you requested",
+                   "has been removed"]
+
+
+def soft404_cols(text: Column) -> dict[str, Column]:
+    """Soft-404 / parked-domain signals: pages that return HTTP 200
+    but carry error or placeholder content — a large, well-documented
+    contaminant of web crawls that survives every HTTP-status filter.
+    Literal phrase hits via replace-length math on the lowered text
+    (no regex dialect surface), combined with a shortness gate:
+
+      is_soft404 = (n_hits >= 1 AND n_chars < 400) OR n_hits >= 2
+
+    — a phrase on a SHORT page, or two independent phrases anywhere.
+    Integer counts, boolean combine; free rider on the text scan."""
+    low = F.lower(text)
+    n_chars = F.length(text)
+    terms = []
+    for ph in SOFT404_PHRASES:
+        terms.append(
+            ((F.length(low) - F.length(F.replace(low, F.lit(ph),
+                                                 F.lit(""))))
+             / len(ph)).cast("long"))
+    n_hits = terms[0]
+    for t in terms[1:]:
+        n_hits = n_hits + t
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_soft404_hits": n_hits,
+        "is_soft404": ((n_hits >= 1) & (n_chars < 400)) | (n_hits >= 2),
+    }
+
+
+def soft404_scan(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    cols = soft404_cols(F.col(text_col))
+    return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])

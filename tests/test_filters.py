@@ -270,3 +270,28 @@ def test_luhn_19_digit_and_boundary(spark):
         spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
     assert (out[1].n_candidates, out[1].n_luhn_valid) == (1, 1)
     assert out[2].n_candidates == 0
+
+
+def test_soft404_scan(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        soft404_scan)
+
+    long_pad = "real article content with many words. " * 30
+    rows = [
+        (1, "Error 404 - Page Not Found"),              # short + 2 hits
+        (2, "This domain for sale. Coming soon."),      # short + 2 hits
+        (3, long_pad),                                  # clean long prose
+        # one phrase on a LONG page: not enough alone
+        (4, long_pad + " error 404 appeared once in a quoted log."),
+        # two distinct phrases on a long page: flagged
+        (5, long_pad + " page not found ... has been removed."),
+        (6, "short but clean note"),                    # short, no hits
+    ]
+    out = {r.doc_id: r for r in soft404_scan(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].is_soft404 is True and out[1].n_soft404_hits == 2
+    assert out[2].is_soft404 is True
+    assert out[3].is_soft404 is False
+    assert out[4].is_soft404 is False and out[4].n_soft404_hits == 1
+    assert out[5].is_soft404 is True
+    assert out[6].is_soft404 is False
