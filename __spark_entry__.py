@@ -4905,7 +4905,8 @@ def _cocitation_links(spark, sf_dir):
     mirror (s5m duplicates every s5 outlink -> jaccard 1.0), family
     resemblance (srcs in the same residue class mod 4 share exactly
     their two 'c' category targets -> jaccard 0.25), and a hub target
-    everyone links to (df 20 > cap -> contributes no candidates)."""
+    EVERY src links (df 20 > cap 15 -> pruned from postings AND from
+    the capped out-degrees, so it biases nothing)."""
     did = F.col("doc_id")
     src = F.concat(F.lit("s"), (did % 20).cast("string"))
     d = _docs(spark, sf_dir).select(src.alias("src"), did.alias("doc_id"))
@@ -4918,8 +4919,9 @@ def _cocitation_links(spark, sf_dir):
     base = t_edges.union(c_edges)
     mirror = base.where(F.col("src") == "s5").select(
         F.lit("s5m").alias("src"), "dst")
-    hub = d.where(F.col("doc_id") % 4 == 0).select(
-        "src", F.lit("hub").alias("dst"))
+    # EVERY src links hub (doc_id covers all residues mod 20), so its
+    # df is 20 > df_cap 15 and the cap genuinely prunes it
+    hub = d.select("src", F.lit("hub").alias("dst"))
     return base.union(mirror).union(hub)
 
 
@@ -4949,12 +4951,12 @@ _COCITATION_ORACLE = """
       union all
       select 's5m' as src, dst from base where src = 's5'
       union all
-      select src, 'hub' as dst from d where doc_id % 4 = 0),
+      select src, 'hub' as dst from d),
     e as (select distinct src as s, dst as d from links),
-    deg as (select s, count(*)::bigint as deg from e group by s),
     tdf as (select d, count(*)::bigint as tdf from e group by d),
     posts as (select e.d, e.s from e join tdf using (d)
               where tdf.tdf <= 15),
+    deg as (select s, count(*)::bigint as deg from posts group by s),
     shared as (
       select a.s as src_a, b.s as src_b, count(*)::bigint as shared
       from posts a join posts b on a.d = b.d and a.s < b.s

@@ -315,6 +315,14 @@ def wordpiece_encode(docs: DataFrame, vocab: set[str],
 #    the SMALLER start = the longer final piece, in any engine.
 
 _UNI_TIE = 32  # start-encoding base; requires max_word_len < 32
+_UNI_UNREACH = 1 << 40  # sentinel key for unreachable DP positions:
+# array_min over an EMPTY array must not be relied on to yield NULL —
+# measured on Spark 4.1: it IS null when the fold is the only computed
+# column, but evaluates to 0 when co-projected with other expressions
+# (unsafe-array null-bit loss in the larger codegen unit).  An explicit
+# coalesce to this sentinel keeps unreachability a VALUE, not a null.
+# Chains through sentinel positions only grow the key (each step adds
+# <= (63<<5)+31), so "reachable" is exactly key < _UNI_UNREACH.
 
 
 def unigram_vocab(words: DataFrame, vocab_size: int = 200,
@@ -373,6 +381,10 @@ def unigram_segment(words: DataFrame, vocab: DataFrame,
     paths); positions unreachable under the vocab (a character with no
     single-char piece) yield NULL pieces — unigram_vocab's coverage
     floor prevents that for in-corpus text."""
+    if max_word_len >= _UNI_TIE:
+        raise ValueError(
+            f"max_word_len must be < {_UNI_TIE}: the DP key packs the "
+            "backpointer base-_UNI_TIE, a larger start would corrupt it")
     wd = (words.select(F.col(word_col).alias("word")).distinct()
           .where((F.length("word") >= 1)
                  & (F.length("word") <= max_word_len)))
@@ -413,12 +425,14 @@ def unigram_segment(words: DataFrame, vocab: DataFrame,
     best = F.aggregate(
         F.sequence(F.lit(1), F.col("L")),
         F.array(F.lit(0).cast("long")),
-        lambda acc, i: F.concat(acc, F.array(F.array_min(F.transform(
-            F.filter(F.col("spans"), lambda s: s["end"] == i),
-            lambda s: (F.shiftright(F.element_at(acc,
-                                                 (s["start"] + 1)
-                                                 .cast("int")), 5)
-                       + s["cost"]) * tie + s["start"])))))
+        lambda acc, i: F.concat(acc, F.array(F.coalesce(
+            F.array_min(F.transform(
+                F.filter(F.col("spans"), lambda s: s["end"] == i),
+                lambda s: (F.shiftright(F.element_at(acc,
+                                                     (s["start"] + 1)
+                                                     .cast("int")), 5)
+                           + s["cost"]) * tie + s["start"])),
+            F.lit(_UNI_UNREACH).cast("long")))))
     dp = packed.select("word", "L", best.alias("best"))
 
     def _bp_start(pos):
@@ -440,11 +454,18 @@ def unigram_segment(words: DataFrame, vocab: DataFrame,
                         (_bp_start(a["pos"]) + 1).cast("int"),
                         (a["pos"] - _bp_start(a["pos"])).cast("int"))),
                     a["pieces"]).alias("pieces"))).otherwise(a))
+    # words whose final position is unreachable under the vocab (a
+    # character with no single-char piece) are DROPPED — matching the
+    # recursive-backtrack oracle, which never reaches pos 0 for them,
+    # and the no-span case (inner join) which already drops.  The
+    # check is the sentinel VALUE (see _UNI_UNREACH), never null
+    # propagation out of the fold.  Call unigram_vocab for the
+    # coverage floor if every word must survive.
+    final_key = F.element_at(F.col("best"), (F.col("L") + 1).cast("int"))
     return (dp
+            .where(final_key < _UNI_UNREACH)
             .select("word", "L", walk.alias("w"),
-                    F.shiftright(F.element_at(
-                        F.col("best"), (F.col("L") + 1).cast("int")), 5)
-                    .alias("cost_bits"))
+                    F.shiftright(final_key, 5).alias("cost_bits"))
             .select("word", F.col("w")["pieces"].alias("pieces"),
                     F.size(F.col("w")["pieces"]).cast("long")
                     .alias("n_pieces"),

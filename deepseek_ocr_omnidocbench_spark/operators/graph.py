@@ -931,24 +931,26 @@ def cocitation_pairs(edges: DataFrame, src_col: str = "src",
 
     Returns (src_a, src_b, shared, deg_a, deg_b, jaccard) for pairs
     sharing >= ``min_shared`` distinct targets, src_a < src_b, with
-    jaccard = shared / (deg_a + deg_b - shared) over distinct-target
-    out-degrees.
+    jaccard = shared / (deg_a + deg_b - shared).
 
     Scale shape (the bounded-postings discipline of
     ngram_jaccard_pairs, dedup.py): targets with more than ``df_cap``
-    distinct sources are dropped from candidate generation before the
-    self-join — a hub target everyone links to (google.com, a CDN) is
-    evidence of nothing and would otherwise emit df^2/2 candidate
-    rows.  Per-target posting lists therefore bound the join at
-    sum(df_i^2), df_i <= df_cap; the exact shared/jaccard math runs on
-    candidates only.  min_shared filters at AGGREGATION time (shared
-    is already counted), so no second verify pass is needed — unlike
-    text shingles, an edge either exists or it doesn't."""
+    distinct sources are dropped BEFORE the self-join — a hub target
+    everyone links to (google.com, a CDN) is evidence of nothing and
+    would otherwise emit df^2/2 candidate rows.  Per-target posting
+    lists therefore bound the join at sum(df_i^2), df_i <= df_cap.
+    Shared counts, OUT-DEGREES, and jaccard are all computed over the
+    SAME capped universe, so two exact mirrors that both link a capped
+    hub still reach jaccard 1.0 over their informative targets (deg
+    from the raw edge list would bias every hub-sharing pair low).
+    min_shared filters at AGGREGATION time (shared is already
+    counted), so no second verify pass is needed — unlike text
+    shingles, an edge either exists or it doesn't."""
     e = edges.select(F.col(src_col).alias("s"),
                      F.col(dst_col).alias("d")).distinct()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     df_t = e.groupBy("d").agg(F.count(F.lit(1)).alias("tdf"))
     posts = e.join(df_t.where(F.col("tdf") <= df_cap).select("d"), "d")
+    deg = posts.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     a = posts.select(F.col("d"), F.col("s").alias("src_a"))
     b = posts.select(F.col("d"), F.col("s").alias("src_b"))
     shared = (a.join(b, "d")
@@ -971,7 +973,8 @@ def cocitation_pairs(edges: DataFrame, src_col: str = "src",
 def neighborhood_function(edges: DataFrame, max_hops: int = 4,
                           p: int = 8, frac_target: float = 0.9,
                           src_col: str = "src",
-                          dst_col: str = "dst") -> DataFrame:
+                          dst_col: str = "dst",
+                          micro: int = 1_000_000) -> DataFrame:
     """Neighborhood function + effective diameter via HyperBall
     (Boldi & Vigna 2013; the ANF of Palmer et al. 2002): N(h) = total
     estimated reachable pairs within h hops, and the effective
@@ -984,18 +987,23 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 4,
 
     Exactness: per-node ball estimates are the gate-portable HyperBall
     doubles (identical expressions both engines); the corpus-wide
-    total folds them as floor(e * 1e6) INTEGER MICRO-UNITS summed in
+    total folds them as floor(e * micro) INTEGER MICRO-UNITS summed in
     bigints — order-independent in any engine — and n_pairs/frac are
-    single divisions.  Scale shape: the shared HyperBall core (O(V*m)
-    state, one shuffle per hop) plus one tiny map-side-combined sum
-    per hop over V rows; the final frame is max_hops+1 rows."""
+    single divisions.  ``micro`` bounds the bigint headroom: the sum
+    can reach ~V^2 * micro, so the 1e6 default overflows int64 past
+    ~9.2e12 reachable pairs (~3M fully-connected nodes) — drop micro
+    to 1e3/1 for page-scale graphs (the frac precision cost is
+    micro^-1, far below HLL error).  Scale shape: the shared HyperBall
+    core (O(V*m) state, one shuffle per hop) plus one tiny
+    map-side-combined sum per hop over V rows; the final frame is
+    max_hops+1 rows."""
     from pyspark.sql import Window
 
     ests = _hyperball_estimates(edges, max_hops, p, src_col, dst_col)
     per_hop = []
     for h, est in enumerate(ests):
         per_hop.append(
-            est.agg(F.sum(F.floor(F.col("e") * 1000000.0).cast("long"))
+            est.agg(F.sum(F.floor(F.col("e") * float(micro)).cast("long"))
                     .alias("n_micro"))
             .select(F.lit(h).cast("long").alias("hop"), "n_micro"))
     out = per_hop[0]
@@ -1008,7 +1016,7 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 4,
             .withColumn("frac", frac)
             .withColumn("_prev", F.lag("frac").over(w_lag))
             .select("hop", "n_micro",
-                    (F.col("n_micro").cast("double") / 1000000.0)
+                    (F.col("n_micro").cast("double") / float(micro))
                     .alias("n_pairs"),
                     "frac",
                     ((F.col("frac") >= frac_target)

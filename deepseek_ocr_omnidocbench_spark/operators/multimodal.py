@@ -528,6 +528,18 @@ def image_hashes(imgs: DataFrame, id_col: str = "media_id",
                  F.sum(d_term).alias("dhash")))
 
 
+def band_key(hv, band: int, band_bits: int = 16):
+    """The Hamming-band bucket key: bits [band*band_bits,
+    (band+1)*band_bits) of a signature.  ONE definition shared by the
+    batch near-dup join below and the streaming signature store
+    (streaming/ingest.stream_image_dedup) — a band_bits change in one
+    place cannot silently desync the other."""
+    from pyspark.sql import functions as F
+
+    return F.shiftright(hv, band * band_bits) \
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+
+
 def hash_near_dups(hashes: DataFrame, hash_col: str = "dhash",
                    id_col: str = "media_id", max_hamming: int = 6,
                    n_bands: int = 4, band_bits: int = 16) -> DataFrame:
@@ -548,8 +560,7 @@ def hash_near_dups(hashes: DataFrame, hash_col: str = "dhash",
         "id", "hv",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright(F.col("hv"), b * band_bits)
-                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bv"))
+                     band_key(F.col("hv"), b, band_bits).alias("bv"))
             for b in range(n_bands)])).alias("bk")) \
         .select("id", "hv", F.col("bk.band").alias("band"),
                 F.col("bk.bv").alias("bv"))

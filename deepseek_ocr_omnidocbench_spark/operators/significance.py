@@ -69,9 +69,12 @@ def paired_bootstrap(per_doc: DataFrame, id_col: str = "doc_id",
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("idx"),
         (F.col(a_col).cast("long") - F.col(b_col).cast("long"))
         .alias("delta"))
+    # n = 0 guard: sequence(0, -1) silently DESCENDS (the phantom-
+    # sequence trap) and `% 0` throws under ANSI — an empty input
+    # yields an empty result instead
     stats = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("delta").alias("sum_delta"))
+        F.sum("delta").alias("sum_delta")).where(F.col("n") > 0)
     reps = (stats
             .select("n", "sum_delta",
                     F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1)))

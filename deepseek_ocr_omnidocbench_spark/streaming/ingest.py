@@ -500,13 +500,14 @@ def stream_image_dedup(spark: SparkSession, input_dir: str,
         .parquet(input_dir))
 
     def _bands(hashes: DataFrame) -> DataFrame:
+        from ..operators.multimodal import band_key
+
         out = []
         for b in range(n_bands):
             out.append(hashes.select(
                 "media_id", F.col("dhash").alias("hash"),
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("dhash"), b * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bucket")))
+                band_key(F.col("dhash"), b, band_bits).alias("bucket")))
         df = out[0]
         for o in out[1:]:
             df = df.unionByName(o)
@@ -549,7 +550,7 @@ def stream_image_dedup(spark: SparkSession, input_dir: str,
         mode = {"partitionOverwriteMode": "dynamic"}
         (surv.write.mode("overwrite").options(**mode)
          .partitionBy("batch_id").parquet(kept_dir))
-        (_bands(surv.select("media_id", "dhash", "ahash"))
+        (_bands(surv.select("media_id", "dhash"))
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").options(**mode)
          .partitionBy("batch_id", "pbucket").parquet(store))

@@ -330,3 +330,30 @@ def test_unigram_segment_full_word_piece(spark):
     out = unigram_segment(
         spark.createDataFrame([("abcd",)], ["word"]), vocab).collect()[0]
     assert out.pieces == ["abcd"] and out.n_pieces == 1
+
+
+def test_unigram_segment_uncovered_word_dropped(spark):
+    """A word whose tail is unreachable under the vocab (no 'q' piece)
+    is DROPPED — matching the oracle's recursive backtrack, which
+    never reaches position 0 for it."""
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    vocab = spark.createDataFrame(
+        [("ab", 5), ("a", 1), ("b", 1)], ["piece", "score"])
+    words = spark.createDataFrame([("abq",), ("ab",)], ["word"])
+    out = {r.word: r for r in unigram_segment(words, vocab).collect()}
+    assert set(out) == {"ab"}
+    assert out["ab"].pieces == ["ab"]
+
+
+def test_unigram_segment_cap_guard(spark):
+    import pytest
+
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    vocab = spark.createDataFrame([("a", 1)], ["piece", "score"])
+    words = spark.createDataFrame([("a",)], ["word"])
+    with pytest.raises(ValueError, match="max_word_len"):
+        unigram_segment(words, vocab, max_word_len=32)

@@ -697,10 +697,12 @@ def test_cocitation_mirror_detection(spark):
     out = {(r.src_a, r.src_b): r
            for r in cocitation_pairs(e, min_shared=2, df_cap=10).collect()}
     assert out[("m1", "m2")].shared == 10
-    # degrees include the hub edge (cap only bounds candidate gen)
-    assert out[("m1", "m2")].deg_a == 11
-    assert out[("m1", "m2")].jaccard == 10 / 12
+    # degrees over the CAPPED universe: the hub edge is excluded, so
+    # the mirrors reach jaccard 1.0 over their informative targets
+    assert out[("m1", "m2")].deg_a == 10
+    assert out[("m1", "m2")].jaccard == 1.0
     assert out[("m1", "m3")].shared == 2
+    assert out[("m1", "m3")].jaccard == 2 / 11
     # hub contributed no candidate pairs: n* hosts appear nowhere
     assert not any(k[0].startswith("n") or k[1].startswith("n")
                    for k in out)

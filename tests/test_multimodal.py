@@ -266,9 +266,9 @@ def test_hash_near_dups_exact_verify_rejects(spark):
 
 
 def test_image_hashes_plan_shape(spark):
-    """Pixel shuffle + the two tiny cell-level exchanges (neighbor
-    window on (media_id, cell_r), media_id window reused by the final
-    groupBy) — exactly 3 hash exchanges, no join in the plan."""
+    """Exactly 2 hash exchanges, no join: one for the pixel->cell
+    groupBy + neighbor window, one for the media_id window that the
+    final groupBy then reuses."""
     from deepseek_ocr_omnidocbench_spark.operators.multimodal import (
         image_hashes)
 

@@ -130,3 +130,9 @@ def test_krippendorff_alpha_cases(spark):
     rows = [Row(label_a="x", label_b="x")] * 3
     out = krippendorff_alpha(spark.createDataFrame(rows)).collect()[0]
     assert out.alpha is None
+
+
+def test_bootstrap_empty_input_yields_empty(spark):
+    docs = spark.createDataFrame(
+        [], "doc_id long, metric_a long, metric_b long")
+    assert paired_bootstrap(docs, b_reps=10, seed="e").count() == 0
