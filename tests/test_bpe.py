@@ -357,3 +357,61 @@ def test_unigram_segment_cap_guard(spark):
     words = spark.createDataFrame([("a",)], ["word"])
     with pytest.raises(ValueError, match="max_word_len"):
         unigram_segment(words, vocab, max_word_len=32)
+
+
+def test_unigram_segment_bruteforce_parity(spark):
+    """Seeded adversarial sweep vs an independent brute-force DP: 5
+    random vocabularies x 8 random words each, including vocabularies
+    MISSING a single char (unreachable words must drop).  Checks
+    pieces, cost and the (cost, start)-min tie rule bit-for-bit."""
+    import random
+
+    from deepseek_ocr_omnidocbench_spark.operators.bpe import (
+        unigram_segment)
+
+    def ref(word, scores, max_piece=4):
+        mass = sum(scores.values())
+        cost = {p: mass.bit_length() - s.bit_length()
+                for p, s in scores.items()}
+        best = {0: (0, None)}
+        for i in range(1, len(word) + 1):
+            cands = []
+            for j in range(max(0, i - max_piece), i):
+                piece = word[j:i]
+                if piece in cost and j in best:
+                    cands.append((best[j][0] + cost[piece], j))
+            if cands:
+                best[i] = min(cands)
+        if len(word) not in best:
+            return None
+        pieces, pos = [], len(word)
+        while pos > 0:
+            j = best[pos][1]
+            pieces.insert(0, word[j:pos])
+            pos = j
+        return pieces, best[len(word)][0]
+
+    rng = random.Random(77)
+    for trial in range(5):
+        chars = "abc"
+        pool = [a + b for a in chars for b in chars] + \
+               [a + b + c for a in chars for b in chars for c in chars]
+        vocab = {c: rng.randint(1, 50) for c in chars}
+        if trial == 3:
+            del vocab["c"]  # break coverage: words with 'c' must drop
+        for p in rng.sample(pool, 8):
+            vocab[p] = rng.randint(1, 50)
+        words = ["".join(rng.choice(chars) for _ in range(rng.randint(1, 8)))
+                 for _ in range(8)]
+        vdf = spark.createDataFrame(list(vocab.items()),
+                                    ["piece", "score"])
+        wdf = spark.createDataFrame([(w,) for w in set(words)], ["word"])
+        got = {r.word: (list(r.pieces), r.cost_bits) for r in
+               unigram_segment(wdf, vdf, max_piece_len=4).collect()}
+        for w in set(words):
+            want = ref(w, vocab)
+            if want is None:
+                assert w not in got, (trial, w)
+            else:
+                assert got[w] == (want[0], want[1]), \
+                    (trial, w, got.get(w), want)
