@@ -5571,6 +5571,203 @@ def _soft404_oracle_sql() -> str:
 """
 
 
+# ---- round-5 batch 11: crawl traps, robots audit, quality
+# ---- calibration, embedding drift --------------------------------------
+
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection over adversarial synthetic URLs: every 5th
+    url repeats a path loop, every 7th walks a calendar space, every
+    11th carries a session id, every 13th nests 9 segments deep —
+    flat array/string signal columns, no UDF (filters.crawl_trap_scan)."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        crawl_trap_cols)
+
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = (F.when(did % 5 == 0, F.concat(
+               F.lit("https://t.example/a"), s, F.lit("/b/a"), s,
+               F.lit("/b/c")))
+           .when(did % 7 == 0, F.concat(
+               F.lit("https://t.example/2023/11/"), (did % 28 + 1)
+               .cast("string"), F.lit("/2024/01/x")))
+           .when(did % 11 == 0, F.concat(
+               F.lit("https://t.example/p"), s,
+               F.lit("?phpsessid="), s))
+           .when(did % 13 == 0, F.concat(
+               F.lit("https://t.example/a/b/c/d/e/f/g/h/i"), s))
+           .otherwise(F.concat(F.lit("https://t.example/page/"), s)))
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    cols = crawl_trap_cols(F.col("url"))
+    return (d.select("doc_id", "url",
+                     *[v.alias(k) for k, v in cols.items()])
+            .orderBy("doc_id"))
+
+
+_CRAWL_TRAPS_ORACLE = r"""
+    with d as (
+      select doc_id,
+        case when doc_id % 5 = 0
+               then 'https://t.example/a' || doc_id::varchar || '/b/a'
+                    || doc_id::varchar || '/b/c'
+             when doc_id % 7 = 0
+               then 'https://t.example/2023/11/'
+                    || (doc_id % 28 + 1)::varchar || '/2024/01/x'
+             when doc_id % 11 = 0
+               then 'https://t.example/p' || doc_id::varchar
+                    || '?phpsessid=' || doc_id::varchar
+             when doc_id % 13 = 0
+               then 'https://t.example/a/b/c/d/e/f/g/h/i'
+                    || doc_id::varchar
+             else 'https://t.example/page/' || doc_id::varchar
+        end as url
+      from documents),
+    sig as (
+      select doc_id, url,
+        list_filter(string_split(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+          s -> len(s) > 0) as segs,
+        lower(regexp_extract(url, '\?([^#]*)', 1)) as query
+      from d)
+    select doc_id, url,
+      len(segs)::bigint as path_depth,
+      (len(segs) - len(list_distinct(segs)))::bigint as n_dup_segments,
+      len(list_filter(segs, s -> regexp_matches(s, '^[0-9]+$')))::bigint
+        as n_numeric_segs,
+      (query like '%sessionid%' or query like '%phpsessid%'
+       or query like '%jsessionid%' or query like '%sid=%')
+        as has_session_id,
+      (len(segs) > 8
+       or len(segs) - len(list_distinct(segs)) >= 2
+       or len(list_filter(segs, s -> regexp_matches(s, '^[0-9]+$'))) >= 4
+       or query like '%sessionid%' or query like '%phpsessid%'
+       or query like '%jsessionid%' or query like '%sid=%') as is_trap
+    from sig order by doc_id
+"""
+
+
+def q_robots_audit(spark, sf_dir):
+    """Politeness-compliance audit (robots.robots_audit): a synthetic
+    fetch log where every 4th url under h<k>.example hits /private —
+    disallowed for even k — per-host violation counts/rates with a
+    stable exemplar url.  Prefix-only rules keep the Python matcher's
+    decision SQL-expressible."""
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        robots_audit)
+
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 10).cast("string"),
+                    F.lit(".example"))
+    path = F.when(did % 4 == 0,
+                  F.concat(F.lit("/private/p"), did.cast("string")))\
+        .otherwise(F.concat(F.lit("/public/p"), did.cast("string")))
+    log = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, path).alias("url"))
+    robots = spark.range(0, 10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /private\n"))
+        .otherwise(F.lit("User-agent: *\nAllow: /\n"))
+        .alias("robots_txt"))
+    return robots_audit(log, robots).orderBy("host")
+
+
+_ROBOTS_AUDIT_ORACLE = """
+    with log as (
+      select 'h' || (doc_id % 10)::varchar || '.example' as host,
+        'https://h' || (doc_id % 10)::varchar || '.example'
+        || case when doc_id % 4 = 0
+                then '/private/p' || doc_id::varchar
+                else '/public/p' || doc_id::varchar end as url,
+        (doc_id % 4 = 0) and ((doc_id % 10) % 2 = 0) as viol
+      from documents)
+    select host, count(*)::bigint as n_fetched,
+      sum(case when viol then 1 else 0 end)::bigint as n_violations,
+      sum(case when viol then 1 else 0 end)::double / count(*)
+        as violation_rate,
+      min(case when viol then url end) as first_violation
+    from log group by host order by host
+"""
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Rank-based cross-source quality calibration
+    (curation.quality_calibration): midpoint-rank percentile within
+    source over an integer metric, keep decided by integer
+    cross-products — every source loses the same share regardless of
+    its raw score range."""
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        quality_calibration)
+
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    return (quality_calibration(d, "n_chars", keep_frac=0.8)
+            .orderBy("source", "doc_id"))
+
+
+_QUALITY_CALIBRATION_ORACLE = """
+    with d as (
+      select source, doc_id, n_chars::bigint as raw from documents),
+    r as (
+      select source, doc_id, raw,
+        row_number() over (partition by source
+                           order by raw, doc_id)::bigint as rank,
+        count(*) over (partition by source)::bigint as n
+      from d)
+    select source, doc_id, raw, rank, n,
+      (2 * rank - 1)::double / (2 * n) as pct,
+      (2 * rank - 1) * 10000 >= 2 * n * 2000 as keep
+    from r order by source, doc_id
+"""
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Per-label embedding drift between the vec_id-parity halves
+    (similarity.embedding_drift): floor(mean*1e6) integer centroid
+    components make the 64-dim dot/norms exact bigint sums; cosine
+    and drift are single expressions over them."""
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        embedding_drift)
+
+    emb = _emb(spark, sf_dir)
+    return embedding_drift(emb).orderBy("label")
+
+
+_EMBEDDING_DRIFT_ORACLE = """
+    with e as (
+      select vec_id, label, embedding::DOUBLE[] as emb
+      from embeddings),
+    x as (
+      select label, (vec_id % 2) as half,
+        generate_subscripts(emb, 1) - 1 as pos, unnest(emb) as v
+      from e),
+    c as (
+      select label, half, pos,
+        cast(floor(avg(v) * 1000000.0) as bigint) as m,
+        count(*)::bigint as n
+      from x group by 1, 2, 3),
+    j as (
+      select a.label, a.n as na, b.n as nb,
+        a.m as ma, b.m as mb
+      from (select * from c where half = 0) a
+      join (select * from c where half = 1) b
+        on a.label = b.label and a.pos = b.pos),
+    agg as (
+      select label, max(na)::bigint as n_a, max(nb)::bigint as n_b,
+        sum(ma * mb)::bigint as dot,
+        sum(ma * ma)::bigint as na2,
+        sum(mb * mb)::bigint as nb2
+      from j group by label)
+    select label, n_a, n_b,
+      case when na2 > 0 and nb2 > 0
+           then dot::double / (sqrt(na2::double) * sqrt(nb2::double))
+      end as cosine,
+      1.0::double - (case when na2 > 0 and nb2 > 0
+           then dot::double / (sqrt(na2::double) * sqrt(nb2::double))
+      end) as drift
+    from agg order by label
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -5617,6 +5814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_detect": q_code_detect,
         "unigram_em": q_unigram_em,
         "soft404": q_soft404,
+        "crawl_traps": q_crawl_traps,
+        "robots_audit": q_robots_audit,
+        "quality_calibration": q_quality_calibration,
+        "embedding_drift": q_embedding_drift,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5647,16 +5848,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "label_prop": q_label_prop,
         "embedding_outliers": q_embedding_outliers,
-        "bpe_fertility": q_bpe_fertility,
-        "snapshot_delta": q_snapshot_delta,
-        "fingerprint_pairs": q_fingerprint_pairs,
         "community_quota": q_community_quota,
         "cdc_chunks": q_cdc_chunks,
         # --- tier 000: round-5 resumed-session batch (never driver-
         # verified; each displaces one r3-green, implementation-
         # untouched tier-3 cadence entry into tier 3b below) ------------
         "kcore": q_kcore,
-        "kmv_vocab": q_kmv_vocab,
         "cms_heavy": q_cms_heavy,
         "kn_perplexity": q_kn_perplexity,
         "triangles": q_triangles,
@@ -5720,6 +5917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r4/r5-green surt/url hygiene machinery -> displaced for
         # the soft404 slot
         "url_templates": q_url_templates,
+        # displaced for the batch-11 slots (each a sibling/mirror of an
+        # in-window or driver-green kernel; all strict-swept):
+        "snapshot_delta": q_snapshot_delta,
+        "fingerprint_pairs": q_fingerprint_pairs,
+        "kmv_vocab": q_kmv_vocab,
+        "bpe_fertility": q_bpe_fertility,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -7026,6 +7229,10 @@ def oracle_sql() -> dict[str, str]:
         "code_detect": _CODE_DETECT_ORACLE,
         "unigram_em": _unigram_em_oracle_sql(),
         "soft404": _soft404_oracle_sql(),
+        "crawl_traps": _CRAWL_TRAPS_ORACLE,
+        "robots_audit": _ROBOTS_AUDIT_ORACLE,
+        "quality_calibration": _QUALITY_CALIBRATION_ORACLE,
+        "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

@@ -268,7 +268,12 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("neighborhood", "n_micro"),
                       ("code_detect", "n_sym"),
                       ("unigram_em", "cost_bits"),
-                      ("soft404", "n_soft404_hits")]:
+                      ("soft404", "n_soft404_hits"),
+                      # batch-11 ops
+                      ("crawl_traps", "path_depth"),
+                      ("robots_audit", "n_violations"),
+                      ("quality_calibration", "rank"),
+                      ("embedding_drift", "drift")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

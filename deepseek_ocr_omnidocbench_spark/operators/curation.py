@@ -220,3 +220,40 @@ def host_split(docs: DataFrame, url_col: str = "url",
     return (docs.withColumn("host", host)
             .withColumn("bucket", bucket)
             .withColumn("split", split))
+
+
+def quality_calibration(docs: DataFrame, metric_col: str,
+                        part_col: str = "source",
+                        id_col: str = "doc_id",
+                        keep_frac: float = 0.8) -> DataFrame:
+    """Cross-source quality calibration: raw quality metrics are not
+    comparable across sources (a 'good' forum post scores differently
+    than a 'good' news page), so thresholding the raw score over-prunes
+    some sources and under-prunes others.  The standard fix is
+    RANK-based normalization within source:
+
+      pct = (2*rank - 1) / (2*n)     (midpoint rank in (0, 1))
+
+    and a single global keep fraction then removes the same share of
+    every source.  Exactness: rank and n are bigints, pct is one
+    division, keep compares integer cross-products
+    (2*rank - 1 >= 2*n*(1 - keep_frac) avoids float thresholds on the
+    ratio).  Scale shape: one window exchange on the source key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy("raw", id_col)
+    wn = Window.partitionBy(part_col)
+    d = (docs.select(part_col, id_col,
+                     F.col(metric_col).cast("long").alias("raw"))
+         .withColumn("rank", F.row_number().over(w).cast("long"))
+         .withColumn("n", F.count(F.lit(1)).over(wn).cast("long")))
+    # keep iff pct >= 1 - keep_frac, compared in integers:
+    # (2r - 1) / 2n >= 1 - kf  <=>  (2r - 1) * D >= 2n * ND  with
+    # 1 - kf = ND / D a fixed rational (kf given to 4 decimals)
+    nd = round((1.0 - keep_frac) * 10000)
+    return d.select(
+        part_col, id_col, "raw", "rank", "n",
+        ((2 * F.col("rank") - 1).cast("double")
+         / (2 * F.col("n"))).alias("pct"),
+        ((2 * F.col("rank") - 1) * 10000 >= 2 * F.col("n") * nd)
+        .alias("keep"))

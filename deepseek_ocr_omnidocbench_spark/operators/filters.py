@@ -683,3 +683,39 @@ def soft404_scan(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     cols = soft404_cols(F.col(text_col))
     return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])
+
+
+# ---- crawl-trap detection ------------------------------------------------
+
+def crawl_trap_cols(url: Column) -> dict[str, Column]:
+    """Infinite-URL-space trap signals for frontier hygiene — calendar
+    pages, session-id links, and self-similar path loops generate
+    unbounded URL sets that exact URL dedup cannot close:
+
+      path_depth     number of path segments
+      n_dup_segments duplicate path-segment slots (a/b/a/b -> 2)
+      n_numeric_segs all-digit segments (calendar/pagination space)
+      has_session_id sessionid/phpsessid/jsessionid/sid= in the query
+      is_trap        depth > 8 OR dups >= 2 OR numeric >= 4 OR session
+
+    All flat array/string expressions (no UDF, no shuffle)."""
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.lower(F.regexp_extract(url, r"\?([^#]*)", 1))
+    segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    depth = F.size(segs)
+    dups = depth - F.size(F.array_distinct(segs))
+    numeric = F.size(F.filter(segs, lambda s: s.rlike(r"^[0-9]+$")))
+    sess = (query.contains("sessionid") | query.contains("phpsessid")
+            | query.contains("jsessionid") | query.contains("sid="))
+    return {
+        "path_depth": depth.cast("long"),
+        "n_dup_segments": dups.cast("long"),
+        "n_numeric_segs": numeric.cast("long"),
+        "has_session_id": sess,
+        "is_trap": (depth > 8) | (dups >= 2) | (numeric >= 4) | sess,
+    }
+
+
+def crawl_trap_scan(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    cols = crawl_trap_cols(F.col(url_col))
+    return urls.select(url_col, *[v.alias(k) for k, v in cols.items()])

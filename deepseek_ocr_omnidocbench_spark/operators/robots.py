@@ -365,3 +365,36 @@ def robots_sitemaps(robots: DataFrame, txt_col: str = "txt",
                     F.posexplode(hits).alias("pos", "sitemap_url"))
             .select("host", F.col("pos").cast("int").alias("pos"),
                     "sitemap_url"))
+
+
+def robots_audit(fetch_log: DataFrame, robots: DataFrame,
+                 url_col: str = "url", host_col: str = "host",
+                 txt_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """Crawl-compliance audit: which hosts did the crawler fetch
+    AGAINST their robots.txt?  The operations report a politeness
+    incident review starts from (misconfigured frontier, stale rules,
+    redirect laundering).
+
+    fetch_log(url, ...) x robots(host, robots_txt) -> per host:
+    (host, n_fetched, n_violations, violation_rate, first_violation)
+    — first_violation is the lexicographically-smallest offending url
+    (a stable exemplar for the report).  Built on robots_gate
+    (broadcast rules, url side never shuffled); ONE host-level
+    aggregate on top."""
+    gated = robots_gate(fetch_log, robots, url_col=url_col,
+                        host_col=host_col, txt_col=txt_col, agent=agent)
+    viol = ~F.col("robots_allow")
+    return (gated
+            .withColumn("_h", url_host(F.col(url_col)))
+            .groupBy(F.col("_h").alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_fetched"),
+                 F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+                 .alias("n_violations"),
+                 F.min(F.when(viol, F.col(url_col)))
+                 .alias("first_violation"))
+            .withColumn("violation_rate",
+                        F.col("n_violations").cast("double")
+                        / F.col("n_fetched"))
+            .select("host", "n_fetched", "n_violations",
+                    "violation_rate", "first_violation"))

@@ -699,3 +699,50 @@ def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def embedding_drift(embeddings: DataFrame, label_col: str = "label",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Embedding-distribution drift between two snapshots (here: the
+    id-parity halves; in production, two crawl snapshots): per label,
+    the cosine between the halves' centroids — the embedding-space
+    sibling of the token-level source_drift/ks_drift monitors (a model
+    or corpus change that shifts where a topic's documents embed shows
+    up here before downstream quality metrics move).
+
+    Exactness: centroid components are floor(mean * scale) INTEGERS,
+    so the 64-dim dot product and both norms are order-independent
+    bigint sums; cosine/drift are single expressions over three exact
+    bigints.  Scale shape: one (label, half, pos) groupBy with
+    map-side combine, one join on (label, pos), one label-level
+    aggregate — no window, no collect."""
+    halves = (embeddings
+              .select(F.col(label_col).alias("label"),
+                      (F.col(id_col) % 2).alias("half"),
+                      F.posexplode(F.col(vec_col)).alias("pos", "v"))
+              .groupBy("label", "half", "pos")
+              .agg(F.floor(F.avg(F.col("v").cast("double"))
+                           * float(scale)).cast("long").alias("m"),
+                   F.count(F.lit(1)).alias("_n")))
+    a = halves.where(F.col("half") == 0) \
+        .select("label", "pos", F.col("m").alias("ma"),
+                F.col("_n").alias("na"))
+    b = halves.where(F.col("half") == 1) \
+        .select("label", "pos", F.col("m").alias("mb"),
+                F.col("_n").alias("nb"))
+    agg = (a.join(b, ["label", "pos"])
+           .groupBy("label")
+           .agg(F.max("na").cast("long").alias("n_a"),
+                F.max("nb").cast("long").alias("n_b"),
+                F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+                F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+                F.sum(F.col("mb") * F.col("mb")).alias("nb2")))
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double"))
+           * F.sqrt(F.col("nb2").cast("double"))))
+    return agg.select("label", "n_a", "n_b",
+                      cos.alias("cosine"),
+                      (F.lit(1.0) - cos).alias("drift"))

@@ -206,3 +206,25 @@ def test_host_split_leakage_safe(spark):
     plan = (host_split(docs)._jdf.queryExecution().executedPlan()
             .toString())
     assert "Exchange" not in plan, plan
+
+
+def test_quality_calibration(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.curation import (
+        quality_calibration)
+
+    # source A: metrics 1..10; source B: metrics 100..104 — a raw
+    # threshold would nuke all of A; rank calibration keeps the same
+    # share of each
+    rows = [("A", i, i) for i in range(1, 11)] + \
+           [("B", 100 + i, 100 + i) for i in range(5)]
+    d = spark.createDataFrame(rows, ["source", "doc_id", "m"])
+    out = quality_calibration(d, "m", keep_frac=0.6).collect()
+    kept = {"A": 0, "B": 0}
+    for r in out:
+        assert 0.0 < r.pct < 1.0
+        if r.keep:
+            kept[r.source] += 1
+    # pct >= 0.4: A keeps ranks 5..10 (pct (2r-1)/20 >= .4 -> r >= 4.5)
+    assert kept["A"] == 6
+    # B: (2r-1)/10 >= .4 -> r >= 2.5 -> ranks 3,4,5
+    assert kept["B"] == 3

@@ -295,3 +295,26 @@ def test_soft404_scan(spark):
     assert out[4].is_soft404 is False and out[4].n_soft404_hits == 1
     assert out[5].is_soft404 is True
     assert out[6].is_soft404 is False
+
+
+def test_crawl_trap_scan(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        crawl_trap_scan)
+
+    rows = [
+        ("https://a.com/x/y/z",),                     # clean
+        ("https://a.com/a/b/a/b/a/c",),               # repeating loop
+        ("https://a.com/2024/01/15/2023/02/x",),      # calendar space
+        ("https://a.com/p?PHPSESSID=deadbeef",),      # session id
+        ("https://a.com/" + "/".join("abcdefghij"),),  # depth 10
+    ]
+    out = {r.url: r for r in crawl_trap_scan(
+        spark.createDataFrame(rows, ["url"])).collect()}
+    assert out[rows[0][0]].is_trap is False
+    loop = out[rows[1][0]]
+    assert loop.n_dup_segments == 3 and loop.is_trap is True
+    cal = out[rows[2][0]]
+    assert cal.n_numeric_segs == 5 and cal.is_trap is True
+    assert out[rows[3][0]].has_session_id is True
+    assert out[rows[4][0]].path_depth == 10
+    assert out[rows[4][0]].is_trap is True

@@ -209,3 +209,27 @@ def test_crawl_budget_caps_and_shares(spark):
     assert got["b.example"].quota == 300
     assert got["c.example"].quota == 100
     assert got["a.example"].share == 600.0
+
+
+def test_robots_audit(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.robots import (
+        robots_audit)
+
+    robots = spark.createDataFrame(
+        [("strict.example", "User-agent: *\nDisallow: /private\n"),
+         ("open.example", "User-agent: *\nAllow: /\n")],
+        ["host", "robots_txt"])
+    log = spark.createDataFrame([
+        ("https://strict.example/public/a",),
+        ("https://strict.example/private/b",),
+        ("https://strict.example/private/c",),
+        ("https://open.example/anything",),
+        ("https://norules.example/x",),
+    ], ["url"])
+    out = {r.host: r for r in robots_audit(log, robots).collect()}
+    s = out["strict.example"]
+    assert (s.n_fetched, s.n_violations) == (3, 2)
+    assert s.violation_rate == pytest.approx(2 / 3)
+    assert s.first_violation == "https://strict.example/private/b"
+    assert out["open.example"].n_violations == 0
+    assert out["norules.example"].n_violations == 0

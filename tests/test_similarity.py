@@ -334,3 +334,27 @@ def test_embedding_outliers_planted(spark):
     # z is computed against the label's own spread: the outlier's z is
     # the largest in label 0 and the clean points sit below threshold
     assert got[6].z > 2.0 > max(abs(got[i].z) for i in range(6))
+
+
+def test_embedding_drift(spark):
+    import math
+
+    from deepseek_ocr_omnidocbench_spark.operators.similarity import (
+        embedding_drift)
+
+    # label 0: both halves identical direction -> cosine 1, drift 0
+    # label 1: halves orthogonal -> cosine 0, drift 1
+    rows = []
+    for vid in range(8):
+        rows.append((vid, 0, [1.0, 0.0, 0.0, 0.0]))
+    for vid in range(8, 16):
+        vec = [0.0, 1.0, 0.0, 0.0] if vid % 2 else [1.0, 0.0, 0.0, 0.0]
+        rows.append((vid, 1, vec))
+    d = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r.label: r for r in embedding_drift(d).collect()}
+    assert out[0].cosine == pytest.approx(1.0)
+    assert out[0].drift == pytest.approx(0.0)
+    assert out[0].n_a == 4 and out[0].n_b == 4
+    assert out[1].cosine == pytest.approx(0.0)
+    assert out[1].drift == pytest.approx(1.0)
+    assert not math.isnan(out[1].drift)
