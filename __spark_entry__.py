@@ -5768,6 +5768,111 @@ _EMBEDDING_DRIFT_ORACLE = """
 """
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Host-templated-line removal (textstats.host_boilerplate_lines):
+    every doc of host h<k> gets 'NAV h<k> HOME' and 'COPYRIGHT h<k>'
+    wrapped around its text — both exceed the 50% share and strip,
+    original content lines survive in order; line shares compare as
+    integer cross-products."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        host_boilerplate_lines)
+
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 10).cast("string"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("NAV "), host, F.lit(" HOME\n"),
+                 F.col("text"),
+                 F.lit("\nCOPYRIGHT "), host).alias("text"))
+    return (host_boilerplate_lines(d, min_share=0.5, min_docs=3)
+            .orderBy("doc_id"))
+
+
+_HOST_BOILERPLATE_ORACLE = """
+    with d as (
+      select doc_id, 'h' || (doc_id % 10)::varchar as host,
+        'NAV h' || (doc_id % 10)::varchar || ' HOME' || chr(10)
+        || text || chr(10)
+        || 'COPYRIGHT h' || (doc_id % 10)::varchar as text
+      from documents),
+    ln as (
+      select doc_id, host,
+        generate_subscripts(string_split(text, chr(10)), 1) - 1 as pos,
+        unnest(string_split(text, chr(10))) as line
+      from d),
+    hd as (select host, count(*)::bigint as hd from d group by host),
+    ld as (
+      select host, line, count(*)::bigint as ld from (
+        select distinct host, line, doc_id from ln)
+      group by host, line),
+    bp as (
+      select ld.host, ld.line from ld join hd using (host)
+      where ld.ld * 10000 >= hd.hd * 5000 and hd.hd >= 3
+        and len(trim(ld.line)) > 0),
+    marked as (
+      select ln.doc_id, ln.host, ln.pos, ln.line,
+        bp.line is not null as is_bp
+      from ln left join bp
+        on bp.host = ln.host and bp.line = ln.line)
+    select doc_id, host,
+      count(*)::bigint as n_lines,
+      sum(case when is_bp then 1 else 0 end)::bigint as n_removed,
+      coalesce(string_agg(case when not is_bp then line end,
+                          chr(10) order by pos), '') as clean_text
+    from marked group by doc_id, host order by doc_id
+"""
+
+
+def q_login_pages(spark, sf_dir):
+    """Login/auth-wall detection (textstats.login_page_scan): every 6th
+    doc gets a form+password block appended, every 15th a passwordless
+    marker cluster — literal replace-length counts, boolean combine."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        login_page_scan)
+
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(did % 6 == 0, F.concat(
+            F.col("text"),
+            F.lit(' <form action="/login"> password: remember me')))
+        .when(did % 15 == 0, F.concat(
+            F.col("text"),
+            F.lit(" sign in or sign up / create account")))
+        .otherwise(F.col("text")).alias("text"))
+    return login_page_scan(d).orderBy("doc_id")
+
+
+def _login_pages_oracle_sql() -> str:
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        LOGIN_MARKERS)
+
+    terms = " + ".join(
+        f"(length(low) - length(replace(low, '{ph}', ''))) / {len(ph)}"
+        for ph in LOGIN_MARKERS)
+    pw = ("(length(low) - length(replace(low, 'password', ''))) / 8")
+    form = ("(length(low) - length(replace(low, '<form', ''))) / 5")
+    return f"""
+    with d as (
+      select doc_id,
+        case when doc_id % 6 = 0
+               then text || ' <form action="/login"> password:'
+                    || ' remember me'
+             when doc_id % 15 = 0
+               then text || ' sign in or sign up / create account'
+             else text end as text
+      from documents),
+    sig as (select doc_id, lower(text) as low from d)
+    select doc_id,
+      ({terms})::bigint as n_markers,
+      ({pw})::bigint as n_password,
+      ({form})::bigint >= 1 as has_form,
+      (({pw})::bigint >= 1 and (({form})::bigint >= 1
+        or ({terms})::bigint >= 3)) as is_login
+    from sig order by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -5818,6 +5923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "quality_calibration": q_quality_calibration,
         "embedding_drift": q_embedding_drift,
+        "host_boilerplate": q_host_boilerplate,
+        "login_pages": q_login_pages,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5848,8 +5955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "label_prop": q_label_prop,
         "embedding_outliers": q_embedding_outliers,
-        "community_quota": q_community_quota,
-        "cdc_chunks": q_cdc_chunks,
         # --- tier 000: round-5 resumed-session batch (never driver-
         # verified; each displaces one r3-green, implementation-
         # untouched tier-3 cadence entry into tier 3b below) ------------
@@ -5923,6 +6028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_pairs": q_fingerprint_pairs,
         "kmv_vocab": q_kmv_vocab,
         "bpe_fertility": q_bpe_fertility,
+        "community_quota": q_community_quota,
+        "cdc_chunks": q_cdc_chunks,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -7233,6 +7340,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_audit": _ROBOTS_AUDIT_ORACLE,
         "quality_calibration": _QUALITY_CALIBRATION_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
+        "host_boilerplate": _HOST_BOILERPLATE_ORACLE,
+        "login_pages": _login_pages_oracle_sql(),
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

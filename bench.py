@@ -273,7 +273,10 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("crawl_traps", "path_depth"),
                       ("robots_audit", "n_violations"),
                       ("quality_calibration", "rank"),
-                      ("embedding_drift", "drift")]:
+                      ("embedding_drift", "drift"),
+                      # batch-12 ops
+                      ("host_boilerplate", "n_removed"),
+                      ("login_pages", "n_markers")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

@@ -1236,3 +1236,98 @@ def code_detect(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     cols = code_detect_cols(F.col(text_col))
     return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])
+
+
+def host_boilerplate_lines(docs: DataFrame, host_col: str = "host",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_share: float = 0.5,
+                           min_docs: int = 3) -> DataFrame:
+    """Host-level templated-LINE removal: a line appearing in >=
+    ``min_share`` of a host's documents is navigation/footer template,
+    not content — the line-granularity sibling of host_prefix/suffix
+    (which only catch shared AFFIXES) and of paragraph_dedup (which is
+    corpus-global, not host-conditional).
+
+    Returns one row per doc: (doc_id, host, n_lines, n_removed,
+    clean_text) with clean_text = the surviving lines re-joined in
+    ORIGINAL order.  Hosts with < ``min_docs`` documents are left
+    untouched (a 2-doc host makes every coincidence a 'template').
+
+    Exactness: shares compare as integer cross-products
+    (line_docs * D >= host_docs * S with min_share = S/D at 4
+    decimals); reconstruction sorts on the original line index.
+    Scale shape: one (host, line-hash) aggregate with map-side
+    combine, one host-level doc count, one join back on (host, line)
+    — the boilerplate side is the distinct-line table, never the
+    corpus."""
+    lines = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(host_col).alias("host"),
+                         F.posexplode(F.split(F.col(text_col), "\n"))
+                         .alias("pos", "line")))
+    host_docs = docs.groupBy(F.col(host_col).alias("host")) \
+        .agg(F.count(F.lit(1)).alias("hd"))
+    line_docs = (lines.select("host", "line", "doc_id").distinct()
+                 .groupBy("host", "line")
+                 .agg(F.count(F.lit(1)).alias("ld")))
+    sd = round(min_share * 10000)
+    bp = (line_docs.join(host_docs, "host")
+          .where((F.col("ld") * 10000 >= F.col("hd") * sd)
+                 & (F.col("hd") >= min_docs)
+                 & (F.length(F.trim(F.col("line"))) > 0))
+          .select("host", "line", F.lit(True).alias("_bp")))
+    marked = lines.join(bp, ["host", "line"], "left")
+    return (marked
+            .groupBy("doc_id", "host")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.when(F.col("_bp"), 1).otherwise(0))
+                 .cast("long").alias("n_removed"),
+                 F.concat_ws("\n", F.transform(
+                     F.array_sort(F.collect_list(F.when(
+                         F.col("_bp").isNull(),
+                         F.struct(F.col("pos").alias("pos"),
+                                  F.col("line").alias("line"))))),
+                     lambda s: s["line"])).alias("clean_text"))
+            .select("doc_id", "host",
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    "n_removed", "clean_text"))
+
+
+# ---- login/signup page detection ----------------------------------------
+
+LOGIN_MARKERS = ["password", "sign in", "log in", "forgot password",
+                 "remember me", "create account", "sign up",
+                 "<form", "two-factor"]
+
+
+def login_page_cols(text: Column) -> dict[str, Column]:
+    """Login/signup-page signals: auth walls are near-zero-value
+    training text that passes length/quality gates.  Literal marker
+    counts via replace-length math on the lowered text;
+
+      is_login = n_password >= 1 AND (has_form OR n_markers >= 3)
+    """
+    low = F.lower(text)
+
+    def _cnt(ph):
+        return ((F.length(low) - F.length(
+            F.replace(low, F.lit(ph), F.lit("")))) / len(ph)).cast("long")
+
+    terms = [_cnt(ph) for ph in LOGIN_MARKERS]
+    n_markers = terms[0]
+    for t in terms[1:]:
+        n_markers = n_markers + t
+    n_password = _cnt("password")
+    has_form = _cnt("<form") >= 1
+    return {
+        "n_markers": n_markers,
+        "n_password": n_password,
+        "has_form": has_form,
+        "is_login": (n_password >= 1) & (has_form | (n_markers >= 3)),
+    }
+
+
+def login_page_scan(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    cols = login_page_cols(F.col(text_col))
+    return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])

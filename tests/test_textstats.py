@@ -639,3 +639,47 @@ def test_code_detect(spark):
     # symbol-dense but line endings: '}' ends its only line -> the
     # ender branch fires even with zero keywords
     assert out[3].is_code is True
+
+
+def test_host_boilerplate_lines(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        host_boilerplate_lines)
+
+    rows = []
+    for i in range(4):
+        rows.append((i, "h1", f"MENU\nreal content {i}\nCOPYRIGHT"))
+    # h1 doc where the template line also repeats mid-doc
+    rows.append((4, "h1", "MENU\nMENU\nunique tail"))
+    # tiny host: nothing removed despite identical lines
+    rows.append((5, "h2", "MENU\nx"))
+    rows.append((6, "h2", "MENU\ny"))
+    d = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = {r.doc_id: r for r in
+           host_boilerplate_lines(d, min_share=0.5, min_docs=3)
+           .collect()}
+    assert out[0].clean_text == "real content 0"
+    assert out[0].n_removed == 2 and out[0].n_lines == 3
+    # BOTH occurrences of a boilerplate line are removed
+    assert out[4].clean_text == "unique tail"
+    assert out[4].n_removed == 2
+    # below min_docs: untouched
+    assert out[5].n_removed == 0 and out[5].clean_text == "MENU\nx"
+
+
+def test_login_page_scan(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        login_page_scan)
+
+    rows = [
+        (1, 'Email <form action="/login"> Password: Remember me'),
+        (2, "Sign in with your password. Forgot password? Sign up!"),
+        # 'password' mentioned in prose without auth context
+        (3, "the password hashing article discusses bcrypt at length"),
+        (4, "ordinary page about gardening"),
+    ]
+    out = {r.doc_id: r for r in login_page_scan(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].is_login is True and out[1].has_form is True
+    assert out[2].is_login is True      # 4 markers, no form
+    assert out[3].is_login is False     # password but only 1 marker
+    assert out[4].is_login is False
