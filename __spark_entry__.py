@@ -5873,6 +5873,135 @@ def _login_pages_oracle_sql() -> str:
 """
 
 
+def q_truncation_loss(spark, sf_dir):
+    """Context-budget truncation report per source
+    (textstats.truncation_loss): share of tokens lost at 128/512/2048
+    caps — exact bigint sums, one division per budget."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        truncation_loss)
+
+    return (truncation_loss(_docs(spark, sf_dir),
+                            budgets=(128, 512, 2048))
+            .orderBy("source"))
+
+
+_TRUNCATION_LOSS_ORACLE = r"""
+    with t as (
+      select source,
+        len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::bigint as t
+      from documents)
+    select source,
+      count(*)::bigint as n_docs,
+      sum(t)::bigint as n_tokens,
+      sum(case when t > 128 then 1 else 0 end)::bigint as n_over_128,
+      sum(greatest(t - 128, 0))::bigint as lost_128,
+      sum(case when t > 512 then 1 else 0 end)::bigint as n_over_512,
+      sum(greatest(t - 512, 0))::bigint as lost_512,
+      sum(case when t > 2048 then 1 else 0 end)::bigint as n_over_2048,
+      sum(greatest(t - 2048, 0))::bigint as lost_2048,
+      sum(greatest(t - 128, 0))::double / sum(t) as lost_share_128,
+      sum(greatest(t - 512, 0))::double / sum(t) as lost_share_512,
+      sum(greatest(t - 2048, 0))::double / sum(t) as lost_share_2048
+    from t group by source order by source
+"""
+
+
+def q_md_structure(spark, sf_dir):
+    """Markdown-structure extraction-QA profile
+    (textstats.md_structure): every 3rd doc gains a heading + bullets,
+    every 4th a table block, every 9th a code fence — line-prefix
+    counts that catch structure-flattening regressions."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        md_structure)
+
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.concat(
+            F.when(did % 3 == 0,
+                   F.concat(F.lit("# H"), did.cast("string"), nl,
+                            F.lit("- one"), nl, F.lit("* two"), nl))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(did % 4 == 0,
+                   F.lit("\n| a | b |\n| - | - |\n| 1 | 2 |"))
+            .otherwise(F.lit("")),
+            F.when(did % 9 == 0, F.lit("\n```\ncode\n```"))
+            .otherwise(F.lit(""))).alias("text"))
+    return md_structure(d).orderBy("doc_id")
+
+
+_MD_STRUCTURE_ORACLE = """
+    with d as (
+      select doc_id, source,
+        (case when doc_id % 3 = 0
+              then '# H' || doc_id::varchar || chr(10) || '- one'
+                   || chr(10) || '* two' || chr(10) else '' end)
+        || text
+        || (case when doc_id % 4 = 0
+                 then chr(10) || '| a | b |' || chr(10) || '| - | - |'
+                      || chr(10) || '| 1 | 2 |' else '' end)
+        || (case when doc_id % 9 = 0
+                 then chr(10) || '```' || chr(10) || 'code'
+                      || chr(10) || '```' else '' end) as text
+      from documents),
+    s as (select doc_id, source,
+                 string_split(text, chr(10)) as lines from d)
+    select doc_id, source,
+      len(lines)::bigint as n_lines,
+      len(list_filter(lines, x -> left(x, 1) = '#'))::bigint
+        as n_headings,
+      (len(list_filter(lines, x -> left(x, 2) = '- '))
+       + len(list_filter(lines, x -> left(x, 2) = '* ')))::bigint
+        as n_bullets,
+      len(list_filter(lines, x -> left(x, 1) = '|'))::bigint
+        as n_table_rows,
+      len(list_filter(lines, x -> left(x, 3) = '```'))::bigint
+        as n_code_fence
+    from s order by doc_id
+"""
+
+
+def q_sample_audit(spark, sf_dir):
+    """Chi-square sampling audit (textstats.sample_audit): a
+    deliberately BIASED deterministic sample (every 3rd doc, which
+    over/under-represents languages unevenly) audited against the
+    corpus's language proportions — bigint-scaled expected counts,
+    one division per stratum term."""
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        sample_audit)
+
+    pop = _docs(spark, sf_dir)
+    samp = pop.where(F.col("doc_id") % 3 == 0)
+    return sample_audit(samp, pop, strata_col="lang").orderBy("lang")
+
+
+_SAMPLE_AUDIT_ORACLE = """
+    with pop as (
+      select lang as s, count(*)::bigint as pop from documents
+      group by lang),
+    obs as (
+      select lang as s, count(*)::bigint as obs from documents
+      where doc_id % 3 = 0 group by lang),
+    tot as (
+      select (select sum(pop) from pop)::bigint as n_pop,
+             (select coalesce(sum(obs), 0) from obs)::bigint as n_samp),
+    j as (
+      select pop.s, pop.pop, coalesce(obs.obs, 0)::bigint as obs,
+             tot.n_pop, tot.n_samp
+      from pop left join obs using (s), tot)
+    select s as lang, obs, pop,
+      (n_samp * pop)::double / n_pop as expected,
+      case when pop > 0 then
+        ((obs * n_pop - n_samp * pop) * (obs * n_pop - n_samp * pop))
+          ::double / (n_samp * pop * n_pop)
+      end as chi2_term
+    from j order by s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -5925,6 +6054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "host_boilerplate": q_host_boilerplate,
         "login_pages": q_login_pages,
+        "truncation_loss": q_truncation_loss,
+        "md_structure": q_md_structure,
+        "sample_audit": q_sample_audit,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -5960,9 +6092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched tier-3 cadence entry into tier 3b below) ------------
         "kcore": q_kcore,
         "cms_heavy": q_cms_heavy,
-        "kn_perplexity": q_kn_perplexity,
-        "triangles": q_triangles,
-        "chrf": q_chrf,
         "wordpiece": q_wordpiece,
         "assortativity": q_assortativity,
         # --- tier 0: new this round (never driver-verified) ---------------
@@ -6030,6 +6159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "community_quota": q_community_quota,
         "cdc_chunks": q_cdc_chunks,
+        "triangles": q_triangles,
+        "chrf": q_chrf,
+        "kn_perplexity": q_kn_perplexity,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -7342,6 +7474,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "host_boilerplate": _HOST_BOILERPLATE_ORACLE,
         "login_pages": _login_pages_oracle_sql(),
+        "truncation_loss": _TRUNCATION_LOSS_ORACLE,
+        "md_structure": _MD_STRUCTURE_ORACLE,
+        "sample_audit": _SAMPLE_AUDIT_ORACLE,
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

@@ -276,7 +276,11 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       ("embedding_drift", "drift"),
                       # batch-12 ops
                       ("host_boilerplate", "n_removed"),
-                      ("login_pages", "n_markers")]:
+                      ("login_pages", "n_markers"),
+                      # batch-13 ops
+                      ("truncation_loss", "lost_512"),
+                      ("md_structure", "n_headings"),
+                      ("sample_audit", "chi2_term")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

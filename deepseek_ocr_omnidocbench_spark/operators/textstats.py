@@ -1331,3 +1331,107 @@ def login_page_scan(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     cols = login_page_cols(F.col(text_col))
     return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])
+
+
+def truncation_loss(docs: DataFrame, part_col: str = "source",
+                    text_col: str = "text",
+                    budgets: tuple[int, ...] = (128, 512, 2048)
+                    ) -> DataFrame:
+    """Context-budget truncation report: for each candidate training
+    context length, what share of the corpus's tokens fall PAST the
+    cap and get truncated away — the number that decides sequence
+    length (and whether long docs should be split rather than
+    truncated) before a training run.
+
+    Per partition: total docs/tokens, and for each budget k the count
+    of docs exceeding it plus lost_k = sum(max(0, n_tokens - k)) and
+    its share.  Exact bigints, one division per budget; ONE map-side-
+    combinable aggregate."""
+    toks = token_count_cols(F.col(text_col))["bpe_tokens"].cast("long")
+    base = docs.select(F.col(part_col).alias("part"),
+                       toks.alias("t"))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens")]
+    for k in budgets:
+        aggs.append(F.sum(F.when(F.col("t") > k, 1).otherwise(0))
+                    .cast("long").alias(f"n_over_{k}"))
+        aggs.append(F.sum(F.greatest(F.col("t") - k, F.lit(0)))
+                    .cast("long").alias(f"lost_{k}"))
+    out = base.groupBy("part").agg(*aggs)
+    for k in budgets:
+        out = out.withColumn(
+            f"lost_share_{k}",
+            F.col(f"lost_{k}").cast("double") / F.col("n_tokens"))
+    return out.withColumnRenamed("part", part_col)
+
+
+def md_structure(docs: DataFrame, part_col: str = "source",
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Markdown-structure profile of extractor output — the extraction
+    QA report that catches a regression which keeps byte counts stable
+    but flattens structure (headings lost, tables collapsed to text):
+
+      n_headings   lines starting with '#'
+      n_bullets    lines starting with '- ' or '* '
+      n_table_rows lines starting with '|'
+      n_code_fence lines starting with three backticks
+      n_lines      total lines
+
+    Per doc, pure line-array math; aggregate per source for the
+    corpus profile (one explode-free pass)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _starts(pfx):
+        return F.size(F.filter(lines, lambda ln: ln.startswith(pfx)))
+
+    heads = _starts("#")
+    bullets = (F.size(F.filter(lines, lambda ln: ln.startswith("- ")))
+               + F.size(F.filter(lines, lambda ln: ln.startswith("* "))))
+    return docs.select(
+        id_col, part_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        heads.cast("long").alias("n_headings"),
+        bullets.cast("long").alias("n_bullets"),
+        _starts("|").cast("long").alias("n_table_rows"),
+        _starts("```").cast("long").alias("n_code_fence"))
+
+
+def sample_audit(sample: DataFrame, population: DataFrame,
+                 strata_col: str = "lang") -> DataFrame:
+    """Chi-square goodness-of-fit audit of a drawn sample against the
+    population's strata proportions — the statistical QA check run on
+    every corpus-mixing output (a biased sampler silently shifts the
+    training mix).
+
+    chi2 = sum over strata (obs*N - exp_scaled)^2 / (exp_scaled * N)
+    with exp_scaled = n_sample * pop_count kept in exact bigints; the
+    per-stratum terms and their sum are single divisions folded in
+    stratum order (deterministic in any engine).  Output: one row per
+    stratum (obs, pop, expected, term) plus the per-stratum share
+    columns; the caller sums `term` for the statistic (df = k - 1)."""
+    pop = population.groupBy(F.col(strata_col).alias("s")) \
+        .agg(F.count(F.lit(1)).alias("pop"))
+    obs = sample.groupBy(F.col(strata_col).alias("s")) \
+        .agg(F.count(F.lit(1)).alias("obs"))
+    tot = (pop.agg(F.sum("pop").alias("n_pop"))
+           .crossJoin(obs.agg(F.sum("obs").alias("n_samp"))))
+    j = (pop.join(obs, "s", "left")
+         .withColumn("obs", F.coalesce("obs", F.lit(0).cast("long")))
+         .join(F.broadcast(tot)))
+    # expected count = n_samp * pop / n_pop (exact rational; term uses
+    # the scaled form to stay bigint until one division)
+    num = (F.col("obs") * F.col("n_pop")
+           - F.col("n_samp") * F.col("pop"))
+    term = F.when(
+        F.col("pop") > 0,
+        (num * num).cast("double")
+        / (F.col("n_samp") * F.col("pop") * F.col("n_pop"))
+        .cast("double"))
+    return j.select(
+        F.col("s").alias(strata_col),
+        F.col("obs").cast("long").alias("obs"),
+        F.col("pop").cast("long").alias("pop"),
+        ((F.col("n_samp") * F.col("pop")).cast("double")
+         / F.col("n_pop")).alias("expected"),
+        term.alias("chi2_term"))

@@ -683,3 +683,56 @@ def test_login_page_scan(spark):
     assert out[2].is_login is True      # 4 markers, no form
     assert out[3].is_login is False     # password but only 1 marker
     assert out[4].is_login is False
+
+
+def test_truncation_loss(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        truncation_loss)
+
+    # token counts: 'w ' * k gives k bpe tokens for plain words
+    rows = [("s", "alpha " * 100), ("s", "beta " * 600),
+            ("s", "gamma " * 3000)]
+    d = spark.createDataFrame(rows, ["source", "text"])
+    out = truncation_loss(d, budgets=(128, 512, 2048)).collect()[0]
+    assert out.n_docs == 3 and out.n_tokens == 3700
+    assert out.n_over_128 == 2
+    assert out.lost_128 == (600 - 128) + (3000 - 128)
+    assert out.n_over_2048 == 1 and out.lost_2048 == 952
+    assert out.lost_share_512 == pytest.approx(
+        ((600 - 512) + (3000 - 512)) / 3700)
+
+
+def test_md_structure(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        md_structure)
+
+    md = ("# Title\n\npara\n\n## Sub\n- a\n- b\n* c\n"
+          "| h | h |\n| - | - |\n| 1 | 2 |\n```\ncode\n```")
+    out = md_structure(spark.createDataFrame(
+        [(1, "s", md)], ["doc_id", "source", "text"])).collect()[0]
+    assert out.n_headings == 2
+    assert out.n_bullets == 3
+    assert out.n_table_rows == 3
+    assert out.n_code_fence == 2
+
+
+def test_sample_audit(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        sample_audit)
+
+    pop = spark.createDataFrame(
+        [("en",)] * 60 + [("de",)] * 30 + [("fr",)] * 10, ["lang"])
+    # perfectly proportional sample -> every chi2 term 0
+    samp = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 3 + [("fr",)] * 1, ["lang"])
+    out = {r.lang: r for r in sample_audit(samp, pop).collect()}
+    assert all(r.chi2_term == pytest.approx(0.0) for r in out.values())
+    assert out["en"].expected == pytest.approx(6.0)
+    # skewed sample: missing stratum gets obs 0 with a positive term
+    samp2 = spark.createDataFrame([("en",)] * 10, ["lang"])
+    out2 = {r.lang: r for r in sample_audit(samp2, pop).collect()}
+    assert out2["fr"].obs == 0
+    # term for fr: exp = 1.0, (0 - 1)^2 / 1 = 1
+    assert out2["fr"].chi2_term == pytest.approx(1.0)
+    # en: exp 6, obs 10 -> (4)^2/6
+    assert out2["en"].chi2_term == pytest.approx(16 / 6)
