@@ -6002,6 +6002,118 @@ _SAMPLE_AUDIT_ORACLE = """
 """
 
 
+def q_host_features(spark, sf_dir):
+    """Host-name hygiene features (filters.host_feature_scan) over
+    adversarial synthetic hosts: deep subdomain chains, punycode
+    labels, raw-IP hosts, DGA-length labels, digit-heavy shop
+    subdomains — integer-permille digit fractions keep every compare
+    exact."""
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        host_feature_cols)
+
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = (F.when(did % 7 == 0, F.concat(
+               F.lit("https://a"), s, F.lit(".b.c.d.example.com/x")))
+           .when(did % 11 == 0, F.concat(
+               F.lit("https://xn--p"), s, F.lit(".example.org/x")))
+           .when(did % 13 == 0, F.concat(
+               F.lit("https://10.0."), (did % 256).cast("string"),
+               F.lit(".9/x")))
+           .when(did % 5 == 0, F.concat(
+               F.lit("https://shop"), s, s, s,
+               F.lit(".example.net/x")))
+           .otherwise(F.concat(F.lit("https://www.site"), s,
+                               F.lit(".example.com/x"))))
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    cols = host_feature_cols(F.col("url"))
+    return (d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+            .orderBy("doc_id"))
+
+
+_HOST_FEATURES_ORACLE = r"""
+    with d as (
+      select doc_id,
+        case when doc_id % 7 = 0
+               then 'https://a' || doc_id::varchar
+                    || '.b.c.d.example.com/x'
+             when doc_id % 11 = 0
+               then 'https://xn--p' || doc_id::varchar
+                    || '.example.org/x'
+             when doc_id % 13 = 0
+               then 'https://10.0.' || (doc_id % 256)::varchar || '.9/x'
+             when doc_id % 5 = 0
+               then 'https://shop' || doc_id::varchar || doc_id::varchar
+                    || doc_id::varchar || '.example.net/x'
+             else 'https://www.site' || doc_id::varchar
+                  || '.example.com/x'
+        end as url
+      from documents),
+    h as (
+      select doc_id,
+        lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1)) as host
+      from d),
+    s as (
+      select doc_id, host,
+        list_filter(string_split(host, '.'), x -> len(x) > 0) as labels,
+        (length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+          ::bigint as n_digits,
+        greatest(length(host), 1)::bigint as hl
+      from h)
+    select doc_id, host,
+      greatest(len(labels) - 2, 0)::bigint as n_subdomains,
+      (n_digits * 1000 // hl)::bigint as digit_frac_x1k,
+      len(list_filter(labels, x -> left(x, 4) = 'xn--')) > 0
+        as has_punycode,
+      regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$') as is_ip_host,
+      len(list_filter(labels, x -> len(x) > 25)) > 0 as long_label,
+      (regexp_matches(host, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$')
+       or len(list_filter(labels, x -> left(x, 4) = 'xn--')) > 0
+       or greatest(len(labels) - 2, 0) >= 4
+       or len(list_filter(labels, x -> len(x) > 25)) > 0
+       or n_digits * 1000 > hl * 300) as host_suspect
+    from s order by doc_id
+"""
+
+
+def q_metric_corr(spark, sf_dir):
+    """Per-source Pearson correlation between document length and
+    token count (sketches.metric_corr): five exact bigint co-moments,
+    one closed-form double expression — bit-identical across engines
+    where a streaming corr() is not."""
+    from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+        metric_corr)
+    from deepseek_ocr_omnidocbench_spark.operators.textstats import (
+        token_count_cols)
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").alias("x"),
+        token_count_cols(F.col("text"))["bpe_tokens"].alias("y"))
+    return metric_corr(d, "x", "y").orderBy("source")
+
+
+_METRIC_CORR_ORACLE = r"""
+    with d as (
+      select source, n_chars::bigint as x,
+        len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::bigint as y
+      from documents),
+    agg as (
+      select source, count(*)::bigint as n,
+        sum(x)::bigint as sx, sum(y)::bigint as sy,
+        sum(x * x)::bigint as sxx, sum(y * y)::bigint as syy,
+        sum(x * y)::bigint as sxy
+      from d group by source)
+    select source, n,
+      case when n * sxx - sx * sx > 0 and n * syy - sy * sy > 0
+           then (n * sxy - sx * sy)::double
+                / (sqrt((n * sxx - sx * sx)::double)
+                   * sqrt((n * syy - sy * sy)::double)) end as pearson_r
+    from agg order by source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is gate strategy: the correctness driver verifies the FIRST
     # 50 entries only.  Extension-session tier 0 = the 8 queries built
@@ -6057,6 +6169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_loss": q_truncation_loss,
         "md_structure": q_md_structure,
         "sample_audit": q_sample_audit,
+        "host_features": q_host_features,
+        "metric_corr": q_metric_corr,
         "luhn_cards": q_luhn_cards,
         "host_burstiness": q_host_burstiness,
         "ngram_novelty": q_ngram_novelty,
@@ -6092,8 +6206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched tier-3 cadence entry into tier 3b below) ------------
         "kcore": q_kcore,
         "cms_heavy": q_cms_heavy,
-        "wordpiece": q_wordpiece,
-        "assortativity": q_assortativity,
         # --- tier 0: new this round (never driver-verified) ---------------
         "bm25": q_bm25,
         "pq_codes": q_pq_codes,
@@ -6162,6 +6274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "chrf": q_chrf,
         "kn_perplexity": q_kn_perplexity,
+        "wordpiece": q_wordpiece,
+        "assortativity": q_assortativity,
         # passages: shuffle-free row-local chunk arithmetic (closed-form
         # integer math) -> displaced for the neighborhood slot
         "passages": q_passages,
@@ -7477,6 +7591,8 @@ def oracle_sql() -> dict[str, str]:
         "truncation_loss": _TRUNCATION_LOSS_ORACLE,
         "md_structure": _MD_STRUCTURE_ORACLE,
         "sample_audit": _SAMPLE_AUDIT_ORACLE,
+        "host_features": _HOST_FEATURES_ORACLE,
+        "metric_corr": _METRIC_CORR_ORACLE,
         "luhn_cards": _LUHN_CARDS_ORACLE,
         "host_burstiness": _HOST_BURSTINESS_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,

@@ -280,7 +280,10 @@ def bench_queries(spark, sf_dir: str, sf: float) -> dict[str, float]:
                       # batch-13 ops
                       ("truncation_loss", "lost_512"),
                       ("md_structure", "n_headings"),
-                      ("sample_audit", "chi2_term")]:
+                      ("sample_audit", "chi2_term"),
+                      # batch-14 ops
+                      ("host_features", "n_subdomains"),
+                      ("metric_corr", "pearson_r")]:
         q = entry.queries()[name]
         _, times[name] = _steady(
             lambda q=q, col=col:

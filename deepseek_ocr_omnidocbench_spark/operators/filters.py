@@ -719,3 +719,47 @@ def crawl_trap_cols(url: Column) -> dict[str, Column]:
 def crawl_trap_scan(urls: DataFrame, url_col: str = "url") -> DataFrame:
     cols = crawl_trap_cols(F.col(url_col))
     return urls.select(url_col, *[v.alias(k) for k, v in cols.items()])
+
+
+# ---- host-name hygiene features ------------------------------------------
+
+def host_feature_cols(url: Column) -> dict[str, Column]:
+    """Host-name spam/abuse features (the URL-hygiene layer DGA and
+    throwaway-domain farms light up):
+
+      n_subdomains   dot-separated labels beyond the registrable pair
+      digit_frac_x1k host digit fraction in exact integer permille
+      has_punycode   any xn-- label (homograph vector)
+      is_ip_host     all-numeric dotted host
+      long_label     any label > 25 chars (DGA-ish)
+      host_suspect   ip OR punycode OR >= 4 subdomains OR long label
+                     OR digits > 30% of the host
+
+    All flat string/array expressions; permille keeps the fraction
+    comparison integer-exact."""
+    host = url_host(url)
+    labels = F.filter(F.split(host, r"\."), lambda s: F.length(s) > 0)
+    n_labels = F.size(labels)
+    n_sub = F.greatest(n_labels - 2, F.lit(0))
+    n_digits = F.length(host) - F.length(
+        F.regexp_replace(host, r"[0-9]", ""))
+    hl = F.greatest(F.length(host), F.lit(1))
+    digit_x1k = (n_digits * 1000 / hl).cast("long")
+    puny = F.size(F.filter(labels, lambda s: s.startswith("xn--"))) > 0
+    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    long_label = F.size(F.filter(labels, lambda s: F.length(s) > 25)) > 0
+    return {
+        "host": host,
+        "n_subdomains": n_sub.cast("long"),
+        "digit_frac_x1k": digit_x1k,
+        "has_punycode": puny,
+        "is_ip_host": is_ip,
+        "long_label": long_label,
+        "host_suspect": (is_ip | puny | (n_sub >= 4) | long_label
+                         | (n_digits * 1000 > hl * 300)),
+    }
+
+
+def host_feature_scan(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    cols = host_feature_cols(F.col(url_col))
+    return urls.select(url_col, *[v.alias(k) for k, v in cols.items()])

@@ -334,3 +334,30 @@ def zorder_key(a: "F.Column", b: "F.Column", bits: int = 16) -> "F.Column":
                .bitwiseOR(F.shiftleft(
                    F.shiftright(b, i).bitwiseAND(one), 2 * i)))
     return out
+
+
+def metric_corr(docs: DataFrame, x_col: str, y_col: str,
+                part_col: str = "source") -> DataFrame:
+    """Pearson correlation between two INTEGER per-doc metrics, per
+    partition — the co-movement check corpus reports run (does length
+    track token count? does quality track perplexity?) with the
+    assortativity discipline: five exact bigint co-moments folded
+    through ONE closed-form double expression, so the result is
+    bit-identical across engines where a streaming corr() would not
+    be.  NULL when either variance is zero."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = (docs.groupBy(F.col(part_col).alias("part"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+                F.sum(x * y).alias("sxy")))
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               cov.cast("double")
+               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+    return agg.select(F.col("part").alias(part_col),
+                      n.cast("long").alias("n"), r.alias("pearson_r"))

@@ -318,3 +318,28 @@ def test_crawl_trap_scan(spark):
     assert out[rows[3][0]].has_session_id is True
     assert out[rows[4][0]].path_depth == 10
     assert out[rows[4][0]].is_trap is True
+
+
+def test_host_feature_scan(spark):
+    from deepseek_ocr_omnidocbench_spark.operators.filters import (
+        host_feature_scan)
+
+    rows = [
+        ("https://www.example.com/x",),
+        ("https://a.b.c.d.example.com/x",),       # 4 subdomains
+        ("https://xn--bcher-kva.example/x",),     # punycode
+        ("https://192.168.10.1/x",),              # ip host
+        ("https://abcdefghijklmnopqrstuvwxyz123.example.com/x",),
+        ("https://shop123456.example.com/x",),    # digits < 30%
+    ]
+    out = {r.url: r for r in host_feature_scan(
+        spark.createDataFrame(rows, ["url"])).collect()}
+    # url_host strips www. -> plain registrable pair
+    assert out[rows[0][0]].host_suspect is False
+    assert out[rows[1][0]].n_subdomains == 4
+    assert out[rows[1][0]].host_suspect is True
+    assert out[rows[2][0]].has_punycode is True
+    assert out[rows[3][0]].is_ip_host is True
+    assert out[rows[4][0]].long_label is True
+    s = out[rows[5][0]]
+    assert s.digit_frac_x1k < 300 and s.host_suspect is False

@@ -101,3 +101,19 @@ class TestCMS:
         terms = spark.createDataFrame(rows, "term string")
         cms = cms_build(terms, depth=4, width=64)
         assert cms.count() <= 4 * 64
+
+
+def test_metric_corr(spark):
+    import pytest
+
+    from deepseek_ocr_omnidocbench_spark.operators.sketches import (
+        metric_corr)
+
+    rows = ([("lin", i, 3 * i + 7) for i in range(10)]      # r = 1
+            + [("anti", i, 100 - 2 * i) for i in range(10)]  # r = -1
+            + [("flat", i, 5) for i in range(10)])           # var 0
+    d = spark.createDataFrame(rows, ["source", "x", "y"])
+    out = {r.source: r for r in metric_corr(d, "x", "y").collect()}
+    assert out["lin"].pearson_r == pytest.approx(1.0)
+    assert out["anti"].pearson_r == pytest.approx(-1.0)
+    assert out["flat"].pearson_r is None
